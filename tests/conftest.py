@@ -1,17 +1,23 @@
 """Test config: force JAX onto a virtual 8-device CPU mesh.
 
 All tests run on CPU so they're hermetic and can exercise multi-chip sharding
-(shard_map over 8 virtual devices).  Must set env BEFORE jax is imported.
+(shard_map over 8 virtual devices).  The environment's sitecustomize registers
+a TPU backend and overrides JAX_PLATFORMS, so we must force the platform via
+jax.config AFTER import but before any backend is initialized.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib  # noqa: E402
 

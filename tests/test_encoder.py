@@ -1,0 +1,100 @@
+"""Encoder parity tests.
+
+The shipped IR was exported from a PyTorch bi-GRU (ONNX GRU with
+linear_before_reset=1 == PyTorch GRU semantics).  We rebuild the exact model in
+torch.nn.GRU from the same IR weights (independent code path, gate order
+remapped zrh -> rzn) and require the JAX encoder to match to fp32 tolerance.
+"""
+
+import numpy as np
+import pytest
+
+from deepreadmapper_tpu import tokenizer as tok
+from deepreadmapper_tpu.models import encoder, ir_loader
+
+
+def _torch_reference(tokens: np.ndarray) -> np.ndarray:
+    torch = pytest.importorskip("torch")
+    z = ir_loader.load_npz_weights()
+    emb = torch.tensor(z["embedding"].astype(np.float32))
+    gru = torch.nn.GRU(64, 64, num_layers=2, bidirectional=True, batch_first=False)
+
+    def put(layer, w, r, b):
+        w = torch.tensor(w.astype(np.float32))
+        r = torch.tensor(r.astype(np.float32))
+        b = torch.tensor(b.astype(np.float32))
+        for d, suffix in enumerate(["", "_reverse"]):
+            # zrh -> rzn reorder of 64-row blocks.
+            perm = torch.cat([torch.arange(64, 128), torch.arange(0, 64), torch.arange(128, 192)])
+            getattr(gru, f"weight_ih_l{layer}{suffix}").data = w[d][perm]
+            getattr(gru, f"weight_hh_l{layer}{suffix}").data = r[d][perm]
+            # B = [bz+, br+, Wbh, Rbh]; torch splits ih/hh biases: put the
+            # summed z/r biases on ih, zero on hh, Wbh on ih_n, Rbh on hh_n.
+            b_ih = torch.cat([b[d, 64:128], b[d, 0:64], b[d, 128:192]])
+            b_hh = torch.cat([torch.zeros(128), b[d, 192:256]])
+            getattr(gru, f"bias_ih_l{layer}{suffix}").data = b_ih
+            getattr(gru, f"bias_hh_l{layer}{suffix}").data = b_hh
+
+    put(0, z["gru1_W"], z["gru1_R"], z["gru1_B"])
+    put(1, z["gru2_W"], z["gru2_R"], z["gru2_B"])
+
+    with torch.no_grad():
+        x = emb[torch.tensor(tokens.astype(np.int64))]  # [B, T, 64]
+        x = x.transpose(0, 1)  # [T, B, 64]
+        _, h_n = gru(x)
+        out = torch.cat([h_n[2], h_n[3]], dim=-1)  # layer-2 fwd || bwd
+    return out.numpy()
+
+
+def test_encoder_matches_torch_on_fixture_reads(data_dir):
+    from deepreadmapper_tpu.io import fastq
+
+    seqs, _ = fastq.parse_fastq(str(data_dir / "test_data.fastq"))
+    tokens = tok.tokenize_strings(seqs[:32])
+    params = encoder.load_params()
+    got = np.asarray(encoder.encode_tokens(params, tokens))
+    want = _torch_reference(tokens)
+    assert got.shape == (32, 128)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_encoder_random_tokens():
+    rng = np.random.default_rng(1)
+    tokens = rng.integers(7542, 7638, size=(8, 123)).astype(np.int32)
+    # Sprinkle zero padding like short sequences produce.
+    tokens[:, 100:] = 0
+    params = encoder.load_params()
+    got = np.asarray(encoder.encode_tokens(params, tokens))
+    want = _torch_reference(tokens)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_vectorizer_batching_consistency(data_dir):
+    from deepreadmapper_tpu.io import fastq
+
+    seqs, _ = fastq.parse_fastq(str(data_dir / "test_data.fastq"))
+    params = encoder.load_params()
+    v_small = encoder.Vectorizer(params, device_batch=64)
+    v_big = encoder.Vectorizer(params, device_batch=4096)
+    a = v_small.vectorize(seqs)
+    b = v_big.vectorize(seqs)
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+    assert a.shape == (150, 128)
+
+
+def test_bfloat16_close_to_fp32(data_dir):
+    from deepreadmapper_tpu.io import fastq
+
+    seqs, _ = fastq.parse_fastq(str(data_dir / "test_data.fastq"))
+    tokens = tok.tokenize_strings(seqs[:16])
+    params = encoder.load_params()
+    f32 = np.asarray(encoder.encode_tokens(params, tokens, dtype="float32"))
+    bf16 = np.asarray(encoder.encode_tokens(params, tokens, dtype="bfloat16"))
+    # bf16 recurrence over 123 steps accumulates ~0.1 absolute error on the
+    # unit-scale outputs; rankings survive (fp32 is the parity default).
+    assert np.max(np.abs(f32 - bf16)) < 0.25
+    # Rankings by L2 between reads should be essentially identical; check
+    # nearest-neighbor structure is preserved for a simple case.
+    d32 = ((f32[:1] - f32) ** 2).sum(-1)
+    dbf = ((bf16[:1] - bf16) ** 2).sum(-1)
+    assert np.argsort(d32)[:3].tolist() == np.argsort(dbf)[:3].tolist()
