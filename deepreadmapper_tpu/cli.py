@@ -1,0 +1,144 @@
+"""Command-line entry points.
+
+Four subcommands mirror the reference's four binaries:
+
+  pipeline     <index_prefix> <query> <ref> [...]   (reference src/main.cpp)
+  build-index  <ref> <index_prefix> <ref_len> [...] (src/hnswpq/index.cpp)
+  inference    <seqs> <ref_len> [out.npy]           (src/inference/test_inference.cpp)
+  gen-ref      -i input -l ref_len -s stride -o out (src/gen_ref.cpp)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def _add_pipeline(sub):
+    p = sub.add_parser("pipeline", help="full search pipeline")
+    p.add_argument("index_prefix")
+    p.add_argument("query_file")
+    p.add_argument("ref_file")
+    p.add_argument("ef", nargs="?", type=int, default=None)
+    p.add_argument("k", nargs="?", type=int, default=None)
+    p.add_argument("k_clusters", nargs="?", type=int, default=None)
+    p.add_argument("output_dir", nargs="?", default=".")
+    p.add_argument("use_dynamic", nargs="?", type=int, default=0)
+    p.add_argument("use_streaming", nargs="?", type=int, default=0)
+    p.add_argument("--no-sam", action="store_true")
+
+
+def _add_build(sub):
+    p = sub.add_parser("build-index", help="build an index from a reference")
+    p.add_argument("ref_file")
+    p.add_argument("index_prefix")
+    p.add_argument("ref_len", type=int)
+    p.add_argument("stride", nargs="?", type=int, default=1)
+    p.add_argument("M_pq", nargs="?", type=int, default=8)
+    p.add_argument("nbits", nargs="?", type=int, default=8)
+    p.add_argument("M_hnsw", nargs="?", type=int, default=16)
+    p.add_argument("EFC", nargs="?", type=int, default=200)
+    p.add_argument("--index-type", default="HNSWPQ",
+                   help="FLAT | PQFLAT | HNSWPQ (default)")
+
+
+def _add_inference(sub):
+    p = sub.add_parser("inference", help="embed sequences to npy")
+    p.add_argument("input_file")
+    p.add_argument("ref_len", type=int)
+    p.add_argument("output", nargs="?", default="embeddings.npy")
+    p.add_argument("--stride", type=int, default=1)
+
+
+def _add_gen_ref(sub):
+    p = sub.add_parser("gen-ref", help="dump windowed sequences to txt")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-l", "--ref-len", type=int, required=True)
+    p.add_argument("-s", "--stride", type=int, default=1)
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("-L", "--lookup", action="store_true",
+                   help="no <...> wrapping (lookup mode)")
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="deepreadmapper_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    _add_pipeline(sub)
+    _add_build(sub)
+    _add_inference(sub)
+    _add_gen_ref(sub)
+    args = ap.parse_args(argv)
+
+    if args.cmd == "pipeline":
+        from deepreadmapper_tpu.pipeline.search import run_pipeline
+
+        res = run_pipeline(
+            args.index_prefix,
+            args.query_file,
+            args.ref_file,
+            ef=args.ef,
+            k=args.k,
+            k_clusters=args.k_clusters,
+            output_dir=args.output_dir,
+            use_dynamic=bool(args.use_dynamic),
+            use_streaming=bool(args.use_streaming),
+            write_sam=not args.no_sam,
+        )
+        print(
+            f"[MAIN] {res['num_queries']} queries | embed {res['t_embed']:.2f}s "
+            f"| search {res['t_search']:.2f}s | post {res['t_post']:.2f}s"
+        )
+        return 0
+
+    if args.cmd == "build-index":
+        from deepreadmapper_tpu.config import BuildConfig
+        from deepreadmapper_tpu.pipeline.build import build_index
+
+        cfg = BuildConfig(
+            stride=args.stride,
+            m_pq=args.M_pq,
+            nbits=args.nbits,
+            m_hnsw=args.M_hnsw,
+            efc=args.EFC,
+        )
+        config = build_index(
+            args.ref_file,
+            args.index_prefix,
+            args.ref_len,
+            stride=args.stride,
+            index_type=args.index_type,
+            build_cfg=cfg,
+        )
+        print(f"[BUILD INDEX] saved {config['n_vects']} vectors to {args.index_prefix}")
+        return 0
+
+    if args.cmd == "inference":
+        from deepreadmapper_tpu.models.encoder import Vectorizer
+        from deepreadmapper_tpu.pipeline.build import embed_input_file
+
+        emb = embed_input_file(args.input_file, args.ref_len, args.stride, Vectorizer())
+        np.save(args.output, emb)
+        print(f"[INFERENCE] wrote {emb.shape} to {args.output}")
+        return 0
+
+    if args.cmd == "gen-ref":
+        from deepreadmapper_tpu.io.fasta import parse_fasta_records, windows_as_strings
+
+        records = parse_fasta_records(args.input)
+        seqs, _ = windows_as_strings(
+            records, args.ref_len, args.stride, lookup_mode=args.lookup
+        )
+        with open(args.output, "w") as f:
+            for s in seqs:
+                f.write(s + "\n")
+        print(f"[GEN-REF] wrote {len(seqs)} windows to {args.output}")
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,2 @@
+from deepreadmapper_tpu.index.registry import load_index, register_index  # noqa: F401
+from deepreadmapper_tpu.index.flat import FlatIndex  # noqa: F401

@@ -153,6 +153,53 @@ def window_byte_matrix(
     return mat, lengths
 
 
+def fetch_windows_by_id(
+    genome: np.ndarray,
+    ids: np.ndarray,
+    ref_len: int,
+    max_len: int = 123,
+    wrap: bool = False,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Byte matrix for arbitrary dense window ids (2*pos | strand).
+
+    The candidate-fetch primitive behind the reference's find_sequence
+    (post_processor.cpp:47-66): id//2 is the genome position, odd ids are the
+    reverse complement.  Default unwrapped (lookup-mode), matching how the
+    reference re-embeds candidates.  Ids whose window would run past the
+    genome end are returned as all-zero rows (the reference returns "" and
+    later hits UB tokenizing it; callers should mask such ids beforehand).
+    """
+    genome = np.ascontiguousarray(genome)
+    glen = genome.size
+    ids = np.asarray(ids, dtype=np.int64)
+    pos = ids >> 1
+    strand = (ids & 1).astype(bool)
+    ok = (pos >= 0) & (pos + ref_len <= glen)
+    safe_pos = np.where(ok, pos, 0)
+    rc = COMP[genome[::-1]]
+    body = min(ref_len, max_len if wrap else max_len + 1)
+    offs = np.arange(body, dtype=np.int64)[None, :]
+    fwd = genome[safe_pos[:, None] + offs]
+    rcp = glen - ref_len - safe_pos
+    rev = rc[rcp[:, None] + offs]
+    sel = np.where(strand[:, None], rev, fwd)
+    sel[~ok] = 0
+    if wrap:
+        width = min(ref_len + 2, max_len + 1)
+        mat = np.zeros((ids.size, width), dtype=np.uint8)
+        mat[:, 0] = ord("<")
+        take = min(body, width - 1)
+        mat[:, 1 : 1 + take] = sel[:, :take]
+        if ref_len + 2 <= max_len + 1:
+            mat[:, ref_len + 1] = ord(">")
+        mat[~ok] = 0
+        lengths = np.full(ids.size, ref_len + 2, dtype=np.int64)
+    else:
+        mat = sel[:, : min(ref_len, max_len + 1)]
+        lengths = np.full(ids.size, ref_len, dtype=np.int64)
+    return mat, lengths
+
+
 def windows_as_strings(
     records: list[np.ndarray], ref_len: int, stride: int, lookup_mode: bool = False
 ) -> tuple[list[str], np.ndarray]:

@@ -1,0 +1,114 @@
+"""Index build pipeline (reference: src/hnswpq/index.cpp:195-316).
+
+ref input (FASTA/txt/npy) -> window stream -> tokenize -> encoder -> embeddings
+-> index engine build -> persist (config.txt + engine files).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from deepreadmapper_tpu import tokenizer as tok
+from deepreadmapper_tpu.config import BuildConfig
+from deepreadmapper_tpu.io import fasta as fasta_io
+from deepreadmapper_tpu.io.configstore import save_config
+from deepreadmapper_tpu.io.readers import FASTA_EXTS, FASTQ_EXTS, read_txt
+from deepreadmapper_tpu.io.results import load_embeddings_npy
+from deepreadmapper_tpu.models.encoder import Vectorizer
+
+
+def embed_fasta_windows(
+    records: list[np.ndarray],
+    ref_len: int,
+    stride: int,
+    vectorizer: Vectorizer,
+    window_chunk: int = 65536,
+) -> np.ndarray:
+    """Embed every (fwd, revcomp) window of every record, streamed in chunks
+    so genome-scale inputs never materialize all window bytes at once."""
+    outs = []
+    for rec in records:
+        nw = fasta_io.num_windows(len(rec), ref_len, stride)
+        if nw == 0:
+            continue
+        for start in range(0, nw, window_chunk):
+            n = min(window_chunk, nw - start)
+            positions = (start + np.arange(n, dtype=np.int64)) * stride
+            mat, lengths = fasta_io.window_byte_matrix(
+                rec, positions, ref_len, vectorizer.max_len
+            )
+            tokens = tok.tokenize_bytes(mat, lengths, vectorizer.max_len)
+            outs.append(vectorizer.vectorize_tokens(tokens))
+    if not outs:
+        return np.zeros((0, 128), dtype=np.float32)
+    return np.concatenate(outs, axis=0)
+
+
+def embed_input_file(
+    path: str, ref_len: int, stride: int, vectorizer: Vectorizer
+) -> np.ndarray:
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".npy":
+        return load_embeddings_npy(path)
+    if ext in FASTA_EXTS:
+        records = fasta_io.parse_fasta_records(path)
+        return embed_fasta_windows(records, ref_len, stride, vectorizer)
+    if ext in FASTQ_EXTS:
+        from deepreadmapper_tpu.io.fastq import parse_fastq_bytes
+
+        mat, lengths, _ = parse_fastq_bytes(path)
+        tokens = tok.tokenize_bytes(mat, lengths, vectorizer.max_len)
+        return vectorizer.vectorize_tokens(tokens)
+    if ext == ".txt":
+        seqs = read_txt(path)
+        return vectorizer.vectorize(seqs)
+    raise ValueError(f"Unsupported reference input: {path}")
+
+
+def build_index(
+    ref_file: str,
+    index_prefix: str,
+    ref_len: int,
+    stride: int = 1,
+    index_type: str = "HNSWPQ",
+    build_cfg: BuildConfig | None = None,
+    vectorizer: Vectorizer | None = None,
+) -> dict:
+    """Build + persist an index directory; returns the saved config."""
+    cfg = build_cfg or BuildConfig(stride=stride)
+    vectorizer = vectorizer or Vectorizer()
+
+    embeddings = embed_input_file(ref_file, ref_len, stride, vectorizer)
+    if embeddings.shape[0] == 0:
+        raise ValueError(f"No sequences found in file: {ref_file}")
+
+    basename = os.path.basename(os.path.normpath(index_prefix))
+    index_file = os.path.join(index_prefix, basename + ".index")
+
+    # Config keys mirror the reference (src/hnswpq/index.cpp:289-302); the
+    # reference's index-path quirk (prefix+"/"+prefix) is fixed to
+    # prefix+"/"+basename, which is what its own pipeline reads back
+    # (main.cpp:34-36).
+    config = {
+        "index_type": index_type,
+        "stride": stride,
+        "ref_len": ref_len,
+        "n_vects": int(embeddings.shape[0]),
+        "dim": int(embeddings.shape[1]),
+        "M_hnsw": cfg.m_hnsw,
+        "EFC": cfg.efc,
+        "M_pq": cfg.m_pq,
+        "nbits": cfg.nbits,
+        "index_file": index_file,
+    }
+    os.makedirs(index_prefix, exist_ok=True)
+    save_config(config, index_prefix)
+
+    from deepreadmapper_tpu.index.registry import _REGISTRY
+
+    cls = _REGISTRY[index_type]
+    engine = cls.build(embeddings, cfg) if hasattr(cls, "build") else cls(embeddings)
+    engine.save(index_prefix)
+    return config

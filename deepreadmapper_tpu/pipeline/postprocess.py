@@ -1,0 +1,145 @@
+"""Candidate post-processing: sparse->dense expansion, dedup, L2 rerank.
+
+Reference semantics (src/utils/post_processor.cpp):
+
+* Dense index (stride == 1): passthrough of the ANN results — no rerank
+  (post_processor.cpp:630-657).
+* Sparse index (stride > 1): each sparse hit id expands to the window ids
+  ``[ap - stride + 1, ap + stride)`` with ``ap = sparse_id * stride`` clipped
+  to [0, bound); candidates are globally deduplicated, ONLY unique windows are
+  re-embedded, then every query reranks its (duplicate-retaining) expanded
+  candidate list by sqrt'd L2 against pre-computed query embeddings
+  (post_process_l2_*, :551-748; batch_reranker, reranker.cpp:98-196).
+* Invariant: k <= k_clusters * 2 * stride (post_processor.cpp:567-570).
+
+TPU mapping: expansion/dedup is cheap host integer work (the reference also
+does it scalar on host); the rerank is a fixed-shape device kernel — candidate
+slots are a dense [Q, k_clusters*(2*stride-1)] matrix with invalid slots
+masked to +inf, embeddings gathered from the unique pool, one top-k per row.
+
+Divergences from the reference (deliberate, documented):
+* The reference computes per-query rerank boundaries assuming every sparse id
+  expands to exactly 2*stride-1 candidates, but its expansion clips at the
+  bound — when clipping occurs the boundaries misalign across queries
+  (post_processor.cpp:616-623 vs :124-135), silently corrupting edge results.
+  We mask clipped slots instead, which keeps alignment exact.
+* Windows whose position would run past the genome end (dynamic mode returns
+  "" for them, then tokenizes the empty string — UB) are masked invalid here.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_INF = np.float32(np.inf)
+
+
+def expand_candidates(
+    neighbors: np.ndarray,
+    stride: int,
+    bound: int,
+    k_clusters: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Expand sparse hits to dense window-id candidates.
+
+    neighbors: int array [Q, >=k_clusters] of sparse ids (-1 = missing).
+    Returns (cand_ids [Q, C] int64 with -1 for invalid, C = k_clusters*(2s-1)).
+    """
+    s = stride
+    q = neighbors.shape[0]
+    sparse = neighbors[:, :k_clusters].astype(np.int64)
+    ap = sparse * s  # [Q, kc]
+    offs = np.arange(-(s - 1), s, dtype=np.int64)  # 2s-1 offsets
+    cand = ap[:, :, None] + offs[None, None, :]  # [Q, kc, 2s-1]
+    valid = (
+        (sparse[:, :, None] >= 0)
+        & (ap[:, :, None] < bound)
+        & (cand >= 0)
+        & (cand < bound)
+    )
+    cand = np.where(valid, cand, -1)
+    return cand.reshape(q, -1), valid.reshape(q, -1)
+
+
+def unique_pool(cand_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Global dedup.  Returns (unique ids sorted ascending [U], pool index per
+    candidate slot [Q, C] int32 with -1 for invalid)."""
+    flat = cand_ids.ravel()
+    valid = flat >= 0
+    uniq = np.unique(flat[valid])
+    pool_idx = np.full(flat.shape, -1, dtype=np.int32)
+    pool_idx[valid] = np.searchsorted(uniq, flat[valid]).astype(np.int32)
+    return uniq, pool_idx.reshape(cand_ids.shape)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _rerank_l2_device(query_emb, pool_emb, pool_idx, cand_ids, k: int):
+    """Per-query sqrt-L2 rerank over padded candidate slots.
+
+    query_emb [Q,D], pool_emb [U,D], pool_idx [Q,C] (-1 invalid),
+    cand_ids [Q,C] -> (dists [Q,k], ids [Q,k]).
+    """
+    safe_idx = jnp.maximum(pool_idx, 0)
+    ce = pool_emb[safe_idx]  # [Q, C, D]
+    diff = ce - query_emb[:, None, :]
+    d = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+    d = jnp.where(pool_idx >= 0, d, jnp.inf)
+    neg, pos = jax.lax.top_k(-d, k)
+    ids = jnp.take_along_axis(cand_ids, pos, axis=1)
+    return -neg, ids
+
+
+def check_invariant(k: int, k_clusters: int, stride: int) -> None:
+    if stride > 1 and k > k_clusters * 2 * stride:
+        raise ValueError(
+            "Final k too large. Ensure k < k_clusters * 2 * stride to have "
+            "enough candidates."
+        )
+
+
+def post_process_l2(
+    neighbors: np.ndarray,
+    distances: np.ndarray,
+    query_embeddings: np.ndarray,
+    embed_windows,
+    stride: int,
+    k: int,
+    k_clusters: int,
+    bound: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """L2 post-processing (reference post_process_l2_{static,dynamic}).
+
+    Args:
+      neighbors/distances: ANN output [Q, >=k or >=k_clusters].
+      query_embeddings: [Q, D] fp32 (the same embeddings that searched).
+      embed_windows: callable(np.ndarray unique_window_ids) -> [U, D] fp32
+        embeddings of those windows (the "vectorize only unique candidates"
+        step; index/pipeline provides window fetch + encoder).
+      bound: dense-id validity bound (len(ref window list) in static mode,
+        genome length in dynamic mode).
+
+    Returns (final_ids [Q, k] int64, final_dists [Q, k] fp32).
+    """
+    check_invariant(k, k_clusters, stride)
+    if stride == 1:
+        # Dense: passthrough of ANN ids/distances (squared L2, FAISS style).
+        return (
+            neighbors[:, :k].astype(np.int64),
+            distances[:, :k].astype(np.float32),
+        )
+
+    cand_ids, _ = expand_candidates(neighbors, stride, bound, k_clusters)
+    uniq, pool_idx = unique_pool(cand_ids)
+    pool_emb = embed_windows(uniq)
+    d, ids = _rerank_l2_device(
+        jnp.asarray(query_embeddings, dtype=jnp.float32),
+        jnp.asarray(pool_emb, dtype=jnp.float32),
+        jnp.asarray(pool_idx),
+        jnp.asarray(cand_ids),
+        k,
+    )
+    return np.asarray(ids, dtype=np.int64), np.asarray(d, dtype=np.float32)

@@ -1,0 +1,184 @@
+"""End-to-end search pipeline (reference: src/main.cpp).
+
+index load -> query load/embed -> ANN search -> post-process -> outputs
+(indices.npy / distances.npy hold the RAW ANN results exactly like the
+reference, main.cpp:377-384; SAM holds the reranked candidates).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+from deepreadmapper_tpu import tokenizer as tok
+from deepreadmapper_tpu.config import SearchConfig
+from deepreadmapper_tpu.index.registry import load_index
+from deepreadmapper_tpu.io import fasta as fasta_io
+from deepreadmapper_tpu.io import sam as sam_io
+from deepreadmapper_tpu.io.fastq import parse_fastq_bytes
+from deepreadmapper_tpu.io.readers import FASTA_EXTS, FASTQ_EXTS, read_txt
+from deepreadmapper_tpu.io.results import load_embeddings_npy, save_results
+from deepreadmapper_tpu.models.encoder import Vectorizer
+from deepreadmapper_tpu.pipeline import postprocess as pp
+
+
+def _load_queries(path: str, vectorizer: Vectorizer):
+    """Returns (embeddings, wrapped query seqs or None, query ids)."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".npy":
+        return load_embeddings_npy(path), None, []
+    if ext in FASTQ_EXTS:
+        mat, lengths, ids = parse_fastq_bytes(path)
+        tokens = tok.tokenize_bytes(mat, lengths, vectorizer.max_len)
+        emb = vectorizer.vectorize_tokens(tokens)
+        seqs = [bytes(row[: int(n)]).decode() for row, n in zip(mat, lengths)]
+        return emb, seqs, ids
+    if ext in FASTA_EXTS or ext == ".txt":
+        if ext == ".txt":
+            seqs = read_txt(path)
+        else:
+            records = fasta_io.parse_fasta_records(path)
+            seqs = ["".join(r.tobytes().decode()) for r in records]
+        emb = vectorizer.vectorize(seqs)
+        return emb, seqs, []
+    raise ValueError(f"Unsupported query input: {path}")
+
+
+def run_pipeline(
+    index_prefix: str,
+    query_file: str,
+    ref_file: str,
+    ef: int | None = None,
+    k: int | None = None,
+    k_clusters: int | None = None,
+    output_dir: str = ".",
+    use_dynamic: bool = False,
+    use_streaming: bool = False,
+    write_sam: bool = True,
+    vectorizer: Vectorizer | None = None,
+    search_cfg: SearchConfig | None = None,
+) -> dict:
+    """Run the full pipeline; returns a timing/result summary dict."""
+    scfg = search_cfg or SearchConfig()
+    ef = ef if ef is not None else scfg.ef
+    k = k if k is not None else scfg.k
+
+    t0 = time.time()
+    engine, config = load_index(index_prefix)
+    ref_len = int(config["ref_len"])
+    stride = int(config["stride"])
+    # K_clusters handling mirrors main.cpp:55-63.
+    if stride == 1:
+        k_clusters = k
+    elif k_clusters is None:
+        k_clusters = scfg.k_clusters
+    t_index = time.time() - t0
+
+    vectorizer = vectorizer or Vectorizer()
+    t0 = time.time()
+    query_emb, query_seqs, query_ids = _load_queries(query_file, vectorizer)
+    t_embed = time.time() - t0
+
+    t0 = time.time()
+    neighbors, distances = engine.search(query_emb, k_clusters, ef)
+    t_search = time.time() - t0
+
+    os.makedirs(output_dir, exist_ok=True)
+    sam_file = os.path.join(output_dir, "results.sam")
+    have_seqs = query_seqs is not None
+
+    t0 = time.time()
+    final_ids = None
+    if have_seqs:
+        genome = fasta_io.extract_fasta_sequence(ref_file)
+        if use_dynamic:
+            bound = int(genome.size)
+        else:
+            # Static mode bound = number of dense windows x 2 strands
+            # (main.cpp:190 loads the stride-1 window list).
+            bound = 2 * max(0, int(genome.size) - ref_len + 1)
+
+        def embed_windows(unique_ids: np.ndarray) -> np.ndarray:
+            mat, lengths = fasta_io.fetch_windows_by_id(
+                genome, unique_ids, ref_len, vectorizer.max_len, wrap=False
+            )
+            tokens = tok.tokenize_bytes(mat, lengths, vectorizer.max_len)
+            return vectorizer.vectorize_tokens(tokens)
+
+        if use_streaming:
+            bs = scfg.query_batch_size
+            nq = query_emb.shape[0]
+            for start in range(0, nq, bs):
+                end = min(start + bs, nq)
+                ids_b, _d_b = pp.post_process_l2(
+                    neighbors[start:end],
+                    distances[start:end],
+                    query_emb[start:end],
+                    embed_windows,
+                    stride,
+                    k,
+                    k_clusters,
+                    bound,
+                )
+                sam_io.write_sam(
+                    query_seqs[start:end],
+                    query_ids,
+                    ids_b.ravel(),
+                    "ref",
+                    ref_len,
+                    k,
+                    sam_file,
+                    append=start > 0,
+                    write_header=start == 0,
+                    query_offset=start,
+                )
+        else:
+            final_ids, _final_d = pp.post_process_l2(
+                neighbors,
+                distances,
+                query_emb,
+                embed_windows,
+                stride,
+                k,
+                k_clusters,
+                bound,
+            )
+            if write_sam:
+                sam_io.write_sam(
+                    query_seqs,
+                    query_ids,
+                    final_ids.ravel(),
+                    "ref",
+                    ref_len,
+                    k,
+                    sam_file,
+                )
+    t_post = time.time() - t0
+
+    if not use_streaming:
+        # Raw ANN results, k columns for dense / k_clusters for sparse
+        # (main.cpp:371-384).
+        out_k = k if stride == 1 else k_clusters
+        save_results(
+            neighbors,
+            distances,
+            os.path.join(output_dir, "indices.npy"),
+            os.path.join(output_dir, "distances.npy"),
+            out_k,
+        )
+
+    return {
+        "num_queries": int(query_emb.shape[0]),
+        "k": k,
+        "k_clusters": k_clusters,
+        "stride": stride,
+        "neighbors": neighbors,
+        "distances": distances,
+        "final_ids": final_ids,
+        "t_index": t_index,
+        "t_embed": t_embed,
+        "t_search": t_search,
+        "t_post": t_post,
+    }

@@ -1,0 +1,137 @@
+"""End-to-end dense pipeline on the ecoli_150 fixtures (exact FLAT index).
+
+The minimum slice of SURVEY.md §7: fastq -> tokenizer -> encoder -> exact
+top-K -> indices.npy / distances.npy / SAM.  For a dense (stride=1) index the
+post-processor is a passthrough (reference post_processor.cpp:630-657), so the
+saved npy files ARE the search results.
+"""
+
+import numpy as np
+import pytest
+
+from deepreadmapper_tpu import cli
+from deepreadmapper_tpu.models.encoder import Vectorizer
+
+
+@pytest.fixture(scope="module")
+def vec():
+    return Vectorizer(device_batch=2048)
+
+
+@pytest.fixture(scope="module")
+def flat_index(tmp_path_factory, data_dir, vec):
+    from deepreadmapper_tpu.pipeline.build import build_index
+
+    prefix = str(tmp_path_factory.mktemp("idx") / "ecoli")
+    config = build_index(
+        str(data_dir / "ecoli_150.fna"),
+        prefix,
+        ref_len=150,
+        stride=1,
+        index_type="FLAT",
+        vectorizer=vec,
+    )
+    return prefix, config
+
+
+def test_build_config(flat_index):
+    prefix, config = flat_index
+    assert config["n_vects"] == 1702
+    assert config["dim"] == 128
+    assert config["stride"] == 1
+
+
+def test_dense_pipeline(flat_index, data_dir, tmp_path, vec):
+    from deepreadmapper_tpu.pipeline.search import run_pipeline
+
+    prefix, _ = flat_index
+    res = run_pipeline(
+        prefix,
+        str(data_dir / "test_data.fastq"),
+        str(data_dir / "ecoli_150.fna"),
+        ef=128,
+        k=128,
+        output_dir=str(tmp_path),
+        vectorizer=vec,
+    )
+    idx = np.load(tmp_path / "indices.npy")
+    dst = np.load(tmp_path / "distances.npy")
+    assert idx.shape == (150, 128) and idx.dtype == np.uint64
+    assert dst.shape == (150, 128) and dst.dtype == np.float32
+    # Distances ascending per row.
+    assert np.all(np.diff(dst, axis=1) >= -1e-4)
+    # Sanity: simulated reads come from the genome, so the best hit of most
+    # reads should be very close (wgsim reads at ~1% error -> small L2).
+    assert np.median(dst[:, 0]) < np.median(dst[:, -1])
+
+    # SAM written with one block of k lines per query.
+    sam = (tmp_path / "results.sam").read_text().splitlines()
+    assert sam[0].startswith("@HD") and sam[1].startswith("@SQ")
+    assert len(sam) == 2 + 150 * 128
+    first = sam[2].split("\t")
+    assert first[0] == "_281_1_1_0_0_0_6:0:0_0:0:0_0"
+    assert first[4] == "60" and first[5] == "150M"
+
+    # For dense passthrough, SAM candidate ids == neighbors row-major.
+    pos0 = int(idx[0, 0]) // 2 + 1
+    assert int(first[3]) == pos0
+
+
+def test_read_maps_to_true_position(flat_index, data_dir, tmp_path, vec):
+    """wgsim headers encode the true position: @_<pos>_... The top hit's
+    genomic position should be within a few bases of it for most reads."""
+    from deepreadmapper_tpu.pipeline.search import run_pipeline
+
+    prefix, _ = flat_index
+    res = run_pipeline(
+        prefix,
+        str(data_dir / "test_data.fastq"),
+        str(data_dir / "ecoli_150.fna"),
+        k=8,
+        output_dir=str(tmp_path),
+        write_sam=False,
+        vectorizer=vec,
+    )
+    from deepreadmapper_tpu.io.fastq import parse_fastq
+
+    _, ids = parse_fastq(str(data_dir / "test_data.fastq"))
+    true_pos = np.array([int(s.split("_")[1]) for s in ids])
+    top = res["neighbors"][:, 0]
+    got_pos = (top // 2) + 1  # 1-based like wgsim
+    # The read could map to either strand; wgsim's recorded pos is the
+    # leftmost. Allow generous tolerance and require a solid majority.
+    close = np.abs(got_pos - true_pos) <= 2
+    assert close.mean() > 0.6, f"only {close.mean():.0%} of reads map home"
+
+
+def test_cli_gen_ref_golden(data_dir, tmp_path):
+    out = tmp_path / "ref.txt"
+    rc = cli.main([
+        "gen-ref", "-i", str(data_dir / "ecoli_150.fna"),
+        "-l", "150", "-s", "1", "-o", str(out), "-L",
+    ])
+    assert rc == 0
+    golden = (data_dir / "test_data_ref.txt").read_text()
+    assert out.read_text() == golden
+
+
+def test_precomputed_embeddings_path(flat_index, data_dir, tmp_path, vec):
+    """.npy query input skips inference and post-processing (main.cpp:91-147)."""
+    from deepreadmapper_tpu.io.fastq import parse_fastq
+    from deepreadmapper_tpu.pipeline.search import run_pipeline
+
+    seqs, _ = parse_fastq(str(data_dir / "test_data.fastq"))
+    emb = vec.vectorize(seqs[:10])
+    np.save(tmp_path / "q.npy", emb)
+    prefix, _ = flat_index
+    res = run_pipeline(
+        prefix,
+        str(tmp_path / "q.npy"),
+        str(data_dir / "ecoli_150.fna"),
+        k=16,
+        output_dir=str(tmp_path / "out"),
+        vectorizer=vec,
+    )
+    assert res["final_ids"] is None  # no post-processing without sequences
+    idx = np.load(tmp_path / "out" / "indices.npy")
+    assert idx.shape == (10, 16)
