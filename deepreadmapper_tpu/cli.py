@@ -29,6 +29,7 @@ def _add_pipeline(sub):
     p.add_argument("use_dynamic", nargs="?", type=int, default=0)
     p.add_argument("use_streaming", nargs="?", type=int, default=0)
     p.add_argument("--no-sam", action="store_true")
+    p.add_argument("--rerank", default="l2", choices=["l2", "sw"])
 
 
 def _add_build(sub):
@@ -85,6 +86,7 @@ def main(argv=None) -> int:
             output_dir=args.output_dir,
             use_dynamic=bool(args.use_dynamic),
             use_streaming=bool(args.use_streaming),
+            rerank=args.rerank,
             write_sam=not args.no_sam,
         )
         print(

@@ -101,6 +101,60 @@ def check_invariant(k: int, k_clusters: int, stride: int) -> None:
         )
 
 
+def post_process_sw(
+    neighbors: np.ndarray,
+    query_mat: np.ndarray,
+    query_lens: np.ndarray,
+    fetch_windows,
+    stride: int,
+    k: int,
+    k_clusters: int,
+    bound: int,
+    query_chunk: int = 512,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Smith-Waterman post-processing (reference post_process_sw_{static,
+    dynamic}, post_processor.cpp:357-549): expand sparse hits, rerank every
+    candidate slot by SW score against the (wrapped) query, keep top-k by
+    score descending.  Unlike the L2 path there is no dense short-circuit —
+    the reference reranks even at stride 1.
+
+    Args:
+      query_mat/query_lens: query byte matrix (wrapped reads) + true lengths.
+      fetch_windows: callable(ids [M]) -> (bytes [M, W], lens [M]) unwrapped
+        candidate windows.
+
+    Returns (final_ids [Q, k] int64, final_scores [Q, k] int32).
+    """
+    from deepreadmapper_tpu.ops.sw import sw_scores
+
+    check_invariant(k, k_clusters, stride)
+    if stride == 1:
+        # Identity "expansion" (find_sequences dense short-circuit) but the
+        # SW rerank still runs over the k_clusters hits.
+        cand_ids = neighbors[:, :k_clusters].astype(np.int64)
+    else:
+        cand_ids, _ = expand_candidates(neighbors, stride, bound, k_clusters)
+    q, c = cand_ids.shape
+    out_ids = np.empty((q, k), dtype=np.int64)
+    out_scores = np.empty((q, k), dtype=np.int32)
+    for start in range(0, q, query_chunk):
+        end = min(start + query_chunk, q)
+        ids_b = cand_ids[start:end]
+        nb = end - start
+        flat_ids = ids_b.ravel()
+        valid = flat_ids >= 0
+        w_mat, w_lens = fetch_windows(np.where(valid, flat_ids, 0))
+        qa = np.repeat(query_mat[start:end], c, axis=0)
+        ql = np.repeat(query_lens[start:end], c, axis=0)
+        scores = sw_scores(w_mat, w_lens, qa, ql)
+        scores = np.where(valid, scores, np.int32(np.iinfo(np.int32).min))
+        scores = scores.reshape(nb, c)
+        order = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+        out_scores[start:end] = np.take_along_axis(scores, order, axis=1)
+        out_ids[start:end] = np.take_along_axis(ids_b, order, axis=1)
+    return out_ids, out_scores
+
+
 def post_process_l2(
     neighbors: np.ndarray,
     distances: np.ndarray,

@@ -56,6 +56,7 @@ def run_pipeline(
     output_dir: str = ".",
     use_dynamic: bool = False,
     use_streaming: bool = False,
+    rerank: str = "l2",
     write_sam: bool = True,
     vectorizer: Vectorizer | None = None,
     search_cfg: SearchConfig | None = None,
@@ -107,7 +108,27 @@ def run_pipeline(
             tokens = tok.tokenize_bytes(mat, lengths, vectorizer.max_len)
             return vectorizer.vectorize_tokens(tokens)
 
-        if use_streaming:
+        if rerank == "sw":
+            # SW rerank path (reference post_process_sw_*, plumbed but
+            # disabled in the reference's main; first-class here).
+            from deepreadmapper_tpu.tokenizer import strings_to_bytes
+
+            q_mat, q_lens = strings_to_bytes(query_seqs)
+
+            def fetch_windows(ids: np.ndarray):
+                return fasta_io.fetch_windows_by_id(
+                    genome, ids, ref_len, max_len=ref_len, wrap=False
+                )
+
+            final_ids, final_scores = pp.post_process_sw(
+                neighbors, q_mat, q_lens, fetch_windows, stride, k, k_clusters, bound
+            )
+            if write_sam:
+                sam_io.write_sam(
+                    query_seqs, query_ids, final_ids.ravel(), "ref", ref_len,
+                    k, sam_file,
+                )
+        elif use_streaming:
             bs = scfg.query_batch_size
             nq = query_emb.shape[0]
             for start in range(0, nq, bs):
