@@ -1,2 +1,4 @@
 from deepreadmapper_tpu.index.registry import load_index, register_index  # noqa: F401
 from deepreadmapper_tpu.index.flat import FlatIndex  # noqa: F401
+from deepreadmapper_tpu.index.pq_flat import PQFlatIndex  # noqa: F401
+from deepreadmapper_tpu.index.hnsw import HNSWFlatIndex, HNSWPQIndex  # noqa: F401

@@ -29,3 +29,20 @@ DATA = pathlib.Path(__file__).parent / "data"
 @pytest.fixture(scope="session")
 def data_dir() -> pathlib.Path:
     return DATA
+
+
+@pytest.fixture(scope="session")
+def ecoli_embeddings():
+    """(ref_embeddings [1702,128], query_embeddings [150,128]) of the fixture
+    genome windows and reads — the realistic distribution for recall tests.
+    Computed once per session."""
+    from deepreadmapper_tpu.io import fasta as fio, fastq
+    from deepreadmapper_tpu.models.encoder import Vectorizer
+    from deepreadmapper_tpu.pipeline.build import embed_fasta_windows
+
+    vec = Vectorizer(device_batch=2048)
+    recs = fio.parse_fasta_records(str(DATA / "ecoli_150.fna"))
+    ref = embed_fasta_windows(recs, 150, 1, vec)
+    seqs, _ = fastq.parse_fastq(str(DATA / "test_data.fastq"))
+    q = vec.vectorize(seqs)
+    return ref, q
