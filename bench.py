@@ -57,7 +57,7 @@ def main() -> None:
             if m.shape[0] < bs:
                 m = np.pad(m, ((0, bs - m.shape[0]), (0, 0)))
                 ln = np.pad(ln, (0, bs - ln.shape[0]))
-            tokens = tok.tokenize_bytes(m, ln)
+            tokens = tok.tokenize_bytes_fast(m, ln)
             emb = encode_tokens(vec.params, tokens)
             d, i = l2_topk(emb, ref_dev, 128)
             outs.append(i)

@@ -1,0 +1,122 @@
+"""ctypes bindings for the native C++ data loader (native/drm_native.cpp).
+
+Self-bootstrapping: compiles the shared library with g++ on first use if the
+.so is missing (the repo ships source, not binaries).  Every entry point has
+a pure-numpy fallback in io/fasta.py + tokenizer.py; `available()` gates use.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "native", "drm_native.cpp")
+_SO = os.path.join(os.path.dirname(_SRC), "_drm_native.so")
+
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    cmd = [
+        "g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
+        _SRC, "-o", _SO,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def _load():
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_SO) and os.path.exists(_SRC):
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    c_i64 = ctypes.c_int64
+    c_i32 = ctypes.c_int32
+    p_u8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    p_i64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    p_i32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    lib.drm_clean_fasta.restype = c_i64
+    lib.drm_clean_fasta.argtypes = [p_u8, c_i64, p_u8, p_i64, c_i64]
+    lib.drm_tokenize_windows.restype = None
+    lib.drm_tokenize_windows.argtypes = [p_u8, c_i64, c_i64, c_i64, c_i64, c_i64, p_i32, c_i32]
+    lib.drm_tokenize_seqs.restype = None
+    lib.drm_tokenize_seqs.argtypes = [p_u8, c_i64, c_i64, p_i64, p_i32, c_i32]
+    lib.drm_tokenize_windows_by_id.restype = None
+    lib.drm_tokenize_windows_by_id.argtypes = [p_u8, c_i64, c_i64, p_i64, c_i64, c_i32, p_i32, c_i32]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def clean_fasta(data: np.ndarray, max_records: int = 1 << 20):
+    """Returns list of cleaned record byte arrays."""
+    lib = _load()
+    out = np.empty(data.size, dtype=np.uint8)
+    ends = np.empty(max_records, dtype=np.int64)
+    n = lib.drm_clean_fasta(np.ascontiguousarray(data), data.size, out, ends, max_records)
+    if n < 0:
+        raise ValueError("too many FASTA records")
+    recs = []
+    start = 0
+    for i in range(n):
+        recs.append(out[start : ends[i]].copy())
+        start = ends[i]
+    return recs
+
+
+def tokenize_windows(
+    genome: np.ndarray, ref_len: int, stride: int, first: int, n: int,
+    max_len: int = 123,
+) -> np.ndarray:
+    """Interleaved (fwd, rev) token rows [2n, max_len] for windows
+    [first, first+n) — fused windowing+revcomp+tokenize, OpenMP-parallel."""
+    lib = _load()
+    out = np.empty((2 * n, max_len), dtype=np.int32)
+    lib.drm_tokenize_windows(
+        np.ascontiguousarray(genome), genome.size, ref_len, stride, first, n,
+        out, max_len,
+    )
+    return out
+
+
+def tokenize_seqs(mat: np.ndarray, lengths: np.ndarray, max_len: int = 123) -> np.ndarray:
+    lib = _load()
+    mat = np.ascontiguousarray(mat)
+    out = np.empty((mat.shape[0], max_len), dtype=np.int32)
+    lib.drm_tokenize_seqs(
+        mat, mat.shape[0], mat.shape[1],
+        np.ascontiguousarray(lengths, dtype=np.int64), out, max_len,
+    )
+    return out
+
+
+def tokenize_windows_by_id(
+    genome: np.ndarray, ref_len: int, ids: np.ndarray, wrap: bool = False,
+    max_len: int = 123,
+) -> np.ndarray:
+    lib = _load()
+    ids = np.ascontiguousarray(ids, dtype=np.int64)
+    out = np.empty((ids.size, max_len), dtype=np.int32)
+    lib.drm_tokenize_windows_by_id(
+        np.ascontiguousarray(genome), genome.size, ref_len, ids, ids.size,
+        1 if wrap else 0, out, max_len,
+    )
+    return out

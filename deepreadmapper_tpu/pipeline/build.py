@@ -28,6 +28,9 @@ def embed_fasta_windows(
 ) -> np.ndarray:
     """Embed every (fwd, revcomp) window of every record, streamed in chunks
     so genome-scale inputs never materialize all window bytes at once."""
+    from deepreadmapper_tpu import native
+
+    use_native = native.available()
     outs = []
     for rec in records:
         nw = fasta_io.num_windows(len(rec), ref_len, stride)
@@ -35,11 +38,16 @@ def embed_fasta_windows(
             continue
         for start in range(0, nw, window_chunk):
             n = min(window_chunk, nw - start)
-            positions = (start + np.arange(n, dtype=np.int64)) * stride
-            mat, lengths = fasta_io.window_byte_matrix(
-                rec, positions, ref_len, vectorizer.max_len
-            )
-            tokens = tok.tokenize_bytes(mat, lengths, vectorizer.max_len)
+            if use_native:
+                tokens = native.tokenize_windows(
+                    rec, ref_len, stride, start, n, vectorizer.max_len
+                )
+            else:
+                positions = (start + np.arange(n, dtype=np.int64)) * stride
+                mat, lengths = fasta_io.window_byte_matrix(
+                    rec, positions, ref_len, vectorizer.max_len
+                )
+                tokens = tok.tokenize_bytes(mat, lengths, vectorizer.max_len)
             outs.append(vectorizer.vectorize_tokens(tokens))
     if not outs:
         return np.zeros((0, 128), dtype=np.float32)
@@ -59,7 +67,7 @@ def embed_input_file(
         from deepreadmapper_tpu.io.fastq import parse_fastq_bytes
 
         mat, lengths, _ = parse_fastq_bytes(path)
-        tokens = tok.tokenize_bytes(mat, lengths, vectorizer.max_len)
+        tokens = tok.tokenize_bytes_fast(mat, lengths, vectorizer.max_len)
         return vectorizer.vectorize_tokens(tokens)
     if ext == ".txt":
         seqs = read_txt(path)

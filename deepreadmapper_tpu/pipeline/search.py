@@ -31,7 +31,7 @@ def _load_queries(path: str, vectorizer: Vectorizer):
         return load_embeddings_npy(path), None, []
     if ext in FASTQ_EXTS:
         mat, lengths, ids = parse_fastq_bytes(path)
-        tokens = tok.tokenize_bytes(mat, lengths, vectorizer.max_len)
+        tokens = tok.tokenize_bytes_fast(mat, lengths, vectorizer.max_len)
         emb = vectorizer.vectorize_tokens(tokens)
         seqs = [bytes(row[: int(n)]).decode() for row, n in zip(mat, lengths)]
         return emb, seqs, ids
@@ -101,11 +101,19 @@ def run_pipeline(
             # (main.cpp:190 loads the stride-1 window list).
             bound = 2 * max(0, int(genome.size) - ref_len + 1)
 
+        from deepreadmapper_tpu import native
+
         def embed_windows(unique_ids: np.ndarray) -> np.ndarray:
-            mat, lengths = fasta_io.fetch_windows_by_id(
-                genome, unique_ids, ref_len, vectorizer.max_len, wrap=False
-            )
-            tokens = tok.tokenize_bytes(mat, lengths, vectorizer.max_len)
+            if native.available():
+                tokens = native.tokenize_windows_by_id(
+                    genome, ref_len, unique_ids, wrap=False,
+                    max_len=vectorizer.max_len,
+                )
+            else:
+                mat, lengths = fasta_io.fetch_windows_by_id(
+                    genome, unique_ids, ref_len, vectorizer.max_len, wrap=False
+                )
+                tokens = tok.tokenize_bytes_fast(mat, lengths, vectorizer.max_len)
             return vectorizer.vectorize_tokens(tokens)
 
         if rerank == "sw":

@@ -123,6 +123,23 @@ def tokenize_bytes(
     return out
 
 
+def tokenize_bytes_fast(
+    mat: np.ndarray,
+    lengths: np.ndarray,
+    max_len: int = MAX_LEN,
+) -> np.ndarray:
+    """tokenize_bytes via the native C++ loader when available (identical
+    output, parity-tested in tests/test_native.py); numpy fallback."""
+    from deepreadmapper_tpu import native
+
+    if native.available():
+        m = mat.shape[1]
+        if m > max_len + 1:
+            mat = np.ascontiguousarray(mat[:, : max_len + 1])
+        return native.tokenize_seqs(mat, np.asarray(lengths, np.int64), max_len)
+    return tokenize_bytes(mat, lengths, max_len)
+
+
 def strings_to_bytes(seqs: list[str] | list[bytes], width: int | None = None):
     """Pack a list of sequences into a 0-padded uint8 matrix + lengths."""
     raw = [s.encode() if isinstance(s, str) else s for s in seqs]

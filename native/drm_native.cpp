@@ -1,0 +1,217 @@
+// Native data-loader for deepreadmapper_tpu.
+//
+// TPU-side compute is JAX/Pallas; this library covers the host-side hot
+// paths the reference implements in C++ (src/utils/parse_inputs.cpp,
+// src/inference/preprocess.cpp): FASTA byte cleaning, and a FUSED
+// window-generation + reverse-complement + tokenization kernel that emits
+// encoder-ready token matrices straight from the genome byte array — no
+// intermediate window strings or byte matrices.
+//
+// Exposed via a plain C ABI for ctypes (no pybind11 in this image).
+// Token semantics are identical to deepreadmapper_tpu/tokenizer.py (which is
+// itself parity-tested against the reference): 96-token 3-mer vocabulary at
+// ids 7542-7637, wrapped-window first-token quirk, 123-token truncation,
+// out-of-table hashes (N runs) -> 0.
+//
+// Build: g++ -O3 -march=native -fopenmp -shared -fPIC drm_native.cpp -o _drm_native.so
+
+#include <cstdint>
+#include <cstring>
+#include <algorithm>
+
+#if defined(_OPENMP)
+#include <omp.h>
+#endif
+
+namespace {
+
+constexpr int MAX_LEN_DEFAULT = 123;
+
+struct Tables {
+    uint8_t val[256];      // a/c/g/t (any case) -> 0..3, else 7
+    uint8_t comp[256];     // A<->T, C<->G, N->N, else 0
+    uint8_t clean[256];    // ACGTNacgtn -> uppercase, else 0
+    int32_t hash2id[256];  // hash -> vocab id, >=96 -> 0
+    Tables() {
+        std::memset(val, 7, sizeof(val));
+        const char* bases = "acgt";
+        for (int i = 0; i < 4; ++i) {
+            val[(uint8_t)bases[i]] = (uint8_t)i;
+            val[(uint8_t)(bases[i] - 32)] = (uint8_t)i;
+        }
+        std::memset(comp, 0, sizeof(comp));
+        comp['A'] = 'T'; comp['T'] = 'A'; comp['C'] = 'G'; comp['G'] = 'C';
+        comp['N'] = 'N';
+        std::memset(clean, 0, sizeof(clean));
+        const char* up = "ACGTN";
+        for (int i = 0; i < 5; ++i) {
+            clean[(uint8_t)up[i]] = (uint8_t)up[i];
+            clean[(uint8_t)(up[i] + 32)] = (uint8_t)up[i];
+        }
+        std::memset(hash2id, 0, sizeof(hash2id));
+        for (int h = 0; h < 16; ++h) hash2id[h] = 7542 + h;
+        for (int xy = 0; xy < 16; ++xy) hash2id[16 + xy] = 7558 + 5 * xy;
+        for (int xy = 0; xy < 16; ++xy)
+            for (int z = 0; z < 4; ++z) hash2id[32 + 4 * xy + z] = 7559 + 5 * xy + z;
+    }
+};
+const Tables T;
+
+inline int32_t hash3(uint8_t c0, uint8_t c1, uint8_t c2) {
+    if (c0 == '<') return (T.val[c1] << 2) + T.val[c2];
+    if (c2 == '>') return 16 + (T.val[c0] << 2) + T.val[c1];
+    return 32 + (T.val[c0] << 4) + (T.val[c1] << 2) + T.val[c2];
+}
+
+// Character j (0-based) of the virtual wrapped window string
+// '<' + w[0..ref_len) + '>', where w is forward or revcomp of genome[p..).
+struct WindowView {
+    const uint8_t* g;
+    int64_t p;
+    int64_t ref_len;
+    bool rev;
+    inline uint8_t at(int64_t j) const {
+        if (j == 0) return '<';
+        if (j == ref_len + 1) return '>';
+        int64_t b = j - 1;  // base index 0..ref_len-1
+        return rev ? T.comp[g[p + ref_len - 1 - b]] : g[p + b];
+    }
+};
+
+inline void tokenize_window(const WindowView& w, int32_t* out, int max_len) {
+    int64_t size = w.ref_len + 2;
+    int len = (int)std::min<int64_t>(max_len, size);
+    // result[0] = hash('<', seq[0], seq[1]) — seq[0] is '<' itself.
+    out[0] = T.hash2id[hash3('<', w.at(0), w.at(1))];
+    int i = 0;
+    for (; i < len - 2; ++i)
+        out[i + 1] = T.hash2id[hash3(w.at(i), w.at(i + 1), w.at(i + 2))];
+    uint8_t c0 = w.at(i), c1 = w.at(i + 1);
+    uint8_t c2 = (i + 2 < size) ? w.at(i + 2) : (uint8_t)'>';
+    out[len - 1] = T.hash2id[hash3(c0, c1, c2)];
+    for (int t = len; t < max_len; ++t) out[t] = 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Clean a FASTA byte buffer: keep uppercase ACGTN of record bodies, skipping
+// header lines; record starts at every '>' line.  Returns n_records (or -1 if
+// more than max_records).  out must be >= data_len bytes; record_ends[i] is
+// the END offset of record i within out.
+int64_t drm_clean_fasta(const uint8_t* data, int64_t data_len, uint8_t* out,
+                        int64_t* record_ends, int64_t max_records) {
+    int64_t n_rec = 0, w = 0;
+    bool in_seq = false, in_header = false;
+    for (int64_t i = 0; i < data_len; ++i) {
+        uint8_t c = data[i];
+        if (c == '>' && !in_header) {
+            if (in_seq) {
+                if (n_rec >= max_records) return -1;
+                record_ends[n_rec++] = w;
+            }
+            in_header = true;
+            in_seq = true;
+            continue;
+        }
+        if (in_header) {
+            if (c == '\n') in_header = false;
+            continue;
+        }
+        if (!in_seq) continue;
+        uint8_t cl = T.clean[c];
+        if (cl) out[w++] = cl;
+    }
+    if (in_seq) {
+        if (n_rec >= max_records) return -1;
+        record_ends[n_rec++] = w;
+    }
+    return n_rec;
+}
+
+// Fused windows -> tokens: for windows [first, first+n) of a genome record
+// (window w starts at w*stride), emit interleaved (forward, revcomp) token
+// rows into out [2*n, max_len] int32.  OpenMP-parallel over windows.
+void drm_tokenize_windows(const uint8_t* genome, int64_t glen, int64_t ref_len,
+                          int64_t stride, int64_t first, int64_t n,
+                          int32_t* out, int32_t max_len) {
+#pragma omp parallel for schedule(static)
+    for (int64_t w = 0; w < n; ++w) {
+        int64_t p = (first + w) * stride;
+        (void)glen;
+        WindowView fwd{genome, p, ref_len, false};
+        WindowView rev{genome, p, ref_len, true};
+        tokenize_window(fwd, out + (2 * w) * max_len, max_len);
+        tokenize_window(rev, out + (2 * w + 1) * max_len, max_len);
+    }
+}
+
+// Tokenize arbitrary byte sequences (e.g. wrapped FASTQ reads) given as a
+// padded matrix rows [n, width] with true lengths.  Matches
+// tokenizer.tokenize_bytes.
+void drm_tokenize_seqs(const uint8_t* mat, int64_t n, int64_t width,
+                       const int64_t* lengths, int32_t* out, int32_t max_len) {
+#pragma omp parallel for schedule(static)
+    for (int64_t r = 0; r < n; ++r) {
+        const uint8_t* s = mat + r * width;
+        int64_t size = lengths[r];
+        int32_t* o = out + r * max_len;
+        int len = (int)std::min<int64_t>(max_len, size);
+        if (len < 2) {  // degenerate, mirror numpy path (reads s[1] as pad 0)
+            for (int t = 0; t < max_len; ++t) o[t] = 0;
+            if (len == 1) o[0] = T.hash2id[hash3('<', s[0], width > 1 ? s[1] : 0)];
+            continue;
+        }
+        o[0] = T.hash2id[hash3('<', s[0], s[1])];
+        int i = 0;
+        for (; i < len - 2; ++i)
+            o[i + 1] = T.hash2id[hash3(s[i], s[i + 1], s[i + 2])];
+        uint8_t c0 = s[i], c1 = s[i + 1];
+        uint8_t c2 = (i + 2 < size) ? s[i + 2] : (uint8_t)'>';
+        o[len - 1] = T.hash2id[hash3(c0, c1, c2)];
+        for (int t = len; t < max_len; ++t) o[t] = 0;
+    }
+}
+
+// Tokenize windows fetched by dense id (2*pos | strand), unwrapped or
+// wrapped — the candidate re-embedding path (find_sequence semantics).
+// ids with pos + ref_len > glen produce all-zero rows.
+void drm_tokenize_windows_by_id(const uint8_t* genome, int64_t glen,
+                                int64_t ref_len, const int64_t* ids, int64_t n,
+                                int32_t wrap, int32_t* out, int32_t max_len) {
+#pragma omp parallel for schedule(static)
+    for (int64_t r = 0; r < n; ++r) {
+        int64_t id = ids[r];
+        int64_t pos = id >> 1;
+        bool rev = (id & 1) != 0;
+        int32_t* o = out + r * max_len;
+        if (pos < 0 || pos + ref_len > glen) {
+            for (int t = 0; t < max_len; ++t) o[t] = 0;
+            continue;
+        }
+        if (wrap) {
+            WindowView wv{genome, pos, ref_len, rev};
+            tokenize_window(wv, o, max_len);
+        } else {
+            // Unwrapped: seq = w[0..ref_len); same rule set, no '<'/'>'.
+            auto at = [&](int64_t b) -> uint8_t {
+                return rev ? T.comp[genome[pos + ref_len - 1 - b]]
+                           : genome[pos + b];
+            };
+            int len = (int)std::min<int64_t>(max_len, ref_len);
+            o[0] = T.hash2id[hash3('<', at(0), at(1))];
+            int i = 0;
+            for (; i < len - 2; ++i)
+                o[i + 1] = T.hash2id[hash3(at(i), at(i + 1), at(i + 2))];
+            uint8_t c0 = at(i), c1 = at(i + 1);
+            uint8_t c2 = (i + 2 < ref_len) ? at(i + 2) : (uint8_t)'>';
+            o[len - 1] = T.hash2id[hash3(c0, c1, c2)];
+            for (int t = len; t < max_len; ++t) o[t] = 0;
+        }
+    }
+}
+
+int32_t drm_version() { return 1; }
+
+}  // extern "C"
