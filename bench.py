@@ -15,6 +15,8 @@ batch-100 requests, 128 threads).
 """
 
 import json
+
+import jax.numpy as jnp
 import sys
 import time
 
@@ -51,18 +53,22 @@ def main() -> None:
     def run_once():
         n_done = 0
         outs = []
+        # Dispatch every batch before fetching any result: uploads (uint16
+        # tokens), the GRU, and the top-k all pipeline asynchronously.
         for start in range(0, nq, bs):
             m = mat[start : start + bs]
             ln = lengths[start : start + bs]
             if m.shape[0] < bs:
                 m = np.pad(m, ((0, bs - m.shape[0]), (0, 0)))
                 ln = np.pad(ln, (0, bs - ln.shape[0]))
-            tokens = tok.tokenize_bytes_fast(m, ln)
+            tokens = tok.tokenize_bytes_fast(m, ln).astype(np.uint16)
             emb = encode_tokens(vec.params, tokens)
             d, i = l2_topk(emb, ref_dev, 128)
-            outs.append(i)
+            # 1,702 ids fit in uint16: halve the result download.
+            outs.append(i.astype(jnp.uint16))
             n_done += m.shape[0]
-        jax.block_until_ready(outs[-1])
+        for i in outs:
+            np.asarray(i)  # fetch results (forces completion)
         return n_done
 
     run_once()  # warmup/compile
