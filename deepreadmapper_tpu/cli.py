@@ -118,9 +118,21 @@ def main(argv=None) -> int:
         return 0
 
     if args.cmd == "inference":
+        from deepreadmapper_tpu.io.readers import FASTA_EXTS
         from deepreadmapper_tpu.models.encoder import Vectorizer
-        from deepreadmapper_tpu.pipeline.build import embed_input_file
+        from deepreadmapper_tpu.pipeline.build import (
+            embed_input_file,
+            stream_embed_fasta_to_npy,
+        )
 
+        ext = os.path.splitext(args.input_file)[1].lower()
+        if ext in FASTA_EXTS:
+            # Streamed: bounded memory for genome-scale inputs.
+            n = stream_embed_fasta_to_npy(
+                args.input_file, args.output, args.ref_len, args.stride, Vectorizer()
+            )
+            print(f"[INFERENCE] streamed ({n}, 128) to {args.output}")
+            return 0
         emb = embed_input_file(args.input_file, args.ref_len, args.stride, Vectorizer())
         np.save(args.output, emb)
         print(f"[INFERENCE] wrote {emb.shape} to {args.output}")

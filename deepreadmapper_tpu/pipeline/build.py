@@ -54,6 +54,44 @@ def embed_fasta_windows(
     return np.concatenate(outs, axis=0)
 
 
+def stream_embed_fasta_to_npy(
+    fasta_path: str,
+    out_path: str,
+    ref_len: int,
+    stride: int,
+    vectorizer: Vectorizer,
+    window_chunk: int = 65536,
+) -> int:
+    """Stream-embed every window of a FASTA straight into a pre-headered npy
+    (the reference `inference` tool's batch mode, test_inference.cpp:160-227).
+    Bounded memory regardless of genome size; returns rows written."""
+    from deepreadmapper_tpu import native
+    from deepreadmapper_tpu.io.npy_stream import NpyStreamWriter
+
+    records = fasta_io.parse_fasta_records(fasta_path)
+    total = sum(
+        2 * fasta_io.num_windows(len(r), ref_len, stride) for r in records
+    )
+    use_native = native.available()
+    with NpyStreamWriter(out_path, total, 128) as w:
+        for rec in records:
+            nw = fasta_io.num_windows(len(rec), ref_len, stride)
+            for start in range(0, nw, window_chunk):
+                n = min(window_chunk, nw - start)
+                if use_native:
+                    tokens = native.tokenize_windows(
+                        rec, ref_len, stride, start, n, vectorizer.max_len
+                    )
+                else:
+                    positions = (start + np.arange(n, dtype=np.int64)) * stride
+                    mat, lengths = fasta_io.window_byte_matrix(
+                        rec, positions, ref_len, vectorizer.max_len
+                    )
+                    tokens = tok.tokenize_bytes(mat, lengths, vectorizer.max_len)
+                w.append(vectorizer.vectorize_tokens(tokens))
+    return total
+
+
 def embed_input_file(
     path: str, ref_len: int, stride: int, vectorizer: Vectorizer
 ) -> np.ndarray:

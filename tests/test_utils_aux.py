@@ -1,0 +1,83 @@
+"""Auxiliary subsystems: tracing, memory estimators, id_map, streaming npy,
+inference CLI streaming path."""
+
+import numpy as np
+
+from deepreadmapper_tpu.io.idmap import load_id_map, save_id_map
+from deepreadmapper_tpu.io.npy_stream import NpyStreamWriter
+from deepreadmapper_tpu.utils.memory import (
+    estimate_index_memory,
+    estimate_window_count,
+)
+from deepreadmapper_tpu.utils.trace import Tracer
+
+
+def test_tracer_spans_and_counters():
+    t = Tracer()
+    with t.span("embed"):
+        with t.span("tokenize"):
+            pass
+    t.count("dist_evals", 42)
+    s = t.summary()
+    assert "embed" in s and "tokenize" in s and "dist_evals" in s
+
+
+def test_memory_estimator_matches_reference_formula():
+    est = estimate_index_memory(1702, 128, 8, 8, 16, n_train=851)
+    # PQ codebooks: 8 * 256 * 16 * 4 bytes.
+    assert est["pq_codebooks"] == 8 * 256 * 16 * 4
+    assert est["pq_codes"] == 1702 * 8
+    assert est["hnsw_graph"] == int(1702 * 16 * 1.5) * 4
+    assert "training_peak" in est
+
+
+def test_window_count_estimate(data_dir):
+    est = estimate_window_count(str(data_dir / "ecoli_150.fna"), 150, 1)
+    # Estimator is file-size based (reference semantics): right order of
+    # magnitude vs the true 1702.
+    assert 1000 < est < 2200
+
+
+def test_id_map_roundtrip(tmp_path):
+    labels = np.array([0, 1, 4, 5, 2**40], dtype=np.uint64)
+    p = save_id_map(labels, str(tmp_path))
+    got = load_id_map(p)
+    np.testing.assert_array_equal(got, labels)
+
+
+def test_npy_stream_writer(tmp_path):
+    path = str(tmp_path / "s.npy")
+    with NpyStreamWriter(path, 7, 3) as w:
+        w.append(np.ones((4, 3), np.float32))
+        w.append(np.arange(9, dtype=np.float32).reshape(3, 3))
+    arr = np.load(path)
+    assert arr.shape == (7, 3)
+    np.testing.assert_array_equal(arr[:4], 1.0)
+    np.testing.assert_array_equal(arr[4:], np.arange(9).reshape(3, 3))
+
+
+def test_npy_stream_writer_enforces_shape(tmp_path):
+    import pytest
+
+    path = str(tmp_path / "s.npy")
+    w = NpyStreamWriter(path, 2, 3)
+    with pytest.raises(ValueError):
+        w.append(np.ones((1, 4), np.float32))
+    w.append(np.ones((2, 3), np.float32))
+    w.close()
+
+
+def test_inference_cli_streams_fasta(tmp_path, data_dir):
+    from deepreadmapper_tpu import cli
+
+    out = str(tmp_path / "emb.npy")
+    rc = cli.main(["inference", str(data_dir / "ecoli_150.fna"), "150", out])
+    assert rc == 0
+    arr = np.load(out)
+    assert arr.shape == (1702, 128)
+    # Spot-check against the non-streamed path.
+    from deepreadmapper_tpu.models.encoder import Vectorizer
+    from deepreadmapper_tpu.pipeline.build import embed_input_file
+
+    want = embed_input_file(str(data_dir / "ecoli_150.fna"), 150, 1, Vectorizer(device_batch=2048))
+    np.testing.assert_allclose(arr, want, rtol=1e-5, atol=1e-6)
