@@ -125,7 +125,7 @@ def post_process_sw(
 
     Returns (final_ids [Q, k] int64, final_scores [Q, k] int32).
     """
-    from deepreadmapper_tpu.ops.sw import sw_scores
+    from deepreadmapper_tpu.ops.sw_pallas import sw_scores_auto as sw_scores
 
     check_invariant(k, k_clusters, stride)
     if stride == 1:
