@@ -177,10 +177,54 @@ class _Builder:
         )
 
 
-def build_hnsw(
+def build_hnsw_python(
     vectors: np.ndarray, m: int = 16, efc: int = 200, seed: int = 5489
 ) -> HNSWGraphData:
+    """Pure-Python builder — the readable specification and fallback."""
     b = _Builder(vectors, m, efc, seed)
     for i in range(vectors.shape[0]):
         b.add(i)
     return b.finish()
+
+
+def build_hnsw(
+    vectors: np.ndarray,
+    m: int = 16,
+    efc: int = 200,
+    seed: int = 5489,
+    use_native: bool | None = None,
+) -> HNSWGraphData:
+    """HNSW construction: native C++ builder (native/drm_hnsw.cpp, ~1000x
+    faster) when available, Python fallback.  Both run the same algorithm on
+    the same deterministic level assignment."""
+    from deepreadmapper_tpu import native
+
+    if use_native is None:
+        use_native = native.available()
+    if not use_native:
+        return build_hnsw_python(vectors, m, efc, seed)
+
+    n = vectors.shape[0]
+    levels = assign_levels(n, m, seed)
+    max_level = int(levels.max(initial=0))
+    neighbors0, upper, entry = native.hnsw_build(vectors, levels, m, efc)
+    level_gids: list[np.ndarray] = []
+    level_nbrs: list[np.ndarray] = []
+    row = 0
+    for lvl in range(1, max_level + 1):
+        gids = np.flatnonzero(levels >= lvl).astype(np.int64)
+        rowmap = np.full(n, -1, dtype=np.int32)
+        rowmap[gids] = np.arange(gids.size, dtype=np.int32)
+        nb = upper[row : row + gids.size]
+        nb_rows = np.where(nb >= 0, rowmap[np.maximum(nb, 0)], -1).astype(np.int32)
+        level_gids.append(gids)
+        level_nbrs.append(nb_rows)
+        row += gids.size
+    return HNSWGraphData(
+        neighbors0=neighbors0,
+        level_gids=level_gids,
+        level_nbrs=level_nbrs,
+        entry_gid=entry,
+        max_level=max_level,
+        m=m,
+    )

@@ -21,13 +21,16 @@ _lib = None
 _tried = False
 
 
+_SRC_HNSW = os.path.join(os.path.dirname(_SRC), "drm_hnsw.cpp")
+
+
 def _build() -> bool:
     cmd = [
         "g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
-        _SRC, "-o", _SO,
+        _SRC, _SRC_HNSW, "-o", _SO,
     ]
     try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        subprocess.run(cmd, check=True, capture_output=True, timeout=300)
         return True
     except Exception:
         return False
@@ -58,6 +61,11 @@ def _load():
     lib.drm_tokenize_seqs.argtypes = [p_u8, c_i64, c_i64, p_i64, p_i32, c_i32]
     lib.drm_tokenize_windows_by_id.restype = None
     lib.drm_tokenize_windows_by_id.argtypes = [p_u8, c_i64, c_i64, p_i64, c_i64, c_i32, p_i32, c_i32]
+    p_f32 = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    lib.drm_hnsw_build.restype = c_i32
+    lib.drm_hnsw_build.argtypes = [
+        p_f32, c_i64, c_i64, p_i32, c_i32, c_i32, c_i32, c_i32, p_i32, p_i32,
+    ]
     _lib = lib
     return lib
 
@@ -106,6 +114,31 @@ def tokenize_seqs(mat: np.ndarray, lengths: np.ndarray, max_len: int = 123) -> n
         np.ascontiguousarray(lengths, dtype=np.int64), out, max_len,
     )
     return out
+
+
+def hnsw_build(
+    vectors: np.ndarray,
+    levels: np.ndarray,
+    m: int,
+    efc: int,
+    threads: int | None = None,
+):
+    """Native HNSW construction.  Returns (neighbors0 [n,2m] int32,
+    upper [sum nl, m] int32 global ids, entry_gid)."""
+    lib = _load()
+    v = np.ascontiguousarray(vectors, dtype=np.float32)
+    lv = np.ascontiguousarray(levels, dtype=np.int32)
+    n = v.shape[0]
+    max_level = int(lv.max(initial=0))
+    n_upper = int(sum((lv >= l).sum() for l in range(1, max_level + 1)))
+    neighbors0 = np.full((n, 2 * m), -1, dtype=np.int32)
+    upper = np.full((max(n_upper, 1), m), -1, dtype=np.int32)
+    if threads is None:
+        threads = os.cpu_count() or 1
+    entry = lib.drm_hnsw_build(
+        v, n, v.shape[1], lv, max_level, m, efc, threads, neighbors0, upper
+    )
+    return neighbors0, upper, int(entry)
 
 
 def tokenize_windows_by_id(
