@@ -54,6 +54,17 @@ def _add_inference(sub):
     p.add_argument("--stride", type=int, default=1)
 
 
+def _add_finetune(sub):
+    p = sub.add_parser("finetune", help="fine-tune the encoder on a reference")
+    p.add_argument("ref_file")
+    p.add_argument("ref_len", type=int)
+    p.add_argument("-o", "--output", default="finetuned.npz")
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--batch", type=int, default=512)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--seed", type=int, default=0)
+
+
 def _add_gen_ref(sub):
     p = sub.add_parser("gen-ref", help="dump windowed sequences to txt")
     p.add_argument("-i", "--input", required=True)
@@ -70,6 +81,7 @@ def main(argv=None) -> int:
     _add_pipeline(sub)
     _add_build(sub)
     _add_inference(sub)
+    _add_finetune(sub)
     _add_gen_ref(sub)
     args = ap.parse_args(argv)
 
@@ -136,6 +148,20 @@ def main(argv=None) -> int:
         emb = embed_input_file(args.input_file, args.ref_len, args.stride, Vectorizer())
         np.save(args.output, emb)
         print(f"[INFERENCE] wrote {emb.shape} to {args.output}")
+        return 0
+
+    if args.cmd == "finetune":
+        from deepreadmapper_tpu.pipeline.finetune import finetune, save_params_npz
+
+        params, losses = finetune(
+            args.ref_file, args.ref_len, steps=args.steps, batch=args.batch,
+            lr=args.lr, seed=args.seed,
+        )
+        save_params_npz(params, args.output)
+        print(
+            f"[FINETUNE] {args.steps} steps, loss {losses[0]:.4f} -> "
+            f"{losses[-1]:.4f}, saved {args.output}"
+        )
         return 0
 
     if args.cmd == "gen-ref":

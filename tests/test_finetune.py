@@ -1,0 +1,36 @@
+"""Fine-tuning: loss decreases, weights round-trip through the npz format."""
+
+import numpy as np
+
+from deepreadmapper_tpu.models import encoder
+from deepreadmapper_tpu.pipeline import finetune as ft
+
+
+def test_sample_pairs(data_dir):
+    from deepreadmapper_tpu.io.fasta import extract_fasta_sequence
+
+    genome = extract_fasta_sequence(str(data_dir / "ecoli_150.fna"))
+    rng = np.random.default_rng(0)
+    rt, wt = ft.sample_pairs(genome, 150, 32, rng, sub_rate=0.05)
+    assert rt.shape == (32, 123) and wt.shape == (32, 123)
+    # Reads are noisy copies: mostly equal tokens, some differ.
+    eq = (rt == wt).mean()
+    assert 0.5 < eq < 1.0
+
+
+def test_finetune_loss_decreases(data_dir, tmp_path):
+    params, losses = ft.finetune(
+        str(data_dir / "ecoli_150.fna"), ref_len=150, steps=8, batch=32, lr=3e-4
+    )
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], f"no learning: {losses[0]} -> {losses[-1]}"
+
+    # Round-trip: saved npz loads and embeds.
+    path = str(tmp_path / "ft.npz")
+    ft.save_params_npz(params, path)
+    p2 = encoder.load_params(path)
+    tokens = np.full((4, 123), 7559, np.int32)
+    e1 = np.asarray(encoder.encode_tokens(params, tokens))
+    e2 = np.asarray(encoder.encode_tokens(p2, tokens))
+    # fp16 storage rounding only.
+    np.testing.assert_allclose(e1, e2, atol=2e-2)
