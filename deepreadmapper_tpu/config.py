@@ -39,6 +39,7 @@ class BuildConfig:
     nbits: int = 8              # bits per PQ code
     m_hnsw: int = 16            # HNSW graph degree
     efc: int = 200              # HNSW efConstruction
+    build_mode: str = "insert"  # "insert" (incremental) | "knn" (MXU kNN graph)
     sample_rate: float = 0.5    # fraction of vectors used to train PQ
     kmeans_iters: int = 25      # PQ k-means iterations (FAISS default)
     seed: int = 1234            # deterministic codebook init

@@ -177,7 +177,12 @@ class HNSWPQIndex:
     @classmethod
     def build(cls, embeddings: np.ndarray, cfg: BuildConfig | None = None):
         cfg = cfg or BuildConfig()
-        graph = build_hnsw(embeddings, m=cfg.m_hnsw, efc=cfg.efc, seed=cfg.seed)
+        if cfg.build_mode == "knn":
+            from deepreadmapper_tpu.index.knn_build import build_hnsw_knn
+
+            graph = build_hnsw_knn(embeddings, m=cfg.m_hnsw, seed=cfg.seed)
+        else:
+            graph = build_hnsw(embeddings, m=cfg.m_hnsw, efc=cfg.efc, seed=cfg.seed)
         if cls.storage_mode == "pq":
             train = pq_ops.sample_training_set(embeddings, cfg.sample_rate)
             cb = pq_ops.train_pq(
