@@ -87,53 +87,74 @@ def load_params(npz_path: str = ir_loader.DEFAULT_NPZ) -> EncoderParams:
 
 
 def _gru_direction(x_proj: jax.Array, r_mat: jax.Array, rbh: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Scan one direction.  x_proj: [T, B, 192] precomputed input gates (+bias).
+    """One direction over time-major input gates x_proj [T, B, 192].
 
-    Returns (final hidden [B, 64], all hiddens [T, B, 64]).
+    Dispatches to the Pallas VMEM-resident-carry kernel on TPU (fp32), the
+    lax.scan reference otherwise (models/gru_pallas.py; both differentiable).
+    Returns (final hidden [B, 64], all hiddens [T, B, 64])."""
+    from deepreadmapper_tpu.models.gru_pallas import gru_seq
+
+    hs = gru_seq(x_proj, r_mat, rbh, False)
+    return hs[-1], hs
+
+
+def encode_tokens_impl(params: EncoderParams, tokens: jax.Array, dtype: str = "float32") -> jax.Array:
+    """Trace-safe body of encode_tokens (callers may jit it fused with more).
+
+    Layout strategy (why this beats the naive transliteration ~2x even before
+    the Pallas kernel): the embedding gather is batch-major [B,T,64]; the
+    layer-1 input-gate projections run on the gather's CONTIGUOUS flat view
+    and only the small 192-wide result is transposed to time-major; the
+    backward direction uses reverse index maps / lax.scan(reverse=True)
+    instead of materializing [::-1] copies of the 1.4 GB gate arrays; layer 2
+    projects straight from the time-major concat with no transposes at all.
     """
-    t_, b_, _ = x_proj.shape
-    h0 = jnp.zeros((b_, HIDDEN), dtype=x_proj.dtype)
+    from deepreadmapper_tpu.models.gru_pallas import gru_proj_last, gru_proj_seq
 
-    def step(h, gx):
-        gh = h @ r_mat  # [B, 192]
-        z = jax.nn.sigmoid(gx[:, :HIDDEN] + gh[:, :HIDDEN])
-        r = jax.nn.sigmoid(gx[:, HIDDEN : 2 * HIDDEN] + gh[:, HIDDEN : 2 * HIDDEN])
-        n = jnp.tanh(gx[:, 2 * HIDDEN :] + r * (gh[:, 2 * HIDDEN :] + rbh))
-        h_new = (1.0 - z) * n + z * h
-        return h_new, h_new
+    cdt = jnp.dtype(dtype)
+    emb = params.embedding.astype(cdt)
+    # Tokens travel host->HBM as uint16 (ids < 7638) to halve transfer cost.
+    # Transpose the TOKENS (2 B/element) rather than any activation tensor:
+    # the gather then lands directly in time-major layout and no multi-GB
+    # relayout ever happens (activation transposes cost ~70 ms at B=15k).
+    x = emb[tokens.astype(jnp.int32).T]  # [T, B, 64] time-major
 
-    hT, hs = jax.lax.scan(step, h0, x_proj)
-    return hT, hs
+    def cast_layer(p: GRULayerParams) -> GRULayerParams:
+        return GRULayerParams(*(a.astype(cdt) for a in p))
 
+    # The input-gate projections are fused INTO the recurrence kernels so the
+    # [T,B,192] gate arrays never round-trip through HBM (gru_pallas).
+    p0 = cast_layer(params.layers[0])
+    hf = gru_proj_seq(x, p0.w[0], p0.bzr[0], p0.r[0], p0.rbh[0], False)
+    hb = gru_proj_seq(x, p0.w[1], p0.bzr[1], p0.r[1], p0.rbh[1], True)
+    out1 = jnp.concatenate([hf, hb], axis=-1)  # [T, B, 128] time-major
 
-def _bigru_layer(x: jax.Array, p: GRULayerParams):
-    """x: [T, B, in] -> (outputs [T, B, 128], final fwd [B,64], final bwd [B,64])."""
-    t_, b_, d_in = x.shape
-    flat = x.reshape(t_ * b_, d_in)
-    # Input projections for both directions, hoisted out of the scan.
-    gx_f = (flat @ p.w[0] + p.bzr[0]).reshape(t_, b_, 3 * HIDDEN)
-    gx_b = (flat @ p.w[1] + p.bzr[1]).reshape(t_, b_, 3 * HIDDEN)
-    hf_T, hf = _gru_direction(gx_f, p.r[0], p.rbh[0])
-    hb_T, hb = _gru_direction(gx_b[::-1], p.r[1], p.rbh[1])
-    out = jnp.concatenate([hf, hb[::-1]], axis=-1)  # [T, B, 128]
-    return out, hf_T, hb_T
+    p1 = cast_layer(params.layers[1])
+    hf_T = gru_proj_last(out1, p1.w[0], p1.bzr[0], p1.r[0], p1.rbh[0], False)
+    hb_T = gru_proj_last(out1, p1.w[1], p1.bzr[1], p1.r[1], p1.rbh[1], True)
+    return jnp.concatenate([hf_T, hb_T], axis=-1).astype(jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("dtype",))
 def encode_tokens(params: EncoderParams, tokens: jax.Array, dtype: str = "float32") -> jax.Array:
     """tokens: int32 [B, T] (zero-padded) -> embeddings fp32 [B, 128]."""
-    cdt = jnp.dtype(dtype)
-    emb = params.embedding.astype(cdt)
-    # Tokens travel host->HBM as uint16 (ids < 7638) to halve transfer cost.
-    x = emb[tokens.astype(jnp.int32)]  # [B, T, 64]
-    x = jnp.swapaxes(x, 0, 1)  # [T, B, 64] seq-major for the scan
+    return encode_tokens_impl(params, tokens, dtype)
 
-    def cast_layer(p: GRULayerParams) -> GRULayerParams:
-        return GRULayerParams(*(a.astype(cdt) for a in p))
 
-    out1, _, _ = _bigru_layer(x, cast_layer(params.layers[0]))
-    _, hf, hb = _bigru_layer(out1, cast_layer(params.layers[1]))
-    return jnp.concatenate([hf, hb], axis=-1).astype(jnp.float32)
+@functools.partial(jax.jit, static_argnames=("dtype",))
+def encode_packed(
+    params: EncoderParams,
+    wire: jax.Array,
+    dtype: str = "float32",
+) -> jax.Array:
+    """2-bit packed bases (tokenizer_device single-buffer wire format,
+    48 B/read on the host->device link vs 246 raw bytes) -> embeddings fp32
+    [B, 128].  Tokenization happens on device and XLA fuses it into the
+    embedding gather."""
+    from deepreadmapper_tpu.tokenizer_device import tokens_from_packed
+
+    tokens = tokens_from_packed(wire)
+    return encode_tokens(params, tokens, dtype=dtype)
 
 
 class Vectorizer:
@@ -180,3 +201,26 @@ class Vectorizer:
 
         tokens = tok.tokenize_strings(seqs, self.max_len)
         return self.vectorize_tokens(tokens)
+
+    def vectorize_wrapped_bytes(
+        self, mat: np.ndarray, lengths: np.ndarray
+    ) -> np.ndarray:
+        """'<'-wrapped byte matrix -> embeddings via the 2-bit packed upload
+        + on-device tokenizer (minimal host->device traffic)."""
+        from deepreadmapper_tpu.tokenizer_device import pack_wrapped
+
+        wire = pack_wrapped(mat, lengths)
+        n = wire.shape[0]
+        out = np.empty((n, OUT_SIZE), dtype=np.float32)
+        bs = self.device_batch
+        pending = []
+        for start in range(0, n, bs):
+            w = wire[start : start + bs]
+            if w.shape[0] < bs:
+                w = np.pad(w, ((0, bs - w.shape[0]), (0, 0)))
+            pending.append(
+                (start, encode_packed(self.params, jnp.asarray(w), dtype=self.dtype))
+            )
+        for start, emb in pending:
+            out[start : start + bs] = np.asarray(emb)[: min(bs, n - start)]
+        return out

@@ -1,0 +1,105 @@
+"""On-device tokenizer (tokenizer_device.py) parity with the host tokenizer
+(itself bit-exact with the reference Preprocessor), and wire-format packing
+round-trips (ops/pack.py)."""
+
+import numpy as np
+import pytest
+
+from deepreadmapper_tpu import tokenizer as tok
+from deepreadmapper_tpu.ops.pack import (
+    bits_needed,
+    pack_ids_device,
+    unpack_ids_host,
+)
+from deepreadmapper_tpu.tokenizer_device import pack_wrapped, tokens_from_packed
+
+
+def _device_tokens(mat, lengths):
+    import jax.numpy as jnp
+
+    wire = pack_wrapped(mat, lengths)
+    assert wire.dtype == np.uint8 and wire.shape == (mat.shape[0], 48)
+    return np.asarray(tokens_from_packed(jnp.asarray(wire)))
+
+
+def _wrap(seqs):
+    return tok.strings_to_bytes([f"<{s}>" for s in seqs])
+
+
+def test_fixture_reads_parity():
+    from deepreadmapper_tpu.io.fastq import parse_fastq_bytes
+
+    mat, lengths, _ = parse_fastq_bytes("tests/data/test_data.fastq")
+    want = tok.tokenize_bytes(mat, lengths)
+    got = _device_tokens(mat, lengths)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("n_len", [1, 2, 3, 50, 120, 121, 122, 123, 150, 200])
+def test_random_lengths_parity(n_len):
+    rng = np.random.default_rng(n_len)
+    seqs = ["".join(rng.choice(list("ACGTacgtN"), size=n_len)) for _ in range(16)]
+    mat, lengths = _wrap(seqs)
+    want = tok.tokenize_bytes(mat, lengths)
+    got = _device_tokens(mat, lengths)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_mixed_length_batch_parity():
+    rng = np.random.default_rng(0)
+    seqs = [
+        "".join(rng.choice(list("acgt"), size=int(l)))
+        for l in rng.integers(1, 180, size=64)
+    ]
+    mat, lengths = _wrap(seqs)
+    want = tok.tokenize_bytes(mat, lengths)
+    got = _device_tokens(mat, lengths)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_encode_packed_matches_encode_tokens():
+    import jax.numpy as jnp
+
+    from deepreadmapper_tpu.models.encoder import (
+        Vectorizer,
+        encode_packed,
+        encode_tokens,
+        load_params,
+    )
+
+    rng = np.random.default_rng(1)
+    seqs = ["".join(rng.choice(list("acgt"), size=150)) for _ in range(8)]
+    mat, lengths = _wrap(seqs)
+    params = load_params()
+    want = np.asarray(
+        encode_tokens(params, jnp.asarray(tok.tokenize_bytes(mat, lengths)))
+    )
+    wire = pack_wrapped(mat, lengths)
+    got = np.asarray(encode_packed(params, jnp.asarray(wire)))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    # Vectorizer convenience path (includes batching/padding)
+    v = Vectorizer(device_batch=4)
+    got2 = v.vectorize_wrapped_bytes(mat, lengths)
+    np.testing.assert_allclose(got2, want, atol=1e-6)
+
+
+def test_pack_ids_roundtrip():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    for n, k in [(1702, 128), (5, 3), (1 << 20, 64), (9, 5)]:
+        nbits = bits_needed(n)
+        ids = rng.integers(0, n, size=(7, k)).astype(np.int32)
+        packed = np.asarray(pack_ids_device(jnp.asarray(ids), nbits))
+        assert packed.shape[1] == (k * (nbits // 4) + 1) // 2
+        back = unpack_ids_host(packed, k, nbits)
+        np.testing.assert_array_equal(back, ids.astype(np.int64))
+
+
+def test_bits_needed_nibble_aligned():
+    assert bits_needed(1702) == 12
+    assert bits_needed(2) == 4
+    assert bits_needed(1) == 4
+    assert bits_needed(65536) == 16
+    assert bits_needed(4096) == 12
+    assert bits_needed(4097) == 16
