@@ -209,7 +209,11 @@ class Vectorizer:
         + on-device tokenizer (minimal host->device traffic)."""
         from deepreadmapper_tpu.tokenizer_device import pack_wrapped
 
-        wire = pack_wrapped(mat, lengths)
+        return self.vectorize_wire(pack_wrapped(mat, lengths))
+
+    def vectorize_wire(self, wire: np.ndarray) -> np.ndarray:
+        """Pre-packed 48-byte wire rows (tokenizer_device format) ->
+        embeddings; batches to fixed shapes, async dispatch."""
         n = wire.shape[0]
         out = np.empty((n, OUT_SIZE), dtype=np.float32)
         bs = self.device_batch

@@ -48,6 +48,16 @@ def _load():
         lib = ctypes.CDLL(_SO)
     except OSError:
         return None
+    # Stale binary from an older source revision: rebuild once.
+    lib.drm_version.restype = ctypes.c_int32
+    if lib.drm_version() < 2:
+        del lib
+        if not (os.path.exists(_SRC) and _build()):
+            return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
     c_i64 = ctypes.c_int64
     c_i32 = ctypes.c_int32
     p_u8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
@@ -66,6 +76,12 @@ def _load():
     lib.drm_hnsw_build.argtypes = [
         p_f32, c_i64, c_i64, p_i32, c_i32, c_i32, c_i32, c_i32, p_i32, p_i32,
     ]
+    lib.drm_pack_wrapped.restype = None
+    lib.drm_pack_wrapped.argtypes = [p_u8, c_i64, c_i64, p_i64, p_u8]
+    lib.drm_pack_windows.restype = None
+    lib.drm_pack_windows.argtypes = [p_u8, c_i64, c_i64, c_i64, c_i64, c_i64, p_u8]
+    lib.drm_unpack_ids.restype = None
+    lib.drm_unpack_ids.argtypes = [p_u8, c_i64, c_i64, c_i64, c_i32, p_i64]
     _lib = lib
     return lib
 
@@ -139,6 +155,41 @@ def hnsw_build(
         v, n, v.shape[1], lv, max_level, m, efc, threads, neighbors0, upper
     )
     return neighbors0, upper, int(entry)
+
+
+def pack_wrapped(mat: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Wrapped byte rows -> 48-byte wire rows (tokenizer_device format)."""
+    lib = _load()
+    mat = np.ascontiguousarray(mat)
+    wire = np.empty((mat.shape[0], 48), dtype=np.uint8)
+    lib.drm_pack_wrapped(
+        mat, mat.shape[0], mat.shape[1],
+        np.ascontiguousarray(lengths, dtype=np.int64), wire,
+    )
+    return wire
+
+
+def pack_windows(
+    genome: np.ndarray, ref_len: int, stride: int, first: int, n: int
+) -> np.ndarray:
+    """Interleaved (fwd, rev) wire rows [2n, 48] for genome windows
+    [first, first+n) — fused windowing+revcomp+2-bit packing."""
+    lib = _load()
+    wire = np.empty((2 * n, 48), dtype=np.uint8)
+    lib.drm_pack_windows(
+        np.ascontiguousarray(genome), genome.size, ref_len, stride, first, n,
+        wire,
+    )
+    return wire
+
+
+def unpack_ids(packed: np.ndarray, k: int, nbits: int) -> np.ndarray:
+    """Nibble-packed id rows -> int64 [n, k] (ops/pack wire format)."""
+    lib = _load()
+    packed = np.ascontiguousarray(packed, dtype=np.uint8)
+    out = np.empty((packed.shape[0], k), dtype=np.int64)
+    lib.drm_unpack_ids(packed, packed.shape[0], packed.shape[1], k, nbits, out)
+    return out
 
 
 def tokenize_windows_by_id(

@@ -42,7 +42,17 @@ def pack_ids_device(ids: jax.Array, nbits: int) -> jax.Array:
 
 
 def unpack_ids_host(packed: np.ndarray, k: int, nbits: int) -> np.ndarray:
-    """Inverse of pack_ids_device: [B, nbytes] uint8 -> [B, k] int64."""
+    """Inverse of pack_ids_device: [B, nbytes] uint8 -> [B, k] int64.
+    Native C++ (OpenMP) when available, numpy fallback."""
+    assert nbits % 4 == 0
+    from deepreadmapper_tpu import native
+
+    if native.available():
+        return native.unpack_ids(packed, k, nbits)
+    return unpack_ids_numpy(packed, k, nbits)
+
+
+def unpack_ids_numpy(packed: np.ndarray, k: int, nbits: int) -> np.ndarray:
     assert nbits % 4 == 0
     packed = np.asarray(packed, dtype=np.uint8)
     b = packed.shape[0]

@@ -38,6 +38,13 @@ def embed_fasta_windows(
             continue
         for start in range(0, nw, window_chunk):
             n = min(window_chunk, nw - start)
+            if use_native and vectorizer.max_len == tok.MAX_LEN:
+                # Fused windowing+revcomp+2-bit packing straight from the
+                # genome bytes; tokenization happens on device (48 B/window
+                # upload instead of 246 B of uint16 tokens).
+                wire = native.pack_windows(rec, ref_len, stride, start, n)
+                outs.append(vectorizer.vectorize_wire(wire))
+                continue
             if use_native:
                 tokens = native.tokenize_windows(
                     rec, ref_len, stride, start, n, vectorizer.max_len

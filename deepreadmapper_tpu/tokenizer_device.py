@@ -38,6 +38,16 @@ WIRE_WIDTH = PACKED_WIDTH + NMASK_WIDTH + 1  # 48
 
 
 def pack_wrapped(mat: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Pack a wrapped byte matrix into the 2-bit wire format: native C++
+    (OpenMP) when available, numpy fallback.  Returns uint8 [N, 48]."""
+    from deepreadmapper_tpu import native
+
+    if native.available():
+        return native.pack_wrapped(mat, lengths)
+    return pack_wrapped_numpy(mat, lengths)
+
+
+def pack_wrapped_numpy(mat: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     """Pack a wrapped byte matrix ('<'+seq+'>', as parse_fastq_bytes emits)
     into the single-buffer 2-bit wire format.  Returns uint8 [N, 48]."""
     lengths = np.asarray(lengths, dtype=np.int64)

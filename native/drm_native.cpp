@@ -212,6 +212,98 @@ void drm_tokenize_windows_by_id(const uint8_t* genome, int64_t glen,
     }
 }
 
-int32_t drm_version() { return 1; }
+// ---- 2-bit packed wire format (tokenizer_device.py) ----------------------
+// One 48-byte row per sequence: 31 bytes of 2-bit base codes (bases 0..122,
+// little-endian lanes), 16 bytes of N-mask bits, 1 byte base count (clamped
+// 255).  The device tokenizer consumes this directly (tokens_from_packed).
+
+constexpr int WIRE_PACKED = 31;
+constexpr int WIRE_NMASK = 16;
+constexpr int WIRE_WIDTH = 48;
+constexpr int WIRE_BASES = 123;
+
+inline void pack_wire_row(const uint8_t* bases_src, int64_t nb, bool rev,
+                          const uint8_t* genome_end, uint8_t* wire) {
+    // bases_src: forward pointer to first base (if !rev), else genome_end is
+    // the pointer ONE PAST the last base and we walk backwards complementing.
+    std::memset(wire, 0, WIRE_WIDTH);
+    int64_t take = std::min<int64_t>(nb, WIRE_BASES);
+    for (int64_t i = 0; i < take; ++i) {
+        uint8_t c = rev ? T.comp[genome_end[-1 - i]] : bases_src[i];
+        uint8_t v = T.val[c];
+        wire[i >> 2] |= (uint8_t)((v & 3) << (2 * (i & 3)));
+        if (v >= 4) wire[WIRE_PACKED + (i >> 3)] |= (uint8_t)(1 << (i & 7));
+    }
+    wire[WIRE_WIDTH - 1] = (uint8_t)std::min<int64_t>(nb, 255);
+}
+
+// Wrapped byte-matrix rows ('<'+seq+'>') -> wire rows [n, 48].
+// Mirrors tokenizer_device.pack_wrapped exactly.
+void drm_pack_wrapped(const uint8_t* mat, int64_t n, int64_t width,
+                      const int64_t* lengths, uint8_t* wire) {
+#pragma omp parallel for schedule(static)
+    for (int64_t r = 0; r < n; ++r) {
+        int64_t nb = lengths[r] >= 2 ? lengths[r] - 2 : 0;
+        // bases live at columns 1..; only min(nb, width-1) are present,
+        // the rest read as pad (val 7) in the numpy path — but pack_wrapped
+        // zeroes beyond nb, and callers always size width >= nb+1.
+        int64_t avail = width > 1 ? width - 1 : 0;
+        int64_t eff = std::min(nb, avail);
+        uint8_t* w = wire + r * WIRE_WIDTH;
+        std::memset(w, 0, WIRE_WIDTH);
+        const uint8_t* src = mat + r * width + 1;
+        int64_t take = std::min<int64_t>(eff, WIRE_BASES);
+        for (int64_t i = 0; i < take; ++i) {
+            uint8_t v = T.val[src[i]];
+            w[i >> 2] |= (uint8_t)((v & 3) << (2 * (i & 3)));
+            if (v >= 4) w[WIRE_PACKED + (i >> 3)] |= (uint8_t)(1 << (i & 7));
+        }
+        // columns beyond the matrix width count as N (val 7), matching numpy
+        for (int64_t i = take; i < std::min<int64_t>(nb, WIRE_BASES); ++i) {
+            w[i >> 2] |= (uint8_t)(3 << (2 * (i & 3)));
+            w[WIRE_PACKED + (i >> 3)] |= (uint8_t)(1 << (i & 7));
+        }
+        w[WIRE_WIDTH - 1] = (uint8_t)std::min<int64_t>(nb, 255);
+    }
+}
+
+// Fused genome windows -> wire rows: windows [first, first+n) at w*stride,
+// interleaved (forward, revcomp) -> wire [2*n, 48].
+void drm_pack_windows(const uint8_t* genome, int64_t glen, int64_t ref_len,
+                      int64_t stride, int64_t first, int64_t n, uint8_t* wire) {
+    (void)glen;
+#pragma omp parallel for schedule(static)
+    for (int64_t w = 0; w < n; ++w) {
+        int64_t p = (first + w) * stride;
+        pack_wire_row(genome + p, ref_len, false, nullptr,
+                      wire + (2 * w) * WIRE_WIDTH);
+        pack_wire_row(nullptr, ref_len, true, genome + p + ref_len,
+                      wire + (2 * w + 1) * WIRE_WIDTH);
+    }
+}
+
+// Nibble-packed id download -> int64 ids (ops/pack.unpack_ids_host).
+void drm_unpack_ids(const uint8_t* packed, int64_t n, int64_t nbytes,
+                    int64_t k, int32_t nbits, int64_t* out) {
+    int nnib = nbits / 4;
+#pragma omp parallel for schedule(static)
+    for (int64_t r = 0; r < n; ++r) {
+        const uint8_t* row = packed + r * nbytes;
+        int64_t* o = out + r * k;
+        for (int64_t j = 0; j < k; ++j) {
+            int64_t v = 0;
+            int64_t nib0 = j * nnib;
+            for (int q = 0; q < nnib; ++q) {
+                int64_t nib = nib0 + q;
+                uint8_t byte = row[nib >> 1];
+                uint8_t x = (nib & 1) ? (byte >> 4) : (byte & 0xF);
+                v |= (int64_t)x << (4 * q);
+            }
+            o[j] = v;
+        }
+    }
+}
+
+int32_t drm_version() { return 2; }
 
 }  // extern "C"

@@ -103,3 +103,47 @@ def test_bits_needed_nibble_aligned():
     assert bits_needed(65536) == 16
     assert bits_needed(4096) == 12
     assert bits_needed(4097) == 16
+
+
+def test_native_pack_matches_numpy():
+    from deepreadmapper_tpu import native
+    from deepreadmapper_tpu.ops.pack import unpack_ids_numpy
+    from deepreadmapper_tpu.tokenizer_device import pack_wrapped_numpy
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(5)
+    seqs = [
+        "".join(rng.choice(list("ACGTN"), size=int(l)))
+        for l in rng.integers(1, 200, size=40)
+    ]
+    mat, lengths = _wrap(seqs)
+    np.testing.assert_array_equal(
+        native.pack_wrapped(mat, lengths), pack_wrapped_numpy(mat, lengths)
+    )
+    # unpack parity
+    ids = rng.integers(0, 4096, size=(9, 128))
+    import jax.numpy as jnp
+
+    from deepreadmapper_tpu.ops.pack import pack_ids_device
+
+    packed = np.asarray(pack_ids_device(jnp.asarray(ids), 12))
+    np.testing.assert_array_equal(
+        native.unpack_ids(packed, 128, 12), unpack_ids_numpy(packed, 128, 12)
+    )
+
+
+def test_native_pack_windows_matches_wrapped():
+    """pack_windows(genome) must equal pack_wrapped of the window strings."""
+    from deepreadmapper_tpu import native
+    from deepreadmapper_tpu.io import fasta as fasta_io
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    recs = fasta_io.parse_fasta_records("tests/data/ecoli_150.fna")
+    genome = np.ascontiguousarray(recs[0])
+    wire = native.pack_windows(genome, 150, 1, 0, 20)
+    wins, _ = fasta_io.windows_as_strings([genome], 150, 1)  # already wrapped
+    mat, lengths = tok.strings_to_bytes(wins[:40])
+    want = pack_wrapped(mat, lengths)
+    np.testing.assert_array_equal(wire, want)
