@@ -1,0 +1,205 @@
+"""Mesh-sharded ANN index: per-shard HNSW graphs, global top-k merge.
+
+This is the multi-host index scale-out named in SURVEY.md §5/§7: the genome-
+scale object (windows' PQ codes + graph) is the thing that outgrows one chip,
+so each position along the mesh 'shard' axis holds a COMPLETE sub-index over
+a contiguous slice of the vectors (graph + codes/vectors + its own PQ
+codebook, like one FAISS IndexHNSWPQ per host).  Search runs the batched beam
+search (index/hnsw.py) on every shard in lockstep under shard_map, localizes
+ids to the global space by the shard's row offset, and merges with
+all_gather + lax.top_k — the collectives ride ICI, no NCCL analog.
+
+Shards must execute ONE program, so per-shard graphs are padded to common
+shapes: gids pad with n_local (sorted-tail sentinel, unreachable) and
+neighbor rows with -1; shards with fewer HNSW levels get all-sentinel levels
+whose descent is a no-op.  Padded VECTOR rows (when N % n_shard != 0) sit at
++1e9 so their distances never win, and their ids are masked to -1 after the
+merge.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from deepreadmapper_tpu.config import BuildConfig
+from deepreadmapper_tpu.index.hnsw import hnsw_search_device
+from deepreadmapper_tpu.index.registry import _REGISTRY
+from deepreadmapper_tpu.ops import pq as pq_ops
+
+_PAD_VAL = np.float32(1e9)
+
+
+def _pad_graph_stack(subs):
+    """Stack per-shard HNSWGraphData into common-shape device arrays.
+
+    Returns (neigh0 [S,n,2M], levels: tuple of (gids [S,nl], nbrs [S,nl,M]),
+    entries [S])."""
+    s = len(subs)
+    n_local = subs[0].graph.neighbors0.shape[0]
+    m = subs[0].graph.m
+    max_levels = max(g.graph.max_level for g in subs)
+    neigh0 = np.stack([g.graph.neighbors0 for g in subs])
+    entries = np.array([g.graph.entry_gid for g in subs], dtype=np.int32)
+    levels = []
+    for lvl in range(max_levels):
+        nl = max(
+            (g.graph.level_gids[lvl].shape[0] if lvl < g.graph.max_level else 0)
+            for g in subs
+        )
+        nl = max(nl, 1)
+        gids = np.full((s, nl), n_local, dtype=np.int64)  # sorted-tail sentinel
+        nbrs = np.full((s, nl, m), -1, dtype=np.int32)
+        for si, g in enumerate(subs):
+            if lvl < g.graph.max_level:
+                lg = g.graph.level_gids[lvl]
+                gids[si, : lg.shape[0]] = lg
+                nbrs[si, : lg.shape[0]] = g.graph.level_nbrs[lvl]
+        levels.append((gids, nbrs))
+    return neigh0, tuple(levels), entries
+
+
+class ShardedANNIndex:
+    """Build/search a mesh-sharded ANN index (HNSWPQ / HNSWFLAT)."""
+
+    def __init__(self, subs, mesh: Mesh, ntotal: int, index_type: str):
+        self.subs = subs
+        self.mesh = mesh
+        self.ntotal = ntotal
+        self.index_type = index_type
+        self.n_local = subs[0].graph.neighbors0.shape[0]
+        self.mode = subs[0].storage_mode
+        self._dev = None
+
+    @classmethod
+    def build(
+        cls,
+        embeddings: np.ndarray,
+        mesh: Mesh,
+        cfg: BuildConfig | None = None,
+        index_type: str = "HNSWPQ",
+    ):
+        cfg = cfg or BuildConfig()
+        n_shard = mesh.shape["shard"]
+        n = embeddings.shape[0]
+        pad = (-n) % n_shard
+        if pad:
+            embeddings = np.concatenate(
+                [
+                    embeddings,
+                    np.full((pad, embeddings.shape[1]), _PAD_VAL, np.float32),
+                ]
+            )
+        parts = np.split(np.asarray(embeddings, np.float32), n_shard)
+        eng = _REGISTRY[index_type]
+        subs = [eng.build(p, cfg) for p in parts]
+        return cls(subs, mesh, n, index_type)
+
+    # -------------------------------------------------------------- device
+
+    def _device(self):
+        if self._dev is not None:
+            return self._dev
+        mesh = self.mesh
+        sh = lambda *spec: NamedSharding(mesh, P(*spec))
+        neigh0, levels, entries = _pad_graph_stack(self.subs)
+        neigh0 = jax.device_put(jnp.asarray(neigh0), sh("shard", None, None))
+        levels = tuple(
+            (
+                jax.device_put(jnp.asarray(g), sh("shard", None)),
+                jax.device_put(jnp.asarray(nb), sh("shard", None, None)),
+            )
+            for g, nb in levels
+        )
+        entries = jax.device_put(jnp.asarray(entries), sh("shard"))
+        if self.mode == "pq":
+            storage = jax.device_put(
+                jnp.asarray(np.stack([s.codes for s in self.subs])),
+                sh("shard", None, None),
+            )
+            cents = jax.device_put(
+                jnp.asarray(
+                    np.stack(
+                        [np.asarray(s.codebook.centroids) for s in self.subs]
+                    )
+                ),
+                sh("shard", None, None, None),
+            )
+        else:
+            storage = jax.device_put(
+                jnp.asarray(np.stack([s.vectors for s in self.subs])),
+                sh("shard", None, None),
+            )
+            cents = None
+        self._dev = (neigh0, levels, entries, storage, cents)
+        return self._dev
+
+    # -------------------------------------------------------------- search
+
+    def search(self, queries: np.ndarray, k: int, ef: int = 128):
+        """queries [Q, D] -> (ids [Q, k] int64 global, dists [Q, k]).
+
+        Queries are data-parallel over the 'data' axis and replicated over
+        'shard'; Q must divide the 'data' axis size."""
+        neigh0, levels, entries, storage, cents = self._device()
+        mesh = self.mesh
+        ef_eff = max(ef, k)
+        k_local = min(max(ef, k), self.n_local)
+        n_local = self.n_local
+        ntotal = self.ntotal
+        mode = self.mode
+
+        level_specs = tuple(
+            (P("shard", None), P("shard", None, None)) for _ in levels
+        )
+
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(
+                P("data", None),
+                P("shard", None, None),
+                level_specs,
+                P("shard"),
+                P("shard", None, None) if mode == "pq" else P("shard", None, None),
+                (P("shard", None, None, None) if mode == "pq" else None),
+            ),
+            out_specs=(P("data", None), P("data", None)),
+            check_vma=False,
+        )
+        def _search(q, neigh0_s, levels_s, entry_s, storage_s, cents_s):
+            lv = tuple((g[0], nb[0]) for g, nb in levels_s)
+            if mode == "pq":
+                qdata = pq_ops.adc_tables(q, cents_s[0])
+            else:
+                qdata = q
+            d, i = hnsw_search_device(
+                neigh0_s[0],
+                lv,
+                entry_s[0],
+                storage_s[0],
+                qdata,
+                ef=ef_eff,
+                iters=ef_eff,
+                k=k_local,
+                mode=mode,
+            )
+            offset = jax.lax.axis_index("shard").astype(jnp.int32) * n_local
+            gid = jnp.where(i >= 0, i + offset, -1)
+            d = jnp.where((gid >= 0) & (gid < ntotal), d, jnp.float32(np.inf))
+            gid = jnp.where(gid < ntotal, gid, -1)
+            d_all = jax.lax.all_gather(d, "shard", axis=1, tiled=True)
+            i_all = jax.lax.all_gather(gid, "shard", axis=1, tiled=True)
+            neg, pos = jax.lax.top_k(-d_all, k)
+            return -neg, jnp.take_along_axis(i_all, pos, axis=1)
+
+        q = jax.device_put(
+            jnp.asarray(queries, jnp.float32),
+            NamedSharding(mesh, P("data", None)),
+        )
+        d, i = _search(q, neigh0, levels, entries, storage, cents)
+        return np.asarray(i, dtype=np.int64), np.asarray(d, dtype=np.float32)

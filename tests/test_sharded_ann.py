@@ -1,0 +1,103 @@
+"""Mesh-sharded ANN index (parallel/sharded_ann.py) on the virtual 8-device
+CPU mesh: recall parity with a single-shard index, global-id correctness,
+PQ mode, and non-divisible padding."""
+
+import numpy as np
+import pytest
+
+from deepreadmapper_tpu.config import BuildConfig
+from deepreadmapper_tpu.index.flat import FlatIndex
+from deepreadmapper_tpu.parallel.mesh import make_mesh
+from deepreadmapper_tpu.parallel.sharded_ann import ShardedANNIndex
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(21)
+    return rng.standard_normal((2048, 64)).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(n_data=2, n_shard=4)
+
+
+def test_sharded_hnswflat_recall(data, mesh):
+    x = data
+    q = x[:64] + np.float32(0.05)
+    ids_o, _ = FlatIndex(x).search(q, 10)
+    idx = ShardedANNIndex.build(
+        x, mesh, BuildConfig(m_hnsw=12), index_type="HNSWFLAT"
+    )
+    ids, d = idx.search(q, 10, ef=64)
+    recall = np.mean([len(set(ids_o[i]) & set(ids[i])) / 10 for i in range(64)])
+    assert recall >= 0.9, f"sharded recall {recall}"
+    # distances are true squared L2 of the returned global ids
+    dd = ((x[ids[0]] - q[0]) ** 2).sum(axis=1)
+    np.testing.assert_allclose(d[0], dd, rtol=1e-3, atol=1e-3)
+    # ids valid and globally unique per query
+    assert ids.min() >= 0 and ids.max() < x.shape[0]
+    for r in range(64):
+        assert len(set(ids[r])) == 10
+
+
+def test_sharded_pads_non_divisible(mesh):
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((1001, 32)).astype(np.float32)  # 1001 % 4 != 0
+    q = x[:16] + np.float32(0.02)
+    idx = ShardedANNIndex.build(
+        x, mesh, BuildConfig(m_hnsw=8), index_type="HNSWFLAT"
+    )
+    assert idx.ntotal == 1001
+    ids, d = idx.search(q, 8, ef=48)
+    assert ids.max() < 1001, "padded rows leaked into results"
+    ids_o, _ = FlatIndex(x).search(q, 8)
+    recall = np.mean([len(set(ids_o[i]) & set(ids[i])) / 8 for i in range(16)])
+    assert recall >= 0.85, recall
+
+
+def test_sharded_hnswpq_smoke(data, mesh):
+    x = data
+    q = x[:32] + np.float32(0.05)
+    idx = ShardedANNIndex.build(x, mesh, BuildConfig(), index_type="HNSWPQ")
+    ids, d = idx.search(q, 10, ef=64)
+    assert ids.shape == (32, 10)
+    assert ids.min() >= 0 and ids.max() < x.shape[0]
+    # ADC on random gaussians is coarse; gate vs the UNSHARDED HNSWPQ —
+    # sharding must not lose recall (it usually gains: 4 codebooks).
+    ids_o, _ = FlatIndex(x).search(q, 10)
+    recall = np.mean([len(set(ids_o[i]) & set(ids[i])) / 10 for i in range(32)])
+    from deepreadmapper_tpu.index.hnsw import HNSWPQIndex
+
+    ref = HNSWPQIndex.build(x, BuildConfig())
+    ids_r, _ = ref.search(q, 10, ef=64)
+    recall_ref = np.mean(
+        [len(set(ids_o[i]) & set(ids_r[i])) / 10 for i in range(32)]
+    )
+    assert recall >= recall_ref - 0.1, (recall, recall_ref)
+
+
+def test_sharded_matches_per_shard_reference(data, mesh):
+    """The shard_map search must equal searching each sub-index on one chip
+    and merging on host."""
+    x = data
+    q = x[:16] + np.float32(0.03)
+    idx = ShardedANNIndex.build(
+        x, mesh, BuildConfig(m_hnsw=12, seed=7), index_type="HNSWFLAT"
+    )
+    ids, d = idx.search(q, 10, ef=48)
+    # host-side reference merge
+    n_local = idx.n_local
+    all_d, all_i = [], []
+    for si, sub in enumerate(idx.subs):
+        i_s, d_s = sub.search(q, min(48, n_local), ef=48)
+        all_i.append(np.where(i_s >= 0, i_s + si * n_local, -1))
+        all_d.append(np.where(i_s >= 0, d_s, np.inf))
+    cat_i = np.concatenate(all_i, axis=1)
+    cat_d = np.concatenate(all_d, axis=1)
+    order = np.argsort(cat_d, axis=1, kind="stable")[:, :10]
+    want_i = np.take_along_axis(cat_i, order, axis=1)
+    want_d = np.take_along_axis(cat_d, order, axis=1)
+    np.testing.assert_allclose(np.sort(d, axis=1), np.sort(want_d, axis=1), rtol=1e-5)
+    for r in range(16):
+        assert set(ids[r]) == set(want_i[r])
