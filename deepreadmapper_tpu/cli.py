@@ -43,7 +43,13 @@ def _add_build(sub):
     p.add_argument("M_hnsw", nargs="?", type=int, default=16)
     p.add_argument("EFC", nargs="?", type=int, default=200)
     p.add_argument("--index-type", default="HNSWPQ",
-                   help="FLAT | PQFLAT | HNSWPQ (default)")
+                   help="FLAT | PQFLAT | HNSWPQ (default) | HNSWFLAT")
+    p.add_argument("--build-mode", default="insert", choices=["insert", "knn"],
+                   help="HNSW construction: incremental insert (default) or "
+                        "the MXU kNN-graph builder")
+    p.add_argument("--shards", type=int, default=1,
+                   help="shard the index over N mesh positions "
+                        "(multi-chip/multi-host serving)")
 
 
 def _add_inference(sub):
@@ -117,6 +123,7 @@ def main(argv=None) -> int:
             nbits=args.nbits,
             m_hnsw=args.M_hnsw,
             efc=args.EFC,
+            build_mode=args.build_mode,
         )
         config = build_index(
             args.ref_file,
@@ -125,6 +132,7 @@ def main(argv=None) -> int:
             stride=args.stride,
             index_type=args.index_type,
             build_cfg=cfg,
+            n_shards=args.shards,
         )
         print(f"[BUILD INDEX] saved {config['n_vects']} vectors to {args.index_prefix}")
         return 0

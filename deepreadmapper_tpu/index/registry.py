@@ -32,6 +32,17 @@ def load_index(index_prefix: str):
         raise FileNotFoundError(f"Config file does not exist: {config_path}")
     config = load_config(config_path)
     itype = str(config.get("index_type", ""))
+    if os.path.exists(os.path.join(index_prefix, "sharded.txt")):
+        # Mesh-sharded index (parallel/sharded_ann.py): one sub-index per
+        # shard axis position; builds a ('data','shard') mesh over the
+        # available devices.
+        from deepreadmapper_tpu.parallel.mesh import make_mesh
+        from deepreadmapper_tpu.parallel.sharded_ann import ShardedANNIndex
+
+        with open(os.path.join(index_prefix, "sharded.txt")) as f:
+            n_shard = int(f.readline().split(":", 1)[1])
+        mesh = make_mesh(n_shard=n_shard)
+        return ShardedANNIndex.load(index_prefix, mesh), config
     cls = _REGISTRY.get(itype)
     if cls is None:
         raise ValueError(

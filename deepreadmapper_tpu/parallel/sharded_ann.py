@@ -144,7 +144,13 @@ class ShardedANNIndex:
         """queries [Q, D] -> (ids [Q, k] int64 global, dists [Q, k]).
 
         Queries are data-parallel over the 'data' axis and replicated over
-        'shard'; Q must divide the 'data' axis size."""
+        'shard'; Q is padded up to a multiple of the 'data' axis."""
+        queries = np.asarray(queries, np.float32)
+        nq = queries.shape[0]
+        n_data = self.mesh.shape["data"]
+        pad_q = (-nq) % n_data
+        if pad_q:
+            queries = np.pad(queries, ((0, pad_q), (0, 0)))
         neigh0, levels, entries, storage, cents = self._device()
         mesh = self.mesh
         ef_eff = max(ef, k)
@@ -202,4 +208,46 @@ class ShardedANNIndex:
             NamedSharding(mesh, P("data", None)),
         )
         d, i = _search(q, neigh0, levels, entries, storage, cents)
-        return np.asarray(i, dtype=np.int64), np.asarray(d, dtype=np.float32)
+        i = np.asarray(i, dtype=np.int64)[:nq]
+        d = np.asarray(d, dtype=np.float32)[:nq]
+        return i, d
+
+    # -------------------------------------------------------- persistence
+
+    def save(self, index_prefix: str) -> None:
+        """One sub-index directory per shard (shard_0/..shard_{S-1}/) plus a
+        sharded.txt manifest; the per-index config.txt is written by the
+        build pipeline exactly as for single-chip indexes."""
+        import os
+
+        os.makedirs(index_prefix, exist_ok=True)
+        for si, sub in enumerate(self.subs):
+            sub_dir = os.path.join(index_prefix, f"shard_{si}")
+            os.makedirs(sub_dir, exist_ok=True)
+            sub.save(sub_dir)
+        with open(os.path.join(index_prefix, "sharded.txt"), "w") as f:
+            f.write(f"n_shard:{len(self.subs)}\n")
+            f.write(f"ntotal:{self.ntotal}\n")
+            f.write(f"inner:{self.index_type}\n")
+
+    @classmethod
+    def load(cls, index_prefix: str, mesh: Mesh):
+        import os
+
+        meta = {}
+        with open(os.path.join(index_prefix, "sharded.txt")) as f:
+            for line in f:
+                k, v = line.strip().split(":", 1)
+                meta[k] = v
+        n_shard = int(meta["n_shard"])
+        if mesh.shape["shard"] != n_shard:
+            raise ValueError(
+                f"index has {n_shard} shards but mesh shard axis is "
+                f"{mesh.shape['shard']}"
+            )
+        eng = _REGISTRY[meta["inner"]]
+        subs = [
+            eng.load(os.path.join(index_prefix, f"shard_{si}"))
+            for si in range(n_shard)
+        ]
+        return cls(subs, mesh, int(meta["ntotal"]), meta["inner"])

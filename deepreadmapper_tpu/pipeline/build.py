@@ -128,6 +128,7 @@ def build_index(
     index_type: str = "HNSWPQ",
     build_cfg: BuildConfig | None = None,
     vectorizer: Vectorizer | None = None,
+    n_shards: int = 1,
 ) -> dict:
     """Build + persist an index directory; returns the saved config."""
     cfg = build_cfg or BuildConfig(stride=stride)
@@ -158,6 +159,15 @@ def build_index(
     }
     os.makedirs(index_prefix, exist_ok=True)
     save_config(config, index_prefix)
+
+    if n_shards > 1:
+        from deepreadmapper_tpu.parallel.mesh import make_mesh
+        from deepreadmapper_tpu.parallel.sharded_ann import ShardedANNIndex
+
+        mesh = make_mesh(n_shard=n_shards)
+        engine = ShardedANNIndex.build(embeddings, mesh, cfg, index_type)
+        engine.save(index_prefix)
+        return config
 
     from deepreadmapper_tpu.index.registry import _REGISTRY
 

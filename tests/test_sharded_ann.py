@@ -101,3 +101,50 @@ def test_sharded_matches_per_shard_reference(data, mesh):
     np.testing.assert_allclose(np.sort(d, axis=1), np.sort(want_d, axis=1), rtol=1e-5)
     for r in range(16):
         assert set(ids[r]) == set(want_i[r])
+
+
+def test_sharded_save_load_roundtrip(tmp_path, data, mesh):
+    x = data[:1024]
+    q = x[:16] + np.float32(0.04)
+    idx = ShardedANNIndex.build(
+        x, mesh, BuildConfig(m_hnsw=8), index_type="HNSWFLAT"
+    )
+    prefix = str(tmp_path / "sidx")
+    idx.save(prefix)
+    loaded = ShardedANNIndex.load(prefix, mesh)
+    i1, d1 = idx.search(q, 8, ef=32)
+    i2, d2 = loaded.search(q, 8, ef=32)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(d1, d2, rtol=1e-6)
+
+
+def test_sharded_end_to_end_pipeline(tmp_path):
+    """build-index --shards 4 -> registry auto-loads the sharded engine ->
+    full pipeline produces npy/SAM on the fixture data."""
+    import os
+
+    from deepreadmapper_tpu.pipeline.build import build_index
+    from deepreadmapper_tpu.pipeline.search import run_pipeline
+
+    prefix = str(tmp_path / "shidx")
+    outdir = str(tmp_path / "out")
+    build_index(
+        "tests/data/ecoli_150.fna", prefix, 150,
+        index_type="HNSWFLAT", n_shards=4,
+    )
+    assert os.path.exists(os.path.join(prefix, "sharded.txt"))
+    res = run_pipeline(prefix, "tests/data/test_data.fastq",
+                       "tests/data/ecoli_150.fna", ef=96, k=16,
+                       output_dir=outdir)
+    ids = np.load(os.path.join(outdir, "indices.npy"))
+    assert ids.shape == (150, 16)
+    assert ids.max() < 1702
+    # quality: top hit position near the wgsim-encoded truth for most reads
+    from deepreadmapper_tpu.io.fastq import parse_fastq
+
+    _, names = parse_fastq("tests/data/test_data.fastq")
+    ok = sum(
+        abs(int(ids[i][0] // 2) - int(names[i].split("_")[1])) <= 10
+        for i in range(150)
+    )
+    assert ok >= 120, f"only {ok}/150 reads map near truth"
