@@ -35,36 +35,55 @@ def _round8(x: int) -> int:
     return -(-x // 8) * 8
 
 
-def _sw_kernel(av_ref, bflip_ref, out_ref, lr: int, lc: int, width: int):
-    p = av_ref.shape[1]
+def _sw_kernel(av_ref, bflip_ref, out_ref, h2_ref, h1_ref, best_ref,
+               lr: int, lc: int, width: int):
+    """Wavefront with in-place VMEM scratch (no loop-carried copies) and a
+    2-diagonal unroll.  h2_ref/h1_ref ping-pong as H_{d-2}/H_{d-1}; scores
+    stay int32 (this Mosaic build rejects int16 reductions and
+    cross-bitwidth selects; bisected).
 
-    # Single carried array [2*width + 8, P]: rows [0, W) = H_{d-2},
-    # [W, 2W) = H_{d-1}, [2W, 2W+8) = running max (row 0 meaningful).
-    def step(d, c):
+    One extra ghost diagonal may run past d = lr+lc when the count is odd;
+    its scores can only decay (s = -1 against the sentinel rows, -1 gap
+    penalties), so the running max is unaffected."""
+    h2_ref[:, :] = jnp.zeros_like(h2_ref)
+    h1_ref[:, :] = jnp.zeros_like(h1_ref)
+    best_ref[:, :] = jnp.zeros_like(best_ref)
+    one = jnp.int32(1)
+
+    def diag(d, h_prev2, h_prev1):
         av = av_ref[:, :]
-        h2 = c[0:width, :]
-        h1 = c[width : 2 * width, :]
-        best = c[2 * width : 2 * width + 8, :]
         bv = bflip_ref[pl.ds(lr + lc + 1 - d, width), :]
-        s = jnp.where(av == bv, 1, -1)
-        h2s = jnp.pad(h2[:-1, :], ((1, 0), (0, 0)))
-        h1s = jnp.pad(h1[:-1, :], ((1, 0), (0, 0)))
-        h = jnp.maximum(
-            jnp.maximum(h2s + s, 0),
-            jnp.maximum(h1s - 1, h1 - 1),
+        s = jnp.where(av == bv, one, -one)
+        h2s = jnp.pad(h_prev2[:-1, :], ((1, 0), (0, 0)))
+        h1s = jnp.pad(h_prev1[:-1, :], ((1, 0), (0, 0)))
+        return jnp.maximum(
+            jnp.maximum(h2s + s, jnp.zeros_like(s)),
+            jnp.maximum(h1s - one, h_prev1 - one),
         )
-        best = jnp.maximum(best, jnp.max(h, axis=0, keepdims=True))
-        return jnp.concatenate([h1, h, best], axis=0)
 
-    init = jnp.zeros((2 * width + 8, p), dtype=jnp.int32)
-    final = jax.lax.fori_loop(2, lr + lc + 1, step, init)
-    out_ref[:, :] = final[2 * width : 2 * width + 8, :]
+    def step2(i, _):
+        d = 2 + 2 * i
+        h2 = h2_ref[:, :]
+        h1 = h1_ref[:, :]
+        ha = diag(d, h2, h1)
+        hb = diag(d + 1, h1, ha)
+        h2_ref[:, :] = ha
+        h1_ref[:, :] = hb
+        # Elementwise running max over the full wavefront; the single
+        # reduction happens once after the loop, not every step.
+        best_ref[:, :] = jnp.maximum(best_ref[:, :], jnp.maximum(ha, hb))
+        return 0
+
+    n2 = (lr + lc - 1 + 1) // 2  # ceil of the diagonal count / 2
+    jax.lax.fori_loop(0, n2, step2, 0)
+    mx = jnp.max(best_ref[:, :], axis=0, keepdims=True)
+    out_ref[:, :] = jnp.broadcast_to(mx, out_ref.shape)
 
 
 @functools.partial(jax.jit, static_argnames=("lr", "lc", "interpret"))
 def _sw_pallas_call(av_u8, bflip_u8, lr: int, lc: int, interpret: bool = False):
     """av [width8, P] uint8 (transposed!), bflip [rows8, P] uint8 — uploaded
-    as bytes (4x cheaper host->HBM), widened to int32 on device."""
+    as bytes (4x cheaper host->HBM), widened on device."""
     av = av_u8.astype(jnp.int32)
     bflip = bflip_u8.astype(jnp.int32)
     p = av.shape[1]
@@ -82,6 +101,11 @@ def _sw_pallas_call(av_u8, bflip_u8, lr: int, lc: int, interpret: bool = False):
         ],
         out_specs=pl.BlockSpec((8, TILE_P), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, p), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((width, TILE_P), jnp.int32),
+            pltpu.VMEM((width, TILE_P), jnp.int32),
+            pltpu.VMEM((width, TILE_P), jnp.int32),
+        ],
         interpret=interpret,
     )(av, bflip)
 
