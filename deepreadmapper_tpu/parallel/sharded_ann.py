@@ -71,8 +71,18 @@ class ShardedANNIndex:
         self.mesh = mesh
         self.ntotal = ntotal
         self.index_type = index_type
-        self.n_local = subs[0].graph.neighbors0.shape[0]
-        self.mode = subs[0].storage_mode
+        if index_type == "FLAT":
+            self.kind = "flat"
+            self.n_local = subs[0].embeddings.shape[0]
+            self.mode = None
+        elif index_type == "PQFLAT":
+            self.kind = "pqflat"
+            self.n_local = subs[0].codes.shape[0]
+            self.mode = None
+        else:
+            self.kind = "graph"
+            self.n_local = subs[0].graph.neighbors0.shape[0]
+            self.mode = subs[0].storage_mode
         self._dev = None
 
     @classmethod
@@ -96,7 +106,10 @@ class ShardedANNIndex:
             )
         parts = np.split(np.asarray(embeddings, np.float32), n_shard)
         eng = _REGISTRY[index_type]
-        subs = [eng.build(p, cfg) for p in parts]
+        subs = [
+            eng.build(p, cfg) if hasattr(eng, "build") else eng(p)
+            for p in parts
+        ]
         return cls(subs, mesh, n, index_type)
 
     # -------------------------------------------------------------- device
@@ -106,6 +119,26 @@ class ShardedANNIndex:
             return self._dev
         mesh = self.mesh
         sh = lambda *spec: NamedSharding(mesh, P(*spec))
+        if self.kind == "flat":
+            vecs = jax.device_put(
+                jnp.asarray(np.stack([s.embeddings for s in self.subs])),
+                sh("shard", None, None),
+            )
+            self._dev = (None, (), None, vecs, None)
+            return self._dev
+        if self.kind == "pqflat":
+            codes = jax.device_put(
+                jnp.asarray(np.stack([s.codes for s in self.subs])),
+                sh("shard", None, None),
+            )
+            cents = jax.device_put(
+                jnp.asarray(
+                    np.stack([np.asarray(s.codebook.centroids) for s in self.subs])
+                ),
+                sh("shard", None, None, None),
+            )
+            self._dev = (None, (), None, codes, cents)
+            return self._dev
         neigh0, levels, entries = _pad_graph_stack(self.subs)
         neigh0 = jax.device_put(jnp.asarray(neigh0), sh("shard", None, None))
         levels = tuple(
@@ -158,6 +191,78 @@ class ShardedANNIndex:
         n_local = self.n_local
         ntotal = self.ntotal
         mode = self.mode
+
+        if self.kind in ("flat", "pqflat"):
+            kind = self.kind
+
+            def _merge(d, i):
+                offset = jax.lax.axis_index("shard").astype(jnp.int32) * n_local
+                gid = jnp.where(i >= 0, i + offset, -1)
+                d = jnp.where(
+                    (gid >= 0) & (gid < ntotal), d, jnp.float32(np.inf)
+                )
+                gid = jnp.where(gid < ntotal, gid, -1)
+                d_all = jax.lax.all_gather(d, "shard", axis=1, tiled=True)
+                i_all = jax.lax.all_gather(gid, "shard", axis=1, tiled=True)
+                neg, pos = jax.lax.top_k(-d_all, k)
+                return -neg, jnp.take_along_axis(i_all, pos, axis=1)
+
+            if kind == "flat":
+
+                @functools.partial(
+                    jax.shard_map,
+                    mesh=mesh,
+                    in_specs=(P("data", None), P("shard", None, None)),
+                    out_specs=(P("data", None), P("data", None)),
+                    check_vma=False,
+                )
+                def _search_exh(q, vecs_s):
+                    from deepreadmapper_tpu.ops.topk import _topk_once
+
+                    qn = jnp.sum(q * q, axis=-1)
+                    d, i = _topk_once(q, vecs_s[0], qn, k_local)
+                    return _merge(d, i)
+
+                d, i = _search_exh(
+                    jax.device_put(
+                        jnp.asarray(queries),
+                        NamedSharding(mesh, P("data", None)),
+                    ),
+                    storage,
+                )
+            else:
+
+                @functools.partial(
+                    jax.shard_map,
+                    mesh=mesh,
+                    in_specs=(
+                        P("data", None),
+                        P("shard", None, None),
+                        P("shard", None, None, None),
+                    ),
+                    out_specs=(P("data", None), P("data", None)),
+                    check_vma=False,
+                )
+                def _search_adc(q, codes_s, cents_s):
+                    from deepreadmapper_tpu.index.pq_flat import _adc_topk
+
+                    tables = pq_ops.adc_tables(q, cents_s[0])
+                    d, i = _adc_topk(
+                        tables, codes_s[0], jnp.int32(n_local), k_local, n_local
+                    )
+                    return _merge(d, i)
+
+                d, i = _search_adc(
+                    jax.device_put(
+                        jnp.asarray(queries),
+                        NamedSharding(mesh, P("data", None)),
+                    ),
+                    storage,
+                    cents,
+                )
+            i = np.asarray(i, dtype=np.int64)[:nq]
+            d = np.asarray(d, dtype=np.float32)[:nq]
+            return i, d
 
         level_specs = tuple(
             (P("shard", None), P("shard", None, None)) for _ in levels

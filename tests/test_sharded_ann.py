@@ -148,3 +148,43 @@ def test_sharded_end_to_end_pipeline(tmp_path):
         for i in range(150)
     )
     assert ok >= 120, f"only {ok}/150 reads map near truth"
+
+
+def test_sharded_flat_exact(data, mesh):
+    """Sharded FLAT must EQUAL the single-device exact oracle."""
+    x = data
+    q = x[:32] + np.float32(0.05)
+    idx = ShardedANNIndex.build(x, mesh, index_type="FLAT")
+    ids, d = idx.search(q, 10)
+    ids_o, d_o = FlatIndex(x).search(q, 10)
+    np.testing.assert_array_equal(ids, ids_o)
+    np.testing.assert_allclose(d, d_o, rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_pqflat_matches_per_shard(data, mesh):
+    """Sharded PQFLAT == host merge of each shard's exhaustive ADC scan."""
+    x = data[:1024]
+    q = x[:16] + np.float32(0.03)
+    idx = ShardedANNIndex.build(x, mesh, BuildConfig(), index_type="PQFLAT")
+    ids, d = idx.search(q, 8)
+    n_local = idx.n_local
+    all_i, all_d = [], []
+    for si, sub in enumerate(idx.subs):
+        i_s, d_s = sub.search(q, 8)
+        all_i.append(np.where(i_s >= 0, i_s + si * n_local, -1))
+        all_d.append(d_s)
+    cat_i = np.concatenate(all_i, axis=1)
+    cat_d = np.concatenate(all_d, axis=1)
+    order = np.argsort(cat_d, axis=1, kind="stable")[:, :8]
+    want_d = np.take_along_axis(cat_d, order, axis=1)
+    np.testing.assert_allclose(
+        np.sort(d, axis=1), np.sort(want_d, axis=1), rtol=1e-4, atol=1e-4
+    )
+    # roundtrip
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        idx.save(tmp)
+        loaded = ShardedANNIndex.load(tmp, mesh)
+        i2, d2 = loaded.search(q, 8)
+        np.testing.assert_array_equal(ids, i2)
