@@ -211,11 +211,14 @@ class Vectorizer:
 
         return self.vectorize_wire(pack_wrapped(mat, lengths))
 
-    def vectorize_wire(self, wire: np.ndarray) -> np.ndarray:
+    def vectorize_wire(self, wire: np.ndarray, device_out: bool = False):
         """Pre-packed 48-byte wire rows (tokenizer_device format) ->
-        embeddings; batches to fixed shapes, async dispatch."""
+        embeddings; batches to fixed shapes, async dispatch.
+
+        device_out=True keeps the result on device as a jax array — at genome
+        scale the embeddings feed straight into PQ encoding, and skipping the
+        host round-trip avoids downloading 512 B/window over the link."""
         n = wire.shape[0]
-        out = np.empty((n, OUT_SIZE), dtype=np.float32)
         bs = self.device_batch
         pending = []
         for start in range(0, n, bs):
@@ -225,6 +228,11 @@ class Vectorizer:
             pending.append(
                 (start, encode_packed(self.params, jnp.asarray(w), dtype=self.dtype))
             )
+        if device_out:
+            embs = [e for _, e in pending]
+            out = jnp.concatenate(embs, axis=0) if len(embs) > 1 else embs[0]
+            return out[:n]
+        out = np.empty((n, OUT_SIZE), dtype=np.float32)
         for start, emb in pending:
             out[start : start + bs] = np.asarray(emb)[: min(bs, n - start)]
         return out

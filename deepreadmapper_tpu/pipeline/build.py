@@ -25,9 +25,13 @@ def embed_fasta_windows(
     stride: int,
     vectorizer: Vectorizer,
     window_chunk: int = 65536,
-) -> np.ndarray:
+    device_out: bool = False,
+):
     """Embed every (fwd, revcomp) window of every record, streamed in chunks
-    so genome-scale inputs never materialize all window bytes at once."""
+    so genome-scale inputs never materialize all window bytes at once.
+
+    device_out=True returns a jax array resident on device (PQ builds encode
+    straight from it, skipping a 512 B/window host download)."""
     from deepreadmapper_tpu import native
 
     use_native = native.available()
@@ -43,7 +47,7 @@ def embed_fasta_windows(
                 # genome bytes; tokenization happens on device (48 B/window
                 # upload instead of 246 B of uint16 tokens).
                 wire = native.pack_windows(rec, ref_len, stride, start, n)
-                outs.append(vectorizer.vectorize_wire(wire))
+                outs.append(vectorizer.vectorize_wire(wire, device_out=device_out))
                 continue
             if use_native:
                 tokens = native.tokenize_windows(
@@ -55,10 +59,26 @@ def embed_fasta_windows(
                     rec, positions, ref_len, vectorizer.max_len
                 )
                 tokens = tok.tokenize_bytes(mat, lengths, vectorizer.max_len)
-            outs.append(vectorizer.vectorize_tokens(tokens))
+            emb = vectorizer.vectorize_tokens(tokens)
+            outs.append(jnp_asarray(emb) if device_out else emb)
     if not outs:
-        return np.zeros((0, 128), dtype=np.float32)
+        z = np.zeros((0, 128), dtype=np.float32)
+        return jnp_asarray(z) if device_out else z
+    if device_out:
+        return jnp_concat(outs)
     return np.concatenate(outs, axis=0)
+
+
+def jnp_asarray(x):
+    import jax.numpy as jnp
+
+    return jnp.asarray(x)
+
+
+def jnp_concat(xs):
+    import jax.numpy as jnp
+
+    return jnp.concatenate(xs, axis=0) if len(xs) > 1 else xs[0]
 
 
 def stream_embed_fasta_to_npy(
@@ -100,14 +120,17 @@ def stream_embed_fasta_to_npy(
 
 
 def embed_input_file(
-    path: str, ref_len: int, stride: int, vectorizer: Vectorizer
-) -> np.ndarray:
+    path: str, ref_len: int, stride: int, vectorizer: Vectorizer,
+    device_out: bool = False,
+):
     ext = os.path.splitext(path)[1].lower()
     if ext == ".npy":
         return load_embeddings_npy(path)
     if ext in FASTA_EXTS:
         records = fasta_io.parse_fasta_records(path)
-        return embed_fasta_windows(records, ref_len, stride, vectorizer)
+        return embed_fasta_windows(
+            records, ref_len, stride, vectorizer, device_out=device_out
+        )
     if ext in FASTQ_EXTS:
         from deepreadmapper_tpu.io.fastq import parse_fastq_bytes
 
@@ -134,7 +157,12 @@ def build_index(
     cfg = build_cfg or BuildConfig(stride=stride)
     vectorizer = vectorizer or Vectorizer()
 
-    embeddings = embed_input_file(ref_file, ref_len, stride, vectorizer)
+    # PQFLAT consumes embeddings on device (encode_pq downloads only the
+    # 8 B/window codes); graph builds need host vectors anyway.
+    device_out = index_type == "PQFLAT" and n_shards == 1
+    embeddings = embed_input_file(
+        ref_file, ref_len, stride, vectorizer, device_out=device_out
+    )
     if embeddings.shape[0] == 0:
         raise ValueError(f"No sequences found in file: {ref_file}")
 
