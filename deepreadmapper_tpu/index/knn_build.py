@@ -49,16 +49,23 @@ def exact_knn(
     N-1 < k).  Queries stream in chunks so peak memory is
     O(query_chunk * ref_chunk), refs stream inside l2_topk.
     """
-    v = np.asarray(vectors, dtype=np.float32)
-    n = v.shape[0]
+    vj = vectors if isinstance(vectors, jax.Array) else jnp.asarray(
+        np.asarray(vectors, dtype=np.float32)
+    )  # device-resident ONCE; never re-uploaded per chunk
+    n = vj.shape[0]
     kq = min(k + 1, n)  # +1 so the self hit can be dropped
     out_d = np.empty((n, k), dtype=np.float32)
     out_i = np.empty((n, k), dtype=np.int64)
     for s in range(0, n, query_chunk):
         e = min(s + query_chunk, n)
-        d, i = l2_topk(v[s:e], v, kq, chunk=ref_chunk)
-        d = np.asarray(d)
-        i = np.asarray(i, dtype=np.int64)
+        q = vj[s:e]
+        if e - s < query_chunk:
+            # pad the tail chunk so every call shares ONE compiled program
+            # (remote AOT compiles cost tens of seconds per shape signature)
+            q = jnp.pad(q, ((0, query_chunk - (e - s)), (0, 0)))
+        d, i = l2_topk(q, vj, kq, chunk=ref_chunk)
+        d = np.asarray(d)[: e - s]
+        i = np.asarray(i, dtype=np.int64)[: e - s]
         rows = np.arange(s, e)[:, None]
         # Drop the self column: the self hit has distance exactly 0 and wins
         # the lower-id tie-break unless an identical lower-id row exists, so
@@ -120,27 +127,36 @@ def prune_neighbors(
     """Run the device prune slab-by-slab; compact kept ids to [N, cap], -1 pad.
 
     cand_ids rows must be distance-ascending (exact_knn output order)."""
-    v = np.asarray(vectors, np.float32)
+    vj = vectors if isinstance(vectors, jax.Array) else jnp.asarray(
+        np.asarray(vectors, np.float32)
+    )
     n, kk = cand_ids.shape
     if slab is None:
         # Bound the [slab, K, K] pairwise tensor (+ its copy) to ~2 GB HBM.
         slab = max(256, min(16384, int(2e9 / max(kk * kk * 8, 1))))
     out = np.full((n, cap), -1, dtype=np.int32)
-    vj = jnp.asarray(v)
     for s in range(0, n, slab):
         e = min(s + slab, n)
+        b = e - s
         ids = cand_ids[s:e]
         valid = ids >= 0
-        gat = jnp.take(vj, jnp.asarray(np.maximum(ids, 0)), axis=0)
+        if b < slab:  # pad the tail slab: one compiled program per width
+            ids_p = np.pad(ids, ((0, slab - b), (0, 0)), constant_values=-1)
+            d_p = np.pad(cand_d[s:e], ((0, slab - b), (0, 0)))
+            val_p = np.pad(valid, ((0, slab - b), (0, 0)))
+            vq = jnp.pad(vj[s:e], ((0, slab - b), (0, 0)))
+        else:
+            ids_p, d_p, val_p, vq = ids, cand_d[s:e], valid, vj[s:e]
+        gat = jnp.take(vj, jnp.asarray(np.maximum(ids_p, 0)), axis=0)
         keep = np.asarray(
             _prune_heuristic_device(
-                vj[s:e],
+                vq,
                 gat,
-                jnp.asarray(cand_d[s:e]),
-                jnp.asarray(valid),
+                jnp.asarray(d_p),
+                jnp.asarray(val_p),
                 cap,
             )
-        )
+        )[:b]
         # compact kept ids to the left (stable: kept entries stay rank-sorted)
         order = np.argsort(~keep, axis=1, kind="stable")
         c = min(cap, kk)
@@ -203,6 +219,43 @@ def _dedup_rows(cand: np.ndarray) -> np.ndarray:
     return out
 
 
+def _prune_host(v: np.ndarray, cand: np.ndarray, d: np.ndarray, cap: int):
+    """Host shrink heuristic (same rule as _prune_heuristic_device)."""
+    from deepreadmapper_tpu.index.hnsw_build import _select_neighbors_heuristic
+
+    n = cand.shape[0]
+    out = np.full((n, cap), -1, dtype=np.int32)
+    for r in range(n):
+        ok = cand[r] >= 0
+        sel = _select_neighbors_heuristic(
+            v, r, list(zip(d[r][ok].tolist(), cand[r][ok].tolist())), cap
+        )
+        out[r, : len(sel)] = sel
+    return out
+
+
+def _knn_layer_host(v: np.ndarray, m: int, cap: int, k_cand: int) -> np.ndarray:
+    """Tiny layers (upper HNSW levels) run entirely on host: a device round
+    would recompile per distinct level size (~20s each on remote AOT)."""
+    n = v.shape[0]
+    d2 = ((v[:, None, :] - v[None, :, :]) ** 2).sum(axis=2).astype(np.float32)
+    np.fill_diagonal(d2, np.inf)
+    k = min(k_cand, n - 1)
+    ki = np.argsort(d2, axis=1, kind="stable")[:, :k]
+    kd = np.take_along_axis(d2, ki, axis=1)
+    fwd = _prune_host(v, ki.astype(np.int64), kd, m)
+    cand = _dedup_rows(_add_reverse_edges(fwd, n, cap))
+    dc = np.where(
+        cand >= 0,
+        np.take_along_axis(d2, np.maximum(cand, 0), axis=1),
+        np.float32(np.inf),
+    )
+    order = np.argsort(dc, axis=1, kind="stable")
+    cand = np.take_along_axis(cand, order, axis=1)
+    dc = np.take_along_axis(dc, order, axis=1)
+    return _prune_host(v, cand, dc, cap)
+
+
 def _knn_layer(
     vectors: np.ndarray, m: int, cap: int, k_cand: int
 ) -> np.ndarray:
@@ -211,19 +264,27 @@ def _knn_layer(
     n = vectors.shape[0]
     if n <= 1:
         return np.full((n, cap), -1, dtype=np.int32)
-    v = np.asarray(vectors, np.float32)
-    kd, ki = exact_knn(v, min(k_cand, n - 1))
-    fwd = prune_neighbors(v, ki, kd, m)
+    if n <= 4096:
+        return _knn_layer_host(np.asarray(vectors, np.float32), m, cap, k_cand)
+    vj = vectors if isinstance(vectors, jax.Array) else jnp.asarray(
+        np.asarray(vectors, np.float32)
+    )
+    kd, ki = exact_knn(vj, min(k_cand, n - 1))
+    fwd = prune_neighbors(vj, ki, kd, m)
     cand = _dedup_rows(_add_reverse_edges(fwd, n, cap))
     # distance-rank the merged candidate lists slab-wise on device
     width = cand.shape[1]
     d = np.empty((n, width), dtype=np.float32)
-    vj = jnp.asarray(v)
-    for s in range(0, n, 16384):
-        e = min(s + 16384, n)
-        d[s:e] = np.asarray(
-            _edge_dists(vj, jnp.asarray(v[s:e]), jnp.asarray(cand[s:e]))
-        )
+    slab = 16384
+    for s in range(0, n, slab):
+        e = min(s + slab, n)
+        b = e - s
+        if b < slab:
+            vq = jnp.pad(vj[s:e], ((0, slab - b), (0, 0)))
+            cp = np.pad(cand[s:e], ((0, slab - b), (0, 0)), constant_values=-1)
+        else:
+            vq, cp = vj[s:e], cand[s:e]
+        d[s:e] = np.asarray(_edge_dists(vj, vq, jnp.asarray(cp)))[:b]
     order = np.argsort(d, axis=1, kind="stable")
     cand = np.take_along_axis(cand, order, axis=1)
     d = np.take_along_axis(d, order, axis=1)
@@ -231,7 +292,7 @@ def _knn_layer(
     # neighbors and essentially never reaches past the nearest few*cap, so
     # bound the pairwise-prune width (keeps the [slab,K,K] tensor in HBM).
     w = min(cand.shape[1], max(4 * cap, k_cand))
-    return prune_neighbors(v, cand[:, :w], d[:, :w], cap)
+    return prune_neighbors(vj, cand[:, :w], d[:, :w], cap)
 
 
 def build_hnsw_knn(
@@ -246,20 +307,24 @@ def build_hnsw_knn(
     batched beam search (hnsw.py) is builder-agnostic.  k_cand (default 3M)
     is the kNN width fed to the pruning heuristic — wider = better diversity.
     """
-    v = np.asarray(vectors, np.float32)
-    n = v.shape[0]
+    vd = vectors if isinstance(vectors, jax.Array) else jnp.asarray(
+        np.asarray(vectors, np.float32)
+    )
+    n = vd.shape[0]
     if k_cand is None:
         k_cand = 3 * m
     levels = assign_levels(n, m, seed)
     max_level = int(levels.max(initial=0))
 
-    neighbors0 = _knn_layer(v, m, 2 * m, k_cand)
+    neighbors0 = _knn_layer(vd, m, 2 * m, k_cand)
 
     level_gids: list[np.ndarray] = []
     level_nbrs: list[np.ndarray] = []
     for lvl in range(1, max_level + 1):
         gids = np.flatnonzero(levels >= lvl).astype(np.int64)
-        nb = _knn_layer(v[gids], m, m, min(k_cand, max(int(gids.size) - 1, 1)))
+        nb = _knn_layer(
+            vd[jnp.asarray(gids)], m, m, min(k_cand, max(int(gids.size) - 1, 1))
+        )
         level_gids.append(gids)
         level_nbrs.append(nb.astype(np.int32))  # already row indices in-level
     # entry point: deepest node, lowest id on ties (hnsw_build puts the last
