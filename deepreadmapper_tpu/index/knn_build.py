@@ -56,6 +56,10 @@ def exact_knn(
     kq = min(k + 1, n)  # +1 so the self hit can be dropped
     out_d = np.empty((n, k), dtype=np.float32)
     out_i = np.empty((n, k), dtype=np.int64)
+    # Dispatch every chunk before fetching any result: fetches are the sync
+    # points on this backend (~25-30 ms link latency each), so interleaving
+    # them with dispatch would serialize the whole sweep.
+    pending = []
     for s in range(0, n, query_chunk):
         e = min(s + query_chunk, n)
         q = vj[s:e]
@@ -63,7 +67,8 @@ def exact_knn(
             # pad the tail chunk so every call shares ONE compiled program
             # (remote AOT compiles cost tens of seconds per shape signature)
             q = jnp.pad(q, ((0, query_chunk - (e - s)), (0, 0)))
-        d, i = l2_topk(q, vj, kq, chunk=ref_chunk)
+        pending.append((s, e, l2_topk(q, vj, kq, chunk=ref_chunk)))
+    for s, e, (d, i) in pending:
         d = np.asarray(d)[: e - s]
         i = np.asarray(i, dtype=np.int64)[: e - s]
         rows = np.arange(s, e)[:, None]

@@ -37,10 +37,12 @@ def load_index(index_prefix: str):
         # shard axis position; builds a ('data','shard') mesh over the
         # available devices.
         from deepreadmapper_tpu.parallel.mesh import make_mesh
-        from deepreadmapper_tpu.parallel.sharded_ann import ShardedANNIndex
+        from deepreadmapper_tpu.parallel.sharded_ann import (
+            ShardedANNIndex,
+            read_manifest,
+        )
 
-        with open(os.path.join(index_prefix, "sharded.txt")) as f:
-            n_shard = int(f.readline().split(":", 1)[1])
+        n_shard = int(read_manifest(index_prefix)["n_shard"])
         mesh = make_mesh(n_shard=n_shard)
         return ShardedANNIndex.load(index_prefix, mesh), config
     cls = _REGISTRY.get(itype)

@@ -86,18 +86,6 @@ def load_params(npz_path: str = ir_loader.DEFAULT_NPZ) -> EncoderParams:
     )
 
 
-def _gru_direction(x_proj: jax.Array, r_mat: jax.Array, rbh: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """One direction over time-major input gates x_proj [T, B, 192].
-
-    Dispatches to the Pallas VMEM-resident-carry kernel on TPU (fp32), the
-    lax.scan reference otherwise (models/gru_pallas.py; both differentiable).
-    Returns (final hidden [B, 64], all hiddens [T, B, 64])."""
-    from deepreadmapper_tpu.models.gru_pallas import gru_seq
-
-    hs = gru_seq(x_proj, r_mat, rbh, False)
-    return hs[-1], hs
-
-
 def encode_tokens_impl(params: EncoderParams, tokens: jax.Array, dtype: str = "float32") -> jax.Array:
     """Trace-safe body of encode_tokens (callers may jit it fused with more).
 

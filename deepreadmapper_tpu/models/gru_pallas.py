@@ -65,97 +65,6 @@ def _scan_impl(gx, r_mat, rbh, reverse: bool):
 # ------------------------------------------------------------- pallas impl
 
 
-def _gru_kernel(gx_ref, r_ref, rbh_ref, hs_ref, h_ref, *, t_steps):
-    t = pl.program_id(1)
-
-    @pl.when(t == 0)
-    def _():
-        h_ref[:] = jnp.zeros_like(h_ref)
-
-    h = h_ref[:]
-    gx = gx_ref[0]  # [BT, 192]
-    gh = jnp.dot(h, r_ref[:], preferred_element_type=jnp.float32)
-    z = jax.nn.sigmoid(gx[:, :H] + gh[:, :H])
-    r = jax.nn.sigmoid(gx[:, H : 2 * H] + gh[:, H : 2 * H])
-    n = jnp.tanh(gx[:, 2 * H :] + r * (gh[:, 2 * H :] + rbh_ref[:]))
-    hn = (1.0 - z) * n + z * h
-    h_ref[:] = hn
-    hs_ref[0] = hn
-
-
-def _gru_last_kernel(gx_ref, r_ref, rbh_ref, ht_ref, h_ref, *, t_steps):
-    t = pl.program_id(1)
-
-    @pl.when(t == 0)
-    def _():
-        h_ref[:] = jnp.zeros_like(h_ref)
-
-    h = h_ref[:]
-    gx = gx_ref[0]  # [BT, 192]
-    gh = jnp.dot(h, r_ref[:], preferred_element_type=jnp.float32)
-    z = jax.nn.sigmoid(gx[:, :H] + gh[:, :H])
-    r = jax.nn.sigmoid(gx[:, H : 2 * H] + gh[:, H : 2 * H])
-    n = jnp.tanh(gx[:, 2 * H :] + r * (gh[:, 2 * H :] + rbh_ref[:]))
-    hn = (1.0 - z) * n + z * h
-    h_ref[:] = hn
-
-    @pl.when(t == t_steps - 1)
-    def _():
-        ht_ref[:] = hn
-
-
-def _pallas_last_impl(gx, r_mat, rbh, reverse: bool, bt: int = _DEF_BT):
-    t_steps, b, _ = gx.shape
-    bt = min(bt, max(8, b))
-    pad = (-b) % bt
-    if pad:
-        gx = jnp.pad(gx, ((0, 0), (0, pad), (0, 0)))
-    bp = b + pad
-    if reverse:
-        tmap = lambda i, t: (t_steps - 1 - t, i, 0)
-    else:
-        tmap = lambda i, t: (t, i, 0)
-    ht = pl.pallas_call(
-        functools.partial(_gru_last_kernel, t_steps=t_steps),
-        grid=(bp // bt, t_steps),
-        in_specs=[
-            pl.BlockSpec((1, bt, G), tmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, G), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((bt, H), lambda i, t: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bp, H), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((bt, H), jnp.float32)],
-    )(gx, r_mat, rbh.reshape(1, H))
-    return ht[:b] if pad else ht
-
-
-def _pallas_impl(gx, r_mat, rbh, reverse: bool, bt: int = _DEF_BT):
-    t_steps, b, _ = gx.shape
-    bt = min(bt, max(8, b))
-    pad = (-b) % bt
-    if pad:
-        gx = jnp.pad(gx, ((0, 0), (0, pad), (0, 0)))
-    bp = b + pad
-    if reverse:
-        tmap = lambda i, t: (t_steps - 1 - t, i, 0)
-    else:
-        tmap = lambda i, t: (t, i, 0)
-    hs = pl.pallas_call(
-        functools.partial(_gru_kernel, t_steps=t_steps),
-        grid=(bp // bt, t_steps),
-        in_specs=[
-            pl.BlockSpec((1, bt, G), tmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, G), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, bt, H), tmap, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t_steps, bp, H), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((bt, H), jnp.float32)],
-    )(gx, r_mat, rbh.reshape(1, H))
-    return hs[:, :b] if pad else hs
-
-
 # ------------------------------------------- fused-projection pallas impl
 #
 # The hoisted input projection writes a [T,B,192] fp32 gate array to HBM that
@@ -282,55 +191,3 @@ def _gpl_bwd(reverse, res, ct):
 
 
 gru_proj_last.defvjp(_gpl_fwd, _gpl_bwd)
-
-
-# --------------------------------------------------------- public entries
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def gru_seq(gx, r_mat, rbh, reverse: bool):
-    """All hidden states: gx [T,B,192] -> hs [T,B,64] (original positions)."""
-    if use_pallas() and gx.dtype == jnp.float32:
-        return _pallas_impl(gx, r_mat, rbh, reverse)
-    return _scan_impl(gx, r_mat, rbh, reverse)
-
-
-def _gru_seq_fwd(gx, r_mat, rbh, reverse):
-    return gru_seq(gx, r_mat, rbh, reverse), (gx, r_mat, rbh)
-
-
-def _gru_seq_bwd(reverse, res, ct):
-    gx, r_mat, rbh = res
-    _, vjp = jax.vjp(lambda g, r, b: _scan_impl(g, r, b, reverse), gx, r_mat, rbh)
-    return vjp(ct)
-
-
-gru_seq.defvjp(_gru_seq_fwd, _gru_seq_bwd)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def gru_last(gx, r_mat, rbh, reverse: bool):
-    """Final carry only: gx [T,B,192] -> hT [B,64].  Skips the hidden-state
-    writeback entirely (layer 2 only needs the final hidden per direction)."""
-    if use_pallas() and gx.dtype == jnp.float32:
-        return _pallas_last_impl(gx, r_mat, rbh, reverse)
-    hs = _scan_impl(gx, r_mat, rbh, reverse)
-    return hs[0] if reverse else hs[-1]
-
-
-def _gru_last_fwd(gx, r_mat, rbh, reverse):
-    return gru_last(gx, r_mat, rbh, reverse), (gx, r_mat, rbh)
-
-
-def _gru_last_bwd(reverse, res, ct):
-    gx, r_mat, rbh = res
-
-    def ref(g, r, b):
-        hs = _scan_impl(g, r, b, reverse)
-        return hs[0] if reverse else hs[-1]
-
-    _, vjp = jax.vjp(ref, gx, r_mat, rbh)
-    return vjp(ct)
-
-
-gru_last.defvjp(_gru_last_fwd, _gru_last_bwd)

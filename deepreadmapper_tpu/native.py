@@ -15,7 +15,11 @@ import numpy as np
 
 _SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                     "native", "drm_native.cpp")
-_SO = os.path.join(os.path.dirname(_SRC), "_drm_native.so")
+# The ABI version is part of the filename: dlopen caches by path, so
+# rebuilding over an already-loaded path silently returns the stale handle
+# (glibc never unloads it).  A version bump makes the old binary invisible.
+_ABI_VERSION = 2
+_SO = os.path.join(os.path.dirname(_SRC), f"_drm_native_v{_ABI_VERSION}.so")
 
 _lib = None
 _tried = False
@@ -48,16 +52,10 @@ def _load():
         lib = ctypes.CDLL(_SO)
     except OSError:
         return None
-    # Stale binary from an older source revision: rebuild once.
     lib.drm_version.restype = ctypes.c_int32
-    if lib.drm_version() < 2:
-        del lib
-        if not (os.path.exists(_SRC) and _build()):
-            return None
-        try:
-            lib = ctypes.CDLL(_SO)
-        except OSError:
-            return None
+    if lib.drm_version() != _ABI_VERSION:
+        # Shouldn't happen (version is in the filename); numpy fallback.
+        return None
     c_i64 = ctypes.c_int64
     c_i32 = ctypes.c_int32
     p_u8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")

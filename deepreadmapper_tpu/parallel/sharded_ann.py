@@ -31,7 +31,20 @@ from deepreadmapper_tpu.index.hnsw import hnsw_search_device
 from deepreadmapper_tpu.index.registry import _REGISTRY
 from deepreadmapper_tpu.ops import pq as pq_ops
 
-_PAD_VAL = np.float32(1e9)
+def read_manifest(index_prefix: str) -> dict:
+    """Parse <prefix>/sharded.txt (key:value lines) — the single source of
+    truth for shard count shared by the registry loader and load()."""
+    import os
+
+    meta = {}
+    with open(os.path.join(index_prefix, "sharded.txt")) as f:
+        for line in f:
+            line = line.strip()
+            if not line or ":" not in line:
+                continue
+            k, v = line.split(":", 1)
+            meta[k] = v
+    return meta
 
 
 def _pad_graph_stack(subs):
@@ -84,6 +97,7 @@ class ShardedANNIndex:
             self.n_local = subs[0].graph.neighbors0.shape[0]
             self.mode = subs[0].storage_mode
         self._dev = None
+        self._fns: dict = {}
 
     @classmethod
     def build(
@@ -98,11 +112,11 @@ class ShardedANNIndex:
         n = embeddings.shape[0]
         pad = (-n) % n_shard
         if pad:
+            # Pad by REPEATING the last real row: pad ids are masked after the
+            # merge anyway (gid >= ntotal), and unlike sentinel values a real
+            # row does not poison the last shard's PQ k-means training.
             embeddings = np.concatenate(
-                [
-                    embeddings,
-                    np.full((pad, embeddings.shape[1]), _PAD_VAL, np.float32),
-                ]
+                [embeddings, np.repeat(embeddings[-1:], pad, axis=0)]
             )
         parts = np.split(np.asarray(embeddings, np.float32), n_shard)
         eng = _REGISTRY[index_type]
@@ -173,6 +187,121 @@ class ShardedANNIndex:
 
     # -------------------------------------------------------------- search
 
+    def _merge_fn(self, k: int):
+        """Shard-local -> global: offset ids, mask pad rows, all_gather merge."""
+        n_local, ntotal = self.n_local, self.ntotal
+
+        def merge(d, i):
+            offset = jax.lax.axis_index("shard").astype(jnp.int32) * n_local
+            gid = jnp.where(i >= 0, i + offset, -1)
+            d = jnp.where((gid >= 0) & (gid < ntotal), d, jnp.float32(np.inf))
+            gid = jnp.where(gid < ntotal, gid, -1)
+            d_all = jax.lax.all_gather(d, "shard", axis=1, tiled=True)
+            i_all = jax.lax.all_gather(gid, "shard", axis=1, tiled=True)
+            neg, pos = jax.lax.top_k(-d_all, k)
+            return -neg, jnp.take_along_axis(i_all, pos, axis=1)
+
+        return merge
+
+    def _get_search_fn(self, k: int, ef_eff: int, k_local: int):
+        """Build (once per (k, ef) signature) the jit-wrapped shard_map search
+        — redefining the closure per call would retrace + recompile every
+        search() invocation."""
+        key = (k, ef_eff, k_local)
+        fn = self._fns.get(key)
+        if fn is not None:
+            return fn
+        mesh = self.mesh
+        mode = self.mode
+        n_local = self.n_local
+        merge = self._merge_fn(k)
+
+        if self.kind == "flat":
+
+            @functools.partial(
+                jax.shard_map,
+                mesh=mesh,
+                in_specs=(P("data", None), P("shard", None, None)),
+                out_specs=(P("data", None), P("data", None)),
+                check_vma=False,
+            )
+            def body(q, vecs_s):
+                from deepreadmapper_tpu.ops.topk import _topk_once
+
+                qn = jnp.sum(q * q, axis=-1)
+                d, i = _topk_once(q, vecs_s[0], qn, k_local)
+                return merge(d, i)
+
+            fn = jax.jit(lambda q, dev: body(q, dev[3]))
+        elif self.kind == "pqflat":
+
+            @functools.partial(
+                jax.shard_map,
+                mesh=mesh,
+                in_specs=(
+                    P("data", None),
+                    P("shard", None, None),
+                    P("shard", None, None, None),
+                ),
+                out_specs=(P("data", None), P("data", None)),
+                check_vma=False,
+            )
+            def body(q, codes_s, cents_s):
+                from deepreadmapper_tpu.index.pq_flat import _adc_topk
+
+                tables = pq_ops.adc_tables(q, cents_s[0])
+                d, i = _adc_topk(
+                    tables, codes_s[0], jnp.int32(n_local), k_local, n_local
+                )
+                return merge(d, i)
+
+            fn = jax.jit(lambda q, dev: body(q, dev[3], dev[4]))
+        else:
+            n_levels = len(self._device()[1])
+            level_specs = tuple(
+                (P("shard", None), P("shard", None, None))
+                for _ in range(n_levels)
+            )
+
+            @functools.partial(
+                jax.shard_map,
+                mesh=mesh,
+                in_specs=(
+                    P("data", None),
+                    P("shard", None, None),
+                    level_specs,
+                    P("shard"),
+                    P("shard", None, None),
+                    (P("shard", None, None, None) if mode == "pq" else None),
+                ),
+                out_specs=(P("data", None), P("data", None)),
+                check_vma=False,
+            )
+            def body(q, neigh0_s, levels_s, entry_s, storage_s, cents_s):
+                lv = tuple((g[0], nb[0]) for g, nb in levels_s)
+                if mode == "pq":
+                    qdata = pq_ops.adc_tables(q, cents_s[0])
+                else:
+                    qdata = q
+                d, i = hnsw_search_device(
+                    neigh0_s[0],
+                    lv,
+                    entry_s[0],
+                    storage_s[0],
+                    qdata,
+                    ef=ef_eff,
+                    iters=ef_eff,
+                    k=k_local,
+                    mode=mode,
+                )
+                return merge(d, i)
+
+            fn = jax.jit(
+                lambda q, dev: body(q, dev[0], dev[1], dev[2], dev[3], dev[4])
+            )
+        self._fns[key] = fn
+        return fn
+
     def search(self, queries: np.ndarray, k: int, ef: int = 128):
         """queries [Q, D] -> (ids [Q, k] int64 global, dists [Q, k]).
 
@@ -184,135 +313,15 @@ class ShardedANNIndex:
         pad_q = (-nq) % n_data
         if pad_q:
             queries = np.pad(queries, ((0, pad_q), (0, 0)))
-        neigh0, levels, entries, storage, cents = self._device()
-        mesh = self.mesh
+        dev = self._device()
         ef_eff = max(ef, k)
-        k_local = min(max(ef, k), self.n_local)
-        n_local = self.n_local
-        ntotal = self.ntotal
-        mode = self.mode
-
-        if self.kind in ("flat", "pqflat"):
-            kind = self.kind
-
-            def _merge(d, i):
-                offset = jax.lax.axis_index("shard").astype(jnp.int32) * n_local
-                gid = jnp.where(i >= 0, i + offset, -1)
-                d = jnp.where(
-                    (gid >= 0) & (gid < ntotal), d, jnp.float32(np.inf)
-                )
-                gid = jnp.where(gid < ntotal, gid, -1)
-                d_all = jax.lax.all_gather(d, "shard", axis=1, tiled=True)
-                i_all = jax.lax.all_gather(gid, "shard", axis=1, tiled=True)
-                neg, pos = jax.lax.top_k(-d_all, k)
-                return -neg, jnp.take_along_axis(i_all, pos, axis=1)
-
-            if kind == "flat":
-
-                @functools.partial(
-                    jax.shard_map,
-                    mesh=mesh,
-                    in_specs=(P("data", None), P("shard", None, None)),
-                    out_specs=(P("data", None), P("data", None)),
-                    check_vma=False,
-                )
-                def _search_exh(q, vecs_s):
-                    from deepreadmapper_tpu.ops.topk import _topk_once
-
-                    qn = jnp.sum(q * q, axis=-1)
-                    d, i = _topk_once(q, vecs_s[0], qn, k_local)
-                    return _merge(d, i)
-
-                d, i = _search_exh(
-                    jax.device_put(
-                        jnp.asarray(queries),
-                        NamedSharding(mesh, P("data", None)),
-                    ),
-                    storage,
-                )
-            else:
-
-                @functools.partial(
-                    jax.shard_map,
-                    mesh=mesh,
-                    in_specs=(
-                        P("data", None),
-                        P("shard", None, None),
-                        P("shard", None, None, None),
-                    ),
-                    out_specs=(P("data", None), P("data", None)),
-                    check_vma=False,
-                )
-                def _search_adc(q, codes_s, cents_s):
-                    from deepreadmapper_tpu.index.pq_flat import _adc_topk
-
-                    tables = pq_ops.adc_tables(q, cents_s[0])
-                    d, i = _adc_topk(
-                        tables, codes_s[0], jnp.int32(n_local), k_local, n_local
-                    )
-                    return _merge(d, i)
-
-                d, i = _search_adc(
-                    jax.device_put(
-                        jnp.asarray(queries),
-                        NamedSharding(mesh, P("data", None)),
-                    ),
-                    storage,
-                    cents,
-                )
-            i = np.asarray(i, dtype=np.int64)[:nq]
-            d = np.asarray(d, dtype=np.float32)[:nq]
-            return i, d
-
-        level_specs = tuple(
-            (P("shard", None), P("shard", None, None)) for _ in levels
-        )
-
-        @functools.partial(
-            jax.shard_map,
-            mesh=mesh,
-            in_specs=(
-                P("data", None),
-                P("shard", None, None),
-                level_specs,
-                P("shard"),
-                P("shard", None, None) if mode == "pq" else P("shard", None, None),
-                (P("shard", None, None, None) if mode == "pq" else None),
-            ),
-            out_specs=(P("data", None), P("data", None)),
-            check_vma=False,
-        )
-        def _search(q, neigh0_s, levels_s, entry_s, storage_s, cents_s):
-            lv = tuple((g[0], nb[0]) for g, nb in levels_s)
-            if mode == "pq":
-                qdata = pq_ops.adc_tables(q, cents_s[0])
-            else:
-                qdata = q
-            d, i = hnsw_search_device(
-                neigh0_s[0],
-                lv,
-                entry_s[0],
-                storage_s[0],
-                qdata,
-                ef=ef_eff,
-                iters=ef_eff,
-                k=k_local,
-                mode=mode,
-            )
-            offset = jax.lax.axis_index("shard").astype(jnp.int32) * n_local
-            gid = jnp.where(i >= 0, i + offset, -1)
-            d = jnp.where((gid >= 0) & (gid < ntotal), d, jnp.float32(np.inf))
-            gid = jnp.where(gid < ntotal, gid, -1)
-            d_all = jax.lax.all_gather(d, "shard", axis=1, tiled=True)
-            i_all = jax.lax.all_gather(gid, "shard", axis=1, tiled=True)
-            neg, pos = jax.lax.top_k(-d_all, k)
-            return -neg, jnp.take_along_axis(i_all, pos, axis=1)
-
+        k_local = min(ef_eff, self.n_local)
+        fn = self._get_search_fn(k, ef_eff, k_local)
         q = jax.device_put(
-            jnp.asarray(queries, jnp.float32),
-            NamedSharding(mesh, P("data", None)),
+            jnp.asarray(queries),
+            NamedSharding(self.mesh, P("data", None)),
         )
-        d, i = _search(q, neigh0, levels, entries, storage, cents)
+        d, i = fn(q, dev)
         i = np.asarray(i, dtype=np.int64)[:nq]
         d = np.asarray(d, dtype=np.float32)[:nq]
         return i, d
@@ -339,11 +348,7 @@ class ShardedANNIndex:
     def load(cls, index_prefix: str, mesh: Mesh):
         import os
 
-        meta = {}
-        with open(os.path.join(index_prefix, "sharded.txt")) as f:
-            for line in f:
-                k, v = line.strip().split(":", 1)
-                meta[k] = v
+        meta = read_manifest(index_prefix)
         n_shard = int(meta["n_shard"])
         if mesh.shape["shard"] != n_shard:
             raise ValueError(

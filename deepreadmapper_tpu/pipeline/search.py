@@ -31,9 +31,15 @@ def _load_queries(path: str, vectorizer: Vectorizer):
         return load_embeddings_npy(path), None, []
     if ext in FASTQ_EXTS:
         mat, lengths, ids = parse_fastq_bytes(path)
-        # 2-bit packed upload + on-device tokenization (tokenizer_device):
-        # ~5x less host->device traffic than uint16 token uploads.
-        emb = vectorizer.vectorize_wrapped_bytes(mat, lengths)
+        if vectorizer.max_len == tok.MAX_LEN:
+            # 2-bit packed upload + on-device tokenization (tokenizer_device):
+            # ~5x less host->device traffic than uint16 token uploads.  The
+            # device tokenizer hardcodes the 123-token wire format, so any
+            # non-default max_len falls back to host tokenization.
+            emb = vectorizer.vectorize_wrapped_bytes(mat, lengths)
+        else:
+            tokens = tok.tokenize_bytes_fast(mat, lengths, vectorizer.max_len)
+            emb = vectorizer.vectorize_tokens(tokens)
         seqs = [bytes(row[: int(n)]).decode() for row, n in zip(mat, lengths)]
         return emb, seqs, ids
     if ext in FASTA_EXTS or ext == ".txt":
