@@ -1,0 +1,178 @@
+"""INT8 exhaustive-scan index: symmetric int8 quantization + MXU int8 matmul.
+
+The genome-scale serving engine.  PQ's ADC scan needs a [chunk, m*ksub]
+one-hot matrix per chunk (256x memory amplification — HBM-bound); this engine
+instead stores whole vectors quantized to int8 and scores with the MXU's
+native int8 path:
+
+    ||q - r||^2 = s^2 * (qn8 + rn8 - 2 * q8 . r8)
+
+with ONE global scale s (the read encoder's outputs are final bi-GRU hidden
+states, tanh-bounded in [-1, 1], so s ~= 1/127 and the quantization error is
+~4e-3 per dim — recall is essentially exact, unlike PQ).  All distance
+arithmetic is exact int32; ties and ordering are deterministic.
+
+Memory: 128 B/vector (vs 512 fp32, 8 PQ) — 10M windows = 1.28 GB HBM.
+Storage-compatible role: FAISS IndexScalarQuantizer(QT_8bit) equivalent.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepreadmapper_tpu.config import BuildConfig
+from deepreadmapper_tpu.index.registry import register_index
+
+_BIGF = jnp.float32(3.4e38)
+
+
+def quantize(x, scale: float):
+    """fp32 -> int8 with symmetric clipping at +-127."""
+    xj = jnp.asarray(x, jnp.float32)
+    return jnp.clip(jnp.round(xj / scale), -127, 127).astype(jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk", "exact"))
+def _int8_topk(q8: jax.Array, r8: jax.Array, rn: jax.Array, ntotal, k: int,
+               chunk: int, exact: bool = False):
+    """Top-k in the quantized space.  q8 [Q,D] int8, r8 [N,D] int8
+    (N padded to a chunk multiple), rn [N] int32 = per-row squared norms.
+    Scores are int32: qn + rn - 2*q8.r8 (monotone in true distance).
+
+    exact=False uses lax.approx_max_k per chunk — the TPU-native partial
+    reduction — measured 15x faster than lax.top_k at 2M rows (17.2k vs
+    1.1k q/s) at 0.99 within-chunk recall; the cross-chunk merge stays an
+    exact top_k over k-sized lists."""
+    qn = jnp.sum(
+        q8.astype(jnp.int32) * q8.astype(jnp.int32), axis=-1, dtype=jnp.int32
+    )
+    n = r8.shape[0]
+    n_chunks = n // chunk
+    r_chunks = r8.reshape(n_chunks, chunk, r8.shape[1])
+    rn_chunks = rn.reshape(n_chunks, chunk)
+
+    def step(carry, inp):
+        best_d, best_i = carry
+        rc, rnc, c_idx = inp
+        dot = jax.lax.dot_general(
+            q8,
+            rc,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # [Q, chunk] int32, exact
+        scores = qn[:, None] + rnc[None, :] - 2 * dot
+        # top_k on int32 lowers to a full stable SORT (three [Q,chunk] HBM
+        # temps — OOM at scale); scores are bounded by 4*127^2*D < 2^24 so
+        # they are EXACTLY representable in fp32, whose top_k lowering is the
+        # efficient partial-reduction path.
+        scores = scores.astype(jnp.float32)
+        ids = c_idx * chunk + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+        scores = jnp.where(ids < ntotal, scores, _BIGF)
+        if exact:
+            nd, pos = jax.lax.top_k(-scores, k)
+        else:
+            nd, pos = jax.lax.approx_max_k(-scores, k, recall_target=0.95)
+        nid = jnp.take_along_axis(jnp.broadcast_to(ids, scores.shape), pos, axis=1)
+        cat_d = jnp.concatenate([best_d, -nd], axis=1)
+        cat_i = jnp.concatenate([best_i, nid], axis=1)
+        neg, pos2 = jax.lax.top_k(-cat_d, k)
+        return (-neg, jnp.take_along_axis(cat_i, pos2, axis=1)), None
+
+    init = (
+        jnp.full((q8.shape[0], k), _BIGF, dtype=jnp.float32),
+        jnp.zeros((q8.shape[0], k), dtype=jnp.int32),
+    )
+    (d, i), _ = jax.lax.scan(
+        step,
+        init,
+        (r_chunks, rn_chunks, jnp.arange(n_chunks, dtype=jnp.int32)),
+    )
+    return d, i
+
+
+@register_index("INT8FLAT")
+class Int8FlatIndex:
+    """Exhaustive int8 scan (near-exact recall, 128 B/vector)."""
+
+    def __init__(self, codes: np.ndarray, scale: float, ntotal: int):
+        self.codes = codes              # [N, D] int8
+        self.scale = float(scale)
+        self.ntotal = ntotal
+        self._rn = None
+        self._dev = None
+
+    @classmethod
+    def build(cls, embeddings, cfg: BuildConfig | None = None):
+        del cfg
+        x = jnp.asarray(embeddings, jnp.float32)
+        # Global symmetric scale; encoder outputs are tanh-bounded so this is
+        # ~1/127, but compute it from the data for generic vectors.
+        amax = float(jnp.max(jnp.abs(x))) if x.size else 1.0
+        scale = max(amax, 1e-30) / 127.0
+        codes = np.asarray(quantize(x, scale))
+        return cls(codes, scale, codes.shape[0])
+
+    def _device(self):
+        if self._dev is None:
+            c = jnp.asarray(self.codes)
+            rn = jnp.sum(
+                c.astype(jnp.int32) * c.astype(jnp.int32),
+                axis=-1,
+                dtype=jnp.int32,
+            )
+            self._dev = (c, rn)
+        return self._dev
+
+    def search(self, queries: np.ndarray, k: int, ef: int = 0,
+               chunk: int = 262144, exact: bool = False):
+        """ef accepted for interface parity; an exhaustive scan ignores it.
+        exact=True swaps the per-chunk approx_max_k for a full top_k."""
+        n = self.ntotal
+        k_eff = min(k, n)
+        c, rn = self._device()
+        pad = (-n) % min(chunk, max(n, 1))
+        eff_chunk = min(chunk, n + pad)
+        if pad:
+            c = jnp.pad(c, ((0, pad), (0, 0)))
+            rn = jnp.pad(rn, (0, pad))
+        q8_all = quantize(np.asarray(queries, np.float32), self.scale)
+        nq = q8_all.shape[0]
+        q_batch = 8192  # [q_batch, chunk] int32 scores must fit HBM
+        pending = []
+        for s in range(0, nq, q_batch):
+            e = min(s + q_batch, nq)
+            q8 = q8_all[s:e]
+            if e - s < q_batch and nq > q_batch:
+                q8 = jnp.pad(q8, ((0, q_batch - (e - s)), (0, 0)))
+            pending.append(
+                (s, e, _int8_topk(q8, c, rn, jnp.int32(n), k_eff, eff_chunk, exact))
+            )
+        d = np.empty((nq, k_eff), np.float32)
+        i = np.empty((nq, k_eff), np.int64)
+        for s, e, (db, ib) in pending:
+            # int32 quantized-space scores -> fp32 squared L2 estimate
+            d[s:e] = np.asarray(db)[: e - s] * np.float32(self.scale) ** 2
+            i[s:e] = np.asarray(ib, dtype=np.int64)[: e - s]
+        if k_eff < k:
+            d = np.pad(d, ((0, 0), (0, k - k_eff)), constant_values=np.inf)
+            i = np.pad(i, ((0, 0), (0, k - k_eff)), constant_values=-1)
+        return i, d
+
+    def save(self, index_prefix: str) -> None:
+        os.makedirs(index_prefix, exist_ok=True)
+        np.savez(
+            os.path.join(index_prefix, "int8.npz"),
+            codes=self.codes,
+            scale=np.float64(self.scale),
+            ntotal=self.ntotal,
+        )
+
+    @classmethod
+    def load(cls, index_prefix: str, config: dict | None = None):
+        z = np.load(os.path.join(index_prefix, "int8.npz"))
+        return cls(z["codes"], float(z["scale"]), int(z["ntotal"]))

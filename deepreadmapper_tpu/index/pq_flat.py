@@ -24,8 +24,9 @@ from deepreadmapper_tpu.ops import pq as pq_ops
 _BIG = jnp.float32(3.4e38)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk"))
-def _adc_topk(tables: jax.Array, codes: jax.Array, ntotal: jax.Array, k: int, chunk: int):
+@functools.partial(jax.jit, static_argnames=("k", "chunk", "exact"))
+def _adc_topk(tables: jax.Array, codes: jax.Array, ntotal: jax.Array, k: int,
+              chunk: int, exact: bool = True):
     """Streaming top-k over an exhaustive ADC scan.
 
     tables [Q, m, ksub], codes [N, m] (N padded to chunk multiple); rows with
@@ -43,10 +44,16 @@ def _adc_topk(tables: jax.Array, codes: jax.Array, ntotal: jax.Array, k: int, ch
         d = pq_ops.adc_distances_onehot(tables, onehot)  # [Q, chunk]
         ids = c_idx * chunk + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
         d = jnp.where(ids < ntotal, d, _BIG)
-        cat_d = jnp.concatenate([best_d, d], axis=1)
-        cat_i = jnp.concatenate([best_i, jnp.broadcast_to(ids, d.shape)], axis=1)
-        neg, pos = jax.lax.top_k(-cat_d, k)
-        return (-neg, jnp.take_along_axis(cat_i, pos, axis=1)), None
+        if exact:
+            nd, pos = jax.lax.top_k(-d, k)
+        else:
+            # TPU-native partial reduction: ~15x faster than top_k at 2M rows
+            nd, pos = jax.lax.approx_max_k(-d, k, recall_target=0.95)
+        nid = jnp.take_along_axis(jnp.broadcast_to(ids, d.shape), pos, axis=1)
+        cat_d = jnp.concatenate([best_d, -nd], axis=1)
+        cat_i = jnp.concatenate([best_i, nid], axis=1)
+        neg, pos2 = jax.lax.top_k(-cat_d, k)
+        return (-neg, jnp.take_along_axis(cat_i, pos2, axis=1)), None
 
     init = (
         jnp.full((qn, k), _BIG, dtype=jnp.float32),
@@ -75,8 +82,11 @@ class PQFlatIndex:
         codes = pq_ops.encode_pq(embeddings, cb)
         return cls(codes, cb, embeddings.shape[0])
 
-    def search(self, queries: np.ndarray, k: int, ef: int = 0, chunk: int = 131072):
-        """ef accepted for interface parity; an exhaustive scan ignores it."""
+    def search(self, queries: np.ndarray, k: int, ef: int = 0,
+               chunk: int = 131072, exact: bool = True):
+        """ef accepted for interface parity; an exhaustive scan ignores it.
+        exact=False swaps the per-chunk top_k for approx_max_k (faster at
+        genome scale; default stays exact-in-PQ-space for parity)."""
         n = self.ntotal
         k_eff = min(k, n)
         codes = self.codes
@@ -86,14 +96,23 @@ class PQFlatIndex:
             codes = np.concatenate(
                 [codes, np.zeros((pad, codes.shape[1]), np.uint8)], axis=0
             )
-        tables = pq_ops.adc_tables(
-            jnp.asarray(queries, jnp.float32), self.codebook.centroids
-        )
-        d, i = _adc_topk(
-            tables, jnp.asarray(codes), jnp.int32(n), k_eff, eff_chunk
-        )
-        d = np.asarray(d, dtype=np.float32)
-        i = np.asarray(i, dtype=np.int64)
+        codes_j = jnp.asarray(codes)
+        queries = np.asarray(queries, np.float32)
+        nq = queries.shape[0]
+        q_batch = 8192  # bound the [q_batch, chunk] score tensor
+        pending = []
+        for s in range(0, nq, q_batch):
+            e = min(s + q_batch, nq)
+            qb = queries[s:e]
+            tables = pq_ops.adc_tables(jnp.asarray(qb), self.codebook.centroids)
+            pending.append(
+                (s, e, _adc_topk(tables, codes_j, jnp.int32(n), k_eff, eff_chunk, exact))
+            )
+        d = np.empty((nq, k_eff), np.float32)
+        i = np.empty((nq, k_eff), np.int64)
+        for s, e, (db, ib) in pending:
+            d[s:e] = np.asarray(db)
+            i[s:e] = np.asarray(ib, dtype=np.int64)
         if k_eff < k:
             d = np.pad(d, ((0, 0), (0, k - k_eff)), constant_values=np.inf)
             i = np.pad(i, ((0, 0), (0, k - k_eff)), constant_values=-1)

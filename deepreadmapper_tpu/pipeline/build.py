@@ -157,9 +157,9 @@ def build_index(
     cfg = build_cfg or BuildConfig(stride=stride)
     vectorizer = vectorizer or Vectorizer()
 
-    # PQFLAT consumes embeddings on device (encode_pq downloads only the
-    # 8 B/window codes); graph builds need host vectors anyway.
-    device_out = index_type == "PQFLAT" and n_shards == 1
+    # Quantizing engines consume embeddings on device (only the 8-128 B/window
+    # codes ever download); graph builds need host vectors anyway.
+    device_out = index_type in ("PQFLAT", "INT8FLAT") and n_shards == 1
     embeddings = embed_input_file(
         ref_file, ref_len, stride, vectorizer, device_out=device_out
     )

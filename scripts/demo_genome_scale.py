@@ -62,8 +62,9 @@ def main():
         from deepreadmapper_tpu.pipeline.search import run_pipeline
 
         prefix = os.path.join(tmp, "idx")
+        index_type = sys.argv[3] if len(sys.argv) > 3 else "INT8FLAT"
         t0 = time.time()
-        build_index(ref, prefix, read_len, index_type="PQFLAT")
+        build_index(ref, prefix, read_len, index_type=index_type)
         t_build = time.time() - t0
         n_windows = 2 * (n_bp - read_len + 1)
         print(f"build: {n_windows} windows in {t_build:.1f}s "
@@ -73,11 +74,27 @@ def main():
         t0 = time.time()
         res = run_pipeline(prefix, fq, ref, ef=128, k=16, output_dir=out,
                            write_sam=False)
-        t_search = time.time() - t0
-        print(f"pipeline: {n_reads} reads in {t_search:.1f}s "
-              f"({n_reads/t_search:.0f} q/s) | embed {res['t_embed']:.1f}s "
-              f"search {res['t_search']:.1f}s post {res['t_post']:.1f}s",
-              flush=True)
+        t_cold = time.time() - t0
+        print(f"pipeline cold (incl. index upload + compiles): {t_cold:.1f}s "
+              f"| embed {res['t_embed']:.1f}s search {res['t_search']:.1f}s "
+              f"post {res['t_post']:.1f}s", flush=True)
+
+        # steady-state serving: index resident on device, jits warm
+        from deepreadmapper_tpu.index.registry import load_index
+        from deepreadmapper_tpu.io.fastq import parse_fastq_bytes
+        from deepreadmapper_tpu.models.encoder import Vectorizer
+
+        engine, _cfg = load_index(prefix)
+        mat, lengths, _ = parse_fastq_bytes(fq)
+        vec = Vectorizer()
+        emb = vec.vectorize_wrapped_bytes(mat, lengths)
+        engine.search(emb, 16)  # warm (uploads index + compiles)
+        t0 = time.time()
+        emb = vec.vectorize_wrapped_bytes(mat, lengths)
+        ids_w, _d = engine.search(emb, 16)
+        t_warm = time.time() - t0
+        print(f"steady-state embed+search: {n_reads} reads in {t_warm:.1f}s "
+              f"({n_reads/t_warm:.0f} q/s)", flush=True)
 
         ids = np.load(os.path.join(out, "indices.npy"))
         top_pos = ids[:, 0] // 2
