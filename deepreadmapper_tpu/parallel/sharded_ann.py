@@ -88,6 +88,10 @@ class ShardedANNIndex:
             self.kind = "flat"
             self.n_local = subs[0].embeddings.shape[0]
             self.mode = None
+        elif index_type == "INT8FLAT":
+            self.kind = "int8flat"
+            self.n_local = subs[0].codes.shape[0]
+            self.mode = None
         elif index_type == "PQFLAT":
             self.kind = "pqflat"
             self.n_local = subs[0].codes.shape[0]
@@ -152,6 +156,25 @@ class ShardedANNIndex:
                 sh("shard", None, None, None),
             )
             self._dev = (None, (), None, codes, cents)
+            return self._dev
+        if self.kind == "int8flat":
+            codes = jax.device_put(
+                jnp.asarray(np.stack([s.codes for s in self.subs])),
+                sh("shard", None, None),
+            )
+            rn = jax.device_put(
+                jnp.sum(
+                    codes.astype(jnp.int32) * codes.astype(jnp.int32),
+                    axis=-1,
+                    dtype=jnp.int32,
+                ),
+                sh("shard", None),
+            )
+            scales = jax.device_put(
+                jnp.asarray(np.array([s.scale for s in self.subs], np.float32)),
+                sh("shard"),
+            )
+            self._dev = (None, (), None, codes, (rn, scales))
             return self._dev
         neigh0, levels, entries = _pad_graph_stack(self.subs)
         neigh0 = jax.device_put(jnp.asarray(neigh0), sh("shard", None, None))
@@ -256,6 +279,40 @@ class ShardedANNIndex:
                 return merge(d, i)
 
             fn = jax.jit(lambda q, dev: body(q, dev[3], dev[4]))
+        elif self.kind == "int8flat":
+
+            @functools.partial(
+                jax.shard_map,
+                mesh=mesh,
+                in_specs=(
+                    P("data", None),
+                    P("shard", None, None),
+                    P("shard", None),
+                    P("shard"),
+                ),
+                out_specs=(P("data", None), P("data", None)),
+                check_vma=False,
+            )
+            def body(q, codes_s, rn_s, scale_s):
+                from deepreadmapper_tpu.index.int8_flat import (
+                    _int8_topk,
+                    quantize,
+                )
+
+                s = scale_s[0]
+                q8 = jnp.clip(jnp.round(q / s), -127, 127).astype(jnp.int8)
+                d, i = _int8_topk(
+                    q8, codes_s[0], rn_s[0], jnp.int32(n_local), k_local,
+                    n_local,
+                )
+                # int32 quantized scores -> fp32 squared L2 so shards with
+                # different scales merge in one metric space
+                d = d.astype(jnp.float32) * (s * s)
+                return merge(d, i)
+
+            fn = jax.jit(
+                lambda q, dev: body(q, dev[3], dev[4][0], dev[4][1])
+            )
         else:
             n_levels = len(self._device()[1])
             level_specs = tuple(

@@ -188,3 +188,22 @@ def test_sharded_pqflat_matches_per_shard(data, mesh):
         loaded = ShardedANNIndex.load(tmp, mesh)
         i2, d2 = loaded.search(q, 8)
         np.testing.assert_array_equal(ids, i2)
+
+
+def test_sharded_int8flat(data, mesh):
+    """Sharded INT8FLAT: near-exact recall, roundtrip, global ids."""
+    x = np.tanh(data).astype(np.float32)
+    q = np.clip(x[:32] + np.float32(0.01), -1, 1)
+    idx = ShardedANNIndex.build(x, mesh, index_type="INT8FLAT")
+    ids, d = idx.search(q, 10)
+    ids_o, _ = FlatIndex(x).search(q, 10)
+    recall = np.mean([len(set(ids_o[i]) & set(ids[i])) / 10 for i in range(32)])
+    assert recall >= 0.95, f"sharded int8 recall {recall}"
+    assert ids.min() >= 0 and ids.max() < x.shape[0]
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        idx.save(tmp)
+        loaded = ShardedANNIndex.load(tmp, mesh)
+        i2, _d2 = loaded.search(q, 10)
+        np.testing.assert_array_equal(ids, i2)
