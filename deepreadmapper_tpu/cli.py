@@ -69,6 +69,9 @@ def _add_finetune(sub):
     p.add_argument("--batch", type=int, default=512)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--sub-rate", type=float, default=0.01,
+                   help="substitution noise for simulated training reads; "
+                        "match the expected read error rate")
 
 
 def _add_gen_ref(sub):
@@ -163,7 +166,7 @@ def main(argv=None) -> int:
 
         params, losses = finetune(
             args.ref_file, args.ref_len, steps=args.steps, batch=args.batch,
-            lr=args.lr, seed=args.seed,
+            lr=args.lr, seed=args.seed, sub_rate=args.sub_rate,
         )
         save_params_npz(params, args.output)
         print(
