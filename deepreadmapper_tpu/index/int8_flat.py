@@ -133,6 +133,12 @@ class Int8FlatIndex:
         """ef accepted for interface parity; an exhaustive scan ignores it.
         exact=True swaps the per-chunk approx_max_k for a full top_k."""
         n = self.ntotal
+        queries = np.asarray(queries, np.float32)
+        if n == 0:
+            return (
+                np.full((queries.shape[0], k), -1, np.int64),
+                np.full((queries.shape[0], k), np.inf, np.float32),
+            )
         k_eff = min(k, n)
         c, rn = self._device()
         pad = (-n) % min(chunk, max(n, 1))
@@ -140,7 +146,7 @@ class Int8FlatIndex:
         if pad:
             c = jnp.pad(c, ((0, pad), (0, 0)))
             rn = jnp.pad(rn, (0, pad))
-        q8_all = quantize(np.asarray(queries, np.float32), self.scale)
+        q8_all = quantize(queries, self.scale)
         nq = q8_all.shape[0]
         q_batch = 8192  # [q_batch, chunk] int32 scores must fit HBM
         pending = []

@@ -104,6 +104,9 @@ class PQFlatIndex:
         for s in range(0, nq, q_batch):
             e = min(s + q_batch, nq)
             qb = queries[s:e]
+            if e - s < q_batch and nq > q_batch:
+                # pad the tail batch: one compiled program per shape signature
+                qb = np.pad(qb, ((0, q_batch - (e - s)), (0, 0)))
             tables = pq_ops.adc_tables(jnp.asarray(qb), self.codebook.centroids)
             pending.append(
                 (s, e, _adc_topk(tables, codes_j, jnp.int32(n), k_eff, eff_chunk, exact))
@@ -111,8 +114,8 @@ class PQFlatIndex:
         d = np.empty((nq, k_eff), np.float32)
         i = np.empty((nq, k_eff), np.int64)
         for s, e, (db, ib) in pending:
-            d[s:e] = np.asarray(db)
-            i[s:e] = np.asarray(ib, dtype=np.int64)
+            d[s:e] = np.asarray(db)[: e - s]
+            i[s:e] = np.asarray(ib, dtype=np.int64)[: e - s]
         if k_eff < k:
             d = np.pad(d, ((0, 0), (0, k - k_eff)), constant_values=np.inf)
             i = np.pad(i, ((0, 0), (0, k - k_eff)), constant_values=-1)

@@ -31,6 +31,10 @@ from deepreadmapper_tpu.index.hnsw import hnsw_search_device
 from deepreadmapper_tpu.index.registry import _REGISTRY
 from deepreadmapper_tpu.ops import pq as pq_ops
 
+# per-shard int8 scan chunk: bounds the [Q_local, chunk] int32 score tensor
+_INT8_CHUNK = 262144
+
+
 def read_manifest(index_prefix: str) -> dict:
     """Parse <prefix>/sharded.txt (key:value lines) — the single source of
     truth for shard count shared by the registry loader and load()."""
@@ -158,8 +162,15 @@ class ShardedANNIndex:
             self._dev = (None, (), None, codes, cents)
             return self._dev
         if self.kind == "int8flat":
+            # Pad n_local to a chunk multiple so the per-shard scan can bound
+            # its [Q, chunk] score tensor (pad rows -> ids >= n_local, masked
+            # inside _int8_topk and again at the merge).
+            stack = np.stack([s.codes for s in self.subs])
+            pad = (-self.n_local) % min(_INT8_CHUNK, max(self.n_local, 1))
+            if pad:
+                stack = np.pad(stack, ((0, 0), (0, pad), (0, 0)))
             codes = jax.device_put(
-                jnp.asarray(np.stack([s.codes for s in self.subs])),
+                jnp.asarray(stack),
                 sh("shard", None, None),
             )
             rn = jax.device_put(
@@ -300,10 +311,11 @@ class ShardedANNIndex:
                 )
 
                 s = scale_s[0]
-                q8 = jnp.clip(jnp.round(q / s), -127, 127).astype(jnp.int8)
+                q8 = quantize(q, s)
+                chunk = min(_INT8_CHUNK, codes_s.shape[1])
                 d, i = _int8_topk(
                     q8, codes_s[0], rn_s[0], jnp.int32(n_local), k_local,
-                    n_local,
+                    chunk,
                 )
                 # int32 quantized scores -> fp32 squared L2 so shards with
                 # different scales merge in one metric space
@@ -367,21 +379,31 @@ class ShardedANNIndex:
         queries = np.asarray(queries, np.float32)
         nq = queries.shape[0]
         n_data = self.mesh.shape["data"]
-        pad_q = (-nq) % n_data
-        if pad_q:
-            queries = np.pad(queries, ((0, pad_q), (0, 0)))
         dev = self._device()
         ef_eff = max(ef, k)
         k_local = min(ef_eff, self.n_local)
         fn = self._get_search_fn(k, ef_eff, k_local)
-        q = jax.device_put(
-            jnp.asarray(queries),
-            NamedSharding(self.mesh, P("data", None)),
-        )
-        d, i = fn(q, dev)
-        i = np.asarray(i, dtype=np.int64)[:nq]
-        d = np.asarray(d, dtype=np.float32)[:nq]
-        return i, d
+        # Bound per-call queries (8192/data position) so the per-shard score
+        # tensors stay in HBM; pad every batch to the same shape so all
+        # batches share one compiled program.
+        q_super = 8192 * n_data
+        out_i = np.empty((nq, k), np.int64)
+        out_d = np.empty((nq, k), np.float32)
+        pending = []
+        for s in range(0, nq, q_super):
+            e = min(s + q_super, nq)
+            qb = queries[s:e]
+            width = q_super if nq > q_super else (e - s + (-(e - s)) % n_data)
+            if qb.shape[0] < width:
+                qb = np.pad(qb, ((0, width - qb.shape[0]), (0, 0)))
+            qj = jax.device_put(
+                jnp.asarray(qb), NamedSharding(self.mesh, P("data", None))
+            )
+            pending.append((s, e, fn(qj, dev)))
+        for s, e, (d, i) in pending:
+            out_i[s:e] = np.asarray(i, dtype=np.int64)[: e - s]
+            out_d[s:e] = np.asarray(d, dtype=np.float32)[: e - s]
+        return out_i, out_d
 
     # -------------------------------------------------------- persistence
 

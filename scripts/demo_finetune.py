@@ -9,7 +9,6 @@ training noise.
 """
 
 import os
-import sys
 import tempfile
 import time
 

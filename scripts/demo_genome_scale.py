@@ -1,10 +1,11 @@
-"""Genome-scale end-to-end demo: 1 Mbp genome -> 2M windows -> PQFLAT ->
-10k simulated reads, on one chip.
+"""Genome-scale end-to-end demo: N-Mbp genome -> 2N M windows -> INT8FLAT
+(or any --index-type) -> simulated reads, on one chip.
 
-Reports build time, search queries/s, and top-1 accuracy against the
-simulated truth (read start positions), exercising every genome-scale path:
-native window packing, device tokenization, device-resident PQ encode,
-exhaustive ADC search, dense passthrough post-processing.
+Reports build time, cold and steady-state search queries/s, and top-1
+accuracy against the simulated truth (read start positions), exercising every
+genome-scale path: native window packing, device tokenization,
+device-resident quantized encode, int8 MXU scan search, dense passthrough
+post-processing.  argv: [n_bp] [n_reads] [index_type].
 """
 
 import os
