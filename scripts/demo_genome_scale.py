@@ -44,6 +44,7 @@ def simulate_reads(genome: str, n_reads: int, read_len: int, err: float, seed: i
 def main():
     n_bp = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     n_reads = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000
+    stride = int(sys.argv[4]) if len(sys.argv) > 4 else 1
     read_len = 150
     genome = make_genome(n_bp)
     reads, names, starts, strands = simulate_reads(genome, n_reads, read_len, err=0.01)
@@ -65,9 +66,9 @@ def main():
         prefix = os.path.join(tmp, "idx")
         index_type = sys.argv[3] if len(sys.argv) > 3 else "INT8FLAT"
         t0 = time.time()
-        build_index(ref, prefix, read_len, index_type=index_type)
+        build_index(ref, prefix, read_len, stride=stride, index_type=index_type)
         t_build = time.time() - t0
-        n_windows = 2 * (n_bp - read_len + 1)
+        n_windows = 2 * ((n_bp - read_len) // stride + 1)
         print(f"build: {n_windows} windows in {t_build:.1f}s "
               f"({n_windows/t_build:.0f} windows/s)", flush=True)
 
@@ -98,12 +99,16 @@ def main():
               f"({n_reads/t_warm:.0f} q/s)", flush=True)
 
         ids = np.load(os.path.join(out, "indices.npy"))
-        top_pos = ids[:, 0] // 2
+        # raw ANN rows: row = 2*window_index + strand; window position =
+        # window_index * stride (dense: stride == 1)
+        top_pos = (ids[:, 0] // 2) * stride
         top_strand = ids[:, 0] % 2
-        pos_ok = np.abs(top_pos.astype(np.int64) - starts) <= 5
+        tol = 5 + stride
+        pos_ok = np.abs(top_pos.astype(np.int64) - starts) <= tol
         strand_ok = top_strand == strands
         acc = float((pos_ok & strand_ok).mean())
-        print(f"top-1 accuracy (pos within 5bp + strand): {acc:.4f}", flush=True)
+        print(f"top-1 accuracy (pos within {tol}bp + strand): {acc:.4f}",
+              flush=True)
 
 
 if __name__ == "__main__":
