@@ -160,6 +160,26 @@ def build_index(
     # Quantizing engines consume embeddings on device (only the 8-128 B/window
     # codes ever download); graph builds need host vectors anyway.
     device_out = index_type in ("PQFLAT", "INT8FLAT") and n_shards == 1
+    ext = os.path.splitext(ref_file)[1].lower()
+    if ext in FASTA_EXTS:
+        # Pre-build memory estimate (reference prints one before every build,
+        # src/hnswpq/index.cpp:5-53).
+        from deepreadmapper_tpu.utils.memory import (
+            estimate_index_memory,
+            estimate_window_count,
+        )
+
+        nv = estimate_window_count(ref_file, ref_len, stride)  # both strands
+        est = estimate_index_memory(
+            nv, m_pq=cfg.m_pq, nbits=cfg.nbits, m_hnsw=cfg.m_hnsw,
+            n_train=int(nv * cfg.sample_rate),
+        )
+        print(
+            f"[BUILD INDEX] ~{nv} vectors; estimated index memory "
+            f"{est['total']/1e6:.1f} MB (codes {est['pq_codes']/1e6:.1f}, "
+            f"graph {est['hnsw_graph']/1e6:.1f})"
+        )
+
     embeddings = embed_input_file(
         ref_file, ref_len, stride, vectorizer, device_out=device_out
     )
