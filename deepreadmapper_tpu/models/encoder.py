@@ -162,14 +162,15 @@ class Vectorizer:
         self.device_batch = device_batch
         self.dtype = dtype
 
-    def vectorize_tokens(self, tokens: np.ndarray) -> np.ndarray:
+    def vectorize_tokens(self, tokens: np.ndarray, device_out: bool = False):
         """tokens int [N, T] -> fp32 [N, 128]; batches + pads to fixed shapes
         so XLA compiles once.  All device batches are dispatched before any
         result is fetched — jax's async dispatch overlaps host->HBM uploads
         with compute (the reference gets the same overlap from 2048 in-flight
-        OpenVINO requests, fast_model.cpp:110-225)."""
+        OpenVINO requests, fast_model.cpp:110-225).  device_out=True keeps
+        the result on device (consumers like the sparse rerank read it there;
+        skipping the host round-trip saves 512 B/seq each way on the link)."""
         n = tokens.shape[0]
-        out = np.empty((n, OUT_SIZE), dtype=np.float32)
         bs = self.device_batch
         pending = []
         for start in range(0, n, bs):
@@ -180,6 +181,11 @@ class Vectorizer:
             pending.append(
                 (start, encode_tokens(self.params, jnp.asarray(chunk16), dtype=self.dtype))
             )
+        if device_out:
+            embs = [e for _, e in pending]
+            out = jnp.concatenate(embs, axis=0) if len(embs) > 1 else embs[0]
+            return out[:n]
+        out = np.empty((n, OUT_SIZE), dtype=np.float32)
         for start, emb in pending:
             out[start : start + bs] = np.asarray(emb)[: min(bs, n - start)]
         return out

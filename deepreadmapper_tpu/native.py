@@ -18,7 +18,7 @@ _SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 # The ABI version is part of the filename: dlopen caches by path, so
 # rebuilding over an already-loaded path silently returns the stale handle
 # (glibc never unloads it).  A version bump makes the old binary invisible.
-_ABI_VERSION = 2
+_ABI_VERSION = 3
 _SO = os.path.join(os.path.dirname(_SRC), f"_drm_native_v{_ABI_VERSION}.so")
 
 _lib = None
@@ -80,6 +80,8 @@ def _load():
     lib.drm_pack_windows.argtypes = [p_u8, c_i64, c_i64, c_i64, c_i64, c_i64, p_u8]
     lib.drm_unpack_ids.restype = None
     lib.drm_unpack_ids.argtypes = [p_u8, c_i64, c_i64, c_i64, c_i32, p_i64]
+    lib.drm_pack_windows_by_id.restype = None
+    lib.drm_pack_windows_by_id.argtypes = [p_u8, c_i64, c_i64, p_i64, c_i64, p_u8]
     _lib = lib
     return lib
 
@@ -177,6 +179,19 @@ def pack_windows(
     lib.drm_pack_windows(
         np.ascontiguousarray(genome), genome.size, ref_len, stride, first, n,
         wire,
+    )
+    return wire
+
+
+def pack_windows_by_id(
+    genome: np.ndarray, ref_len: int, ids: np.ndarray
+) -> np.ndarray:
+    """Dense-id window fetch -> wire rows [n, 48] (2*pos|strand ids)."""
+    lib = _load()
+    ids = np.ascontiguousarray(ids, dtype=np.int64)
+    wire = np.empty((ids.size, 48), dtype=np.uint8)
+    lib.drm_pack_windows_by_id(
+        np.ascontiguousarray(genome), genome.size, ref_len, ids, ids.size, wire
     )
     return wire
 

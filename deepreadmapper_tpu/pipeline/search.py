@@ -117,6 +117,12 @@ def run_pipeline(
             # ref of main.cpp:190), a space mismatch measured to cost ~14
             # points of top-1 accuracy at stride 4 (80.4% -> 94.0% on a 2 Mbp
             # simulation); a deliberate divergence.
+            if native.available() and vectorizer.max_len == tok.MAX_LEN:
+                # 48 B/candidate wire upload + on-device tokenization; the
+                # pool embeddings stay ON DEVICE for the rerank kernel (the
+                # host round-trip was ~60% of sparse post-process time).
+                wire = native.pack_windows_by_id(genome, ref_len, unique_ids)
+                return vectorizer.vectorize_wire(wire, device_out=True)
             if native.available():
                 tokens = native.tokenize_windows_by_id(
                     genome, ref_len, unique_ids, wrap=True,
@@ -127,7 +133,7 @@ def run_pipeline(
                     genome, unique_ids, ref_len, vectorizer.max_len, wrap=True
                 )
                 tokens = tok.tokenize_bytes_fast(mat, lengths, vectorizer.max_len)
-            return vectorizer.vectorize_tokens(tokens)
+            return vectorizer.vectorize_tokens(tokens, device_out=True)
 
         if rerank == "sw":
             # SW rerank path (reference post_process_sw_*, plumbed but

@@ -282,6 +282,26 @@ void drm_pack_windows(const uint8_t* genome, int64_t glen, int64_t ref_len,
     }
 }
 
+// Windows fetched by dense id (2*pos | strand) -> wire rows [n, 48]
+// (the sparse-rerank candidate path; wrap semantics are implicit in the
+// wire format).  Out-of-range ids produce zero rows (nb=0 -> zero tokens).
+void drm_pack_windows_by_id(const uint8_t* genome, int64_t glen,
+                            int64_t ref_len, const int64_t* ids, int64_t n,
+                            uint8_t* wire) {
+#pragma omp parallel for schedule(static)
+    for (int64_t r = 0; r < n; ++r) {
+        int64_t id = ids[r];
+        int64_t pos = id >> 1;
+        bool rev = (id & 1) != 0;
+        uint8_t* w = wire + r * WIRE_WIDTH;
+        if (id < 0 || pos < 0 || pos + ref_len > glen) {
+            std::memset(w, 0, WIRE_WIDTH);
+            continue;
+        }
+        pack_wire_row(genome + pos, ref_len, rev, genome + pos + ref_len, w);
+    }
+}
+
 // Nibble-packed id download -> int64 ids (ops/pack.unpack_ids_host).
 void drm_unpack_ids(const uint8_t* packed, int64_t n, int64_t nbytes,
                     int64_t k, int32_t nbits, int64_t* out) {
@@ -304,6 +324,6 @@ void drm_unpack_ids(const uint8_t* packed, int64_t n, int64_t nbytes,
     }
 }
 
-int32_t drm_version() { return 2; }
+int32_t drm_version() { return 3; }
 
 }  // extern "C"

@@ -147,3 +147,33 @@ def test_native_pack_windows_matches_wrapped():
     mat, lengths = tok.strings_to_bytes(wins[:40])
     want = pack_wrapped(mat, lengths)
     np.testing.assert_array_equal(wire, want)
+
+
+def test_native_pack_windows_by_id_parity():
+    """pack_windows_by_id wire -> device tokens must equal the native wrapped
+    window tokenizer (the sparse-rerank candidate path)."""
+    import jax.numpy as jnp
+
+    from deepreadmapper_tpu import native
+    from deepreadmapper_tpu.io import fasta as fasta_io
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    recs = fasta_io.parse_fasta_records("tests/data/ecoli_150.fna")
+    genome = np.ascontiguousarray(recs[0])
+    rng = np.random.default_rng(9)
+    ids = rng.integers(0, 2 * (genome.size - 150 + 1), size=64).astype(np.int64)
+    ids[0] = 0
+    ids[1] = 2 * (genome.size - 150)  # last valid fwd window
+    ids[2] = 2 * (genome.size - 150) + 1  # last valid rev window
+    wire = native.pack_windows_by_id(genome, 150, ids)
+    got = np.asarray(tokens_from_packed(jnp.asarray(wire)))
+    want = native.tokenize_windows_by_id(genome, 150, ids, wrap=True)
+    np.testing.assert_array_equal(got, want)
+    # Out-of-range ids produce the empty-window wire row (nb=0), which
+    # tokenizes like an empty wrapped sequence — deterministic and harmless
+    # (the pipeline's expansion clips ids before this path ever sees them).
+    bad = native.pack_windows_by_id(genome, 150, np.array([-2, 10**9], np.int64))
+    got_bad = np.asarray(tokens_from_packed(jnp.asarray(bad)))
+    np.testing.assert_array_equal(got_bad[0], got_bad[1])
+    assert (got_bad[:, 2:] == 0).all()
