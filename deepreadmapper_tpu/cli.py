@@ -72,6 +72,9 @@ def _add_finetune(sub):
     p.add_argument("--sub-rate", type=float, default=0.01,
                    help="substitution noise for simulated training reads; "
                         "match the expected read error rate")
+    p.add_argument("--resume", default=None, metavar="NPZ",
+                   help="resume from a previously saved weights npz "
+                        "(checkpoint/continue fine-tuning)")
 
 
 def _add_gen_ref(sub):
@@ -164,9 +167,15 @@ def main(argv=None) -> int:
     if args.cmd == "finetune":
         from deepreadmapper_tpu.pipeline.finetune import finetune, save_params_npz
 
+        start_params = None
+        if args.resume:
+            from deepreadmapper_tpu.models.encoder import load_params
+
+            start_params = load_params(args.resume)
         params, losses = finetune(
             args.ref_file, args.ref_len, steps=args.steps, batch=args.batch,
             lr=args.lr, seed=args.seed, sub_rate=args.sub_rate,
+            params=start_params,
         )
         save_params_npz(params, args.output)
         print(
