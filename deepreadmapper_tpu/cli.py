@@ -43,7 +43,9 @@ def _add_build(sub):
     p.add_argument("M_hnsw", nargs="?", type=int, default=16)
     p.add_argument("EFC", nargs="?", type=int, default=200)
     p.add_argument("--index-type", default="HNSWPQ",
-                   help="FLAT | PQFLAT | HNSWPQ (default) | HNSWFLAT")
+                   help="FLAT | INT8FLAT (production: int8 MXU scan, "
+                        "near-exact) | PQFLAT | HNSWPQ (reference-parity "
+                        "default) | HNSWFLAT")
     p.add_argument("--build-mode", default="insert", choices=["insert", "knn"],
                    help="HNSW construction: incremental insert (default) or "
                         "the MXU kNN-graph builder")

@@ -117,9 +117,18 @@ class Int8FlatIndex:
         codes = np.asarray(quantize(x, scale))
         return cls(codes, scale, codes.shape[0])
 
+    _CHUNK = 262144
+
     def _device(self):
+        """Codes + norms on device, padded ONCE to a chunk multiple (search
+        is the hot path; per-call jnp.pad would copy the whole array)."""
         if self._dev is None:
-            c = jnp.asarray(self.codes)
+            codes = self.codes
+            n = codes.shape[0]
+            pad = (-n) % min(self._CHUNK, max(n, 1))
+            if pad:
+                codes = np.pad(codes, ((0, pad), (0, 0)))
+            c = jnp.asarray(codes)
             rn = jnp.sum(
                 c.astype(jnp.int32) * c.astype(jnp.int32),
                 axis=-1,
@@ -129,7 +138,7 @@ class Int8FlatIndex:
         return self._dev
 
     def search(self, queries: np.ndarray, k: int, ef: int = 0,
-               chunk: int = 262144, exact: bool = False):
+               exact: bool = False):
         """ef accepted for interface parity; an exhaustive scan ignores it.
         exact=True swaps the per-chunk approx_max_k for a full top_k."""
         n = self.ntotal
@@ -140,12 +149,8 @@ class Int8FlatIndex:
                 np.full((queries.shape[0], k), np.inf, np.float32),
             )
         k_eff = min(k, n)
-        c, rn = self._device()
-        pad = (-n) % min(chunk, max(n, 1))
-        eff_chunk = min(chunk, n + pad)
-        if pad:
-            c = jnp.pad(c, ((0, pad), (0, 0)))
-            rn = jnp.pad(rn, (0, pad))
+        c, rn = self._device()  # already padded to a _CHUNK multiple
+        eff_chunk = min(self._CHUNK, int(c.shape[0]))
         q8_all = quantize(queries, self.scale)
         nq = q8_all.shape[0]
         q_batch = 8192  # [q_batch, chunk] int32 scores must fit HBM

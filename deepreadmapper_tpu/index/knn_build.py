@@ -243,7 +243,10 @@ def _knn_layer_host(v: np.ndarray, m: int, cap: int, k_cand: int) -> np.ndarray:
     """Tiny layers (upper HNSW levels) run entirely on host: a device round
     would recompile per distinct level size (~20s each on remote AOT)."""
     n = v.shape[0]
-    d2 = ((v[:, None, :] - v[None, :, :]) ** 2).sum(axis=2).astype(np.float32)
+    # x2+y2-2xy form: the [n,n,D] broadcast difference would transiently
+    # allocate up to ~8.6 GB at the n=4096 cutoff for a 67 MB result.
+    sq = (v * v).sum(axis=1)
+    d2 = (sq[:, None] + sq[None, :] - 2.0 * (v @ v.T)).astype(np.float32)
     np.fill_diagonal(d2, np.inf)
     k = min(k_cand, n - 1)
     ki = np.argsort(d2, axis=1, kind="stable")[:, :k]

@@ -88,6 +88,12 @@ class PQFlatIndex:
         exact=False swaps the per-chunk top_k for approx_max_k (faster at
         genome scale; default stays exact-in-PQ-space for parity)."""
         n = self.ntotal
+        queries = np.asarray(queries, np.float32)
+        if n == 0:
+            return (
+                np.full((queries.shape[0], k), -1, np.int64),
+                np.full((queries.shape[0], k), np.inf, np.float32),
+            )
         k_eff = min(k, n)
         codes = self.codes
         pad = (-n) % min(chunk, max(n, 1))
@@ -97,7 +103,6 @@ class PQFlatIndex:
                 [codes, np.zeros((pad, codes.shape[1]), np.uint8)], axis=0
             )
         codes_j = jnp.asarray(codes)
-        queries = np.asarray(queries, np.float32)
         nq = queries.shape[0]
         q_batch = 8192  # bound the [q_batch, chunk] score tensor
         pending = []

@@ -162,25 +162,24 @@ class Vectorizer:
         self.device_batch = device_batch
         self.dtype = dtype
 
-    def vectorize_tokens(self, tokens: np.ndarray, device_out: bool = False):
-        """tokens int [N, T] -> fp32 [N, 128]; batches + pads to fixed shapes
-        so XLA compiles once.  All device batches are dispatched before any
-        result is fetched — jax's async dispatch overlaps host->HBM uploads
-        with compute (the reference gets the same overlap from 2048 in-flight
-        OpenVINO requests, fast_model.cpp:110-225).  device_out=True keeps
-        the result on device (consumers like the sparse rerank read it there;
-        skipping the host round-trip saves 512 B/seq each way on the link)."""
-        n = tokens.shape[0]
+    def _dispatch_batches(self, rows: np.ndarray, encode_one, device_out: bool):
+        """Shared batching engine: pad rows to fixed device batches, dispatch
+        ALL batches before fetching any result (jax async dispatch overlaps
+        host->HBM uploads with compute — the reference gets the same overlap
+        from 2048 in-flight OpenVINO requests, fast_model.cpp:110-225).
+        device_out=True keeps the result on device (consumers like the sparse
+        rerank read it there, skipping a 512 B/seq host round-trip)."""
+        n = rows.shape[0]
         bs = self.device_batch
+        if n == 0:
+            z = np.zeros((0, OUT_SIZE), dtype=np.float32)
+            return jnp.asarray(z) if device_out else z
         pending = []
         for start in range(0, n, bs):
-            chunk = tokens[start : start + bs]
+            chunk = rows[start : start + bs]
             if chunk.shape[0] < bs:
                 chunk = np.pad(chunk, ((0, bs - chunk.shape[0]), (0, 0)))
-            chunk16 = np.ascontiguousarray(chunk.astype(np.uint16))
-            pending.append(
-                (start, encode_tokens(self.params, jnp.asarray(chunk16), dtype=self.dtype))
-            )
+            pending.append((start, encode_one(chunk)))
         if device_out:
             embs = [e for _, e in pending]
             out = jnp.concatenate(embs, axis=0) if len(embs) > 1 else embs[0]
@@ -189,6 +188,18 @@ class Vectorizer:
         for start, emb in pending:
             out[start : start + bs] = np.asarray(emb)[: min(bs, n - start)]
         return out
+
+    def vectorize_tokens(self, tokens: np.ndarray, device_out: bool = False):
+        """tokens int [N, T] -> fp32 [N, 128].  Tokens travel as uint16."""
+        return self._dispatch_batches(
+            tokens,
+            lambda c: encode_tokens(
+                self.params,
+                jnp.asarray(np.ascontiguousarray(c.astype(np.uint16))),
+                dtype=self.dtype,
+            ),
+            device_out,
+        )
 
     def vectorize(self, seqs: list[str]) -> np.ndarray:
         from deepreadmapper_tpu import tokenizer as tok
@@ -207,26 +218,9 @@ class Vectorizer:
 
     def vectorize_wire(self, wire: np.ndarray, device_out: bool = False):
         """Pre-packed 48-byte wire rows (tokenizer_device format) ->
-        embeddings; batches to fixed shapes, async dispatch.
-
-        device_out=True keeps the result on device as a jax array — at genome
-        scale the embeddings feed straight into PQ encoding, and skipping the
-        host round-trip avoids downloading 512 B/window over the link."""
-        n = wire.shape[0]
-        bs = self.device_batch
-        pending = []
-        for start in range(0, n, bs):
-            w = wire[start : start + bs]
-            if w.shape[0] < bs:
-                w = np.pad(w, ((0, bs - w.shape[0]), (0, 0)))
-            pending.append(
-                (start, encode_packed(self.params, jnp.asarray(w), dtype=self.dtype))
-            )
-        if device_out:
-            embs = [e for _, e in pending]
-            out = jnp.concatenate(embs, axis=0) if len(embs) > 1 else embs[0]
-            return out[:n]
-        out = np.empty((n, OUT_SIZE), dtype=np.float32)
-        for start, emb in pending:
-            out[start : start + bs] = np.asarray(emb)[: min(bs, n - start)]
-        return out
+        embeddings (tokenization happens on device)."""
+        return self._dispatch_batches(
+            wire,
+            lambda w: encode_packed(self.params, jnp.asarray(w), dtype=self.dtype),
+            device_out,
+        )

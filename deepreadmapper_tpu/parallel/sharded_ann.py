@@ -31,8 +31,9 @@ from deepreadmapper_tpu.index.hnsw import hnsw_search_device
 from deepreadmapper_tpu.index.registry import _REGISTRY
 from deepreadmapper_tpu.ops import pq as pq_ops
 
-# per-shard int8 scan chunk: bounds the [Q_local, chunk] int32 score tensor
+# per-shard scan chunks: bound the [Q_local, chunk] score tensors
 _INT8_CHUNK = 262144
+_PQ_CHUNK = 131072  # ADC also materializes a [chunk, m*ksub] one-hot
 
 
 def read_manifest(index_prefix: str) -> dict:
@@ -126,6 +127,13 @@ class ShardedANNIndex:
             embeddings = np.concatenate(
                 [embeddings, np.repeat(embeddings[-1:], pad, axis=0)]
             )
+        if n + pad >= 2**31:
+            # Shard-local ids merge as int32 (jax default; int64 needs x64
+            # mode).  2^31 vectors per sharded index is the current cap —
+            # split across multiple indexes beyond that.
+            raise NotImplementedError(
+                f"sharded index of {n} vectors exceeds the int32 id space"
+            )
         parts = np.split(np.asarray(embeddings, np.float32), n_shard)
         eng = _REGISTRY[index_type]
         subs = [
@@ -149,8 +157,12 @@ class ShardedANNIndex:
             self._dev = (None, (), None, vecs, None)
             return self._dev
         if self.kind == "pqflat":
+            stack = np.stack([s.codes for s in self.subs])
+            pad = (-self.n_local) % min(_PQ_CHUNK, max(self.n_local, 1))
+            if pad:  # pad so the per-shard ADC scan can chunk (rows masked)
+                stack = np.pad(stack, ((0, 0), (0, pad), (0, 0)))
             codes = jax.device_put(
-                jnp.asarray(np.stack([s.codes for s in self.subs])),
+                jnp.asarray(stack),
                 sh("shard", None, None),
             )
             cents = jax.device_put(
@@ -284,8 +296,9 @@ class ShardedANNIndex:
                 from deepreadmapper_tpu.index.pq_flat import _adc_topk
 
                 tables = pq_ops.adc_tables(q, cents_s[0])
+                chunk = min(_PQ_CHUNK, codes_s.shape[1])
                 d, i = _adc_topk(
-                    tables, codes_s[0], jnp.int32(n_local), k_local, n_local
+                    tables, codes_s[0], jnp.int32(n_local), k_local, chunk
                 )
                 return merge(d, i)
 

@@ -170,14 +170,28 @@ def build_index(
         )
 
         nv = estimate_window_count(ref_file, ref_len, stride)  # both strands
-        est = estimate_index_memory(
-            nv, m_pq=cfg.m_pq, nbits=cfg.nbits, m_hnsw=cfg.m_hnsw,
-            n_train=int(nv * cfg.sample_rate),
-        )
+        dim = 128
+        if index_type == "INT8FLAT":
+            total = nv * dim  # 1 B/dim, no graph
+            detail = f"int8 codes {total/1e6:.1f}"
+        elif index_type == "FLAT":
+            total = nv * dim * 4
+            detail = f"fp32 vectors {total/1e6:.1f}"
+        elif index_type == "PQFLAT":
+            total = nv * cfg.m_pq + (1 << cfg.nbits) * dim * 4
+            detail = f"pq codes {nv*cfg.m_pq/1e6:.1f}"
+        else:  # HNSW variants: PQ/flat storage + graph
+            est = estimate_index_memory(
+                nv, m_pq=cfg.m_pq, nbits=cfg.nbits, m_hnsw=cfg.m_hnsw,
+                n_train=int(nv * cfg.sample_rate),
+            )
+            total = est["total"]
+            if index_type == "HNSWFLAT":
+                total += nv * dim * 4 - est["pq_codes"]
+            detail = f"graph {est['hnsw_graph']/1e6:.1f}"
         print(
             f"[BUILD INDEX] ~{nv} vectors; estimated index memory "
-            f"{est['total']/1e6:.1f} MB (codes {est['pq_codes']/1e6:.1f}, "
-            f"graph {est['hnsw_graph']/1e6:.1f})"
+            f"{total/1e6:.1f} MB ({detail})"
         )
 
     embeddings = embed_input_file(
