@@ -33,6 +33,7 @@ from deepreadmapper_tpu.ops import pq as pq_ops
 
 # per-shard scan chunks: bound the [Q_local, chunk] score tensors
 _INT8_CHUNK = 262144
+_Q_SUPER_PER_DATA = 8192  # queries per data-axis position per device call
 _PQ_CHUNK = 131072  # ADC also materializes a [chunk, m*ksub] one-hot
 
 
@@ -399,7 +400,7 @@ class ShardedANNIndex:
         # Bound per-call queries (8192/data position) so the per-shard score
         # tensors stay in HBM; pad every batch to the same shape so all
         # batches share one compiled program.
-        q_super = 8192 * n_data
+        q_super = _Q_SUPER_PER_DATA * n_data
         out_i = np.empty((nq, k), np.int64)
         out_d = np.empty((nq, k), np.float32)
         pending = []

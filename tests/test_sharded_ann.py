@@ -207,3 +207,19 @@ def test_sharded_int8flat(data, mesh):
         loaded = ShardedANNIndex.load(tmp, mesh)
         i2, _d2 = loaded.search(q, 10)
         np.testing.assert_array_equal(ids, i2)
+
+
+def test_sharded_query_super_batching(data, mesh, monkeypatch):
+    """Search with more queries than one super-batch: results must equal the
+    single-call path (batches share one compiled program; tails padded)."""
+    from deepreadmapper_tpu.parallel import sharded_ann
+
+    x = data[:512]
+    idx = ShardedANNIndex.build(x, mesh, index_type="FLAT")
+    q = x[:50] + np.float32(0.02)
+    want_i, want_d = idx.search(q, 5)
+    monkeypatch.setattr(sharded_ann, "_Q_SUPER_PER_DATA", 16)  # force 2 batches
+    idx2 = ShardedANNIndex.build(x, mesh, index_type="FLAT")
+    got_i, got_d = idx2.search(q, 5)
+    np.testing.assert_array_equal(got_i, want_i)
+    np.testing.assert_allclose(got_d, want_d, rtol=1e-5)
