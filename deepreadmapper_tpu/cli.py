@@ -77,6 +77,10 @@ def _add_finetune(sub):
     p.add_argument("--resume", default=None, metavar="NPZ",
                    help="resume from a previously saved weights npz "
                         "(checkpoint/continue fine-tuning)")
+    p.add_argument("--state", default=None, metavar="NPZ",
+                   help="full training-state checkpoint file (params + "
+                        "optimizer moments + rng); loaded if it exists, "
+                        "saved back after training — exact resume")
 
 
 def _add_gen_ref(sub):
@@ -177,7 +181,7 @@ def main(argv=None) -> int:
         params, losses = finetune(
             args.ref_file, args.ref_len, steps=args.steps, batch=args.batch,
             lr=args.lr, seed=args.seed, sub_rate=args.sub_rate,
-            params=start_params,
+            params=start_params, state_path=args.state,
         )
         save_params_npz(params, args.output)
         print(

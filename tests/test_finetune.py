@@ -34,3 +34,21 @@ def test_finetune_loss_decreases(data_dir, tmp_path):
     e2 = np.asarray(encoder.encode_tokens(p2, tokens))
     # fp16 storage rounding only.
     np.testing.assert_allclose(e1, e2, atol=2e-2)
+
+
+def test_train_state_checkpoint_exact_resume(tmp_path):
+    """Two 2-step runs through a state checkpoint must equal one 4-step run
+    (params + optimizer moments + data-rng position all restored)."""
+    import numpy as np
+
+    from deepreadmapper_tpu.pipeline.finetune import finetune
+
+    ref = "tests/data/ecoli_150.fna"
+    state = str(tmp_path / "state.npz")
+    p_split, l1 = finetune(ref, 150, steps=2, batch=32, seed=3, state_path=state)
+    p_split, l2 = finetune(ref, 150, steps=2, batch=32, seed=3, state_path=state)
+    p_full, lf = finetune(ref, 150, steps=4, batch=32, seed=3)
+    np.testing.assert_allclose(l1 + l2, lf, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(p_split.embedding), np.asarray(p_full.embedding), atol=1e-6
+    )
