@@ -83,20 +83,23 @@ def _gru_proj_kernel(x_ref, w_ref, bzr_ref, r_ref, rbh_ref, out_ref, h_ref, *,
         h_ref[:] = jnp.zeros_like(h_ref)
 
     h = h_ref[:]
-    x = x_ref[0]  # [BT, din]
-    gx = jnp.dot(x, w_ref[:], preferred_element_type=jnp.float32) + bzr_ref[:]
-    gh = jnp.dot(h, r_ref[:], preferred_element_type=jnp.float32)
+    x = x_ref[0]  # [BT, din]  (fp32 or bf16; gate math/carry stay fp32)
+    gx = jnp.dot(x, w_ref[:], preferred_element_type=jnp.float32) + bzr_ref[
+        :
+    ].astype(jnp.float32)
+    gh = jnp.dot(h, r_ref[:].astype(h.dtype),
+                 preferred_element_type=jnp.float32)
     z = jax.nn.sigmoid(gx[:, :H] + gh[:, :H])
     r = jax.nn.sigmoid(gx[:, H : 2 * H] + gh[:, H : 2 * H])
-    n = jnp.tanh(gx[:, 2 * H :] + r * (gh[:, 2 * H :] + rbh_ref[:]))
+    n = jnp.tanh(gx[:, 2 * H :] + r * (gh[:, 2 * H :] + rbh_ref[:].astype(jnp.float32)))
     hn = (1.0 - z) * n + z * h
     h_ref[:] = hn
     if last_only:
         @pl.when(t == t_steps - 1)
         def _():
-            out_ref[:] = hn
+            out_ref[:] = hn.astype(out_ref.dtype)
     else:
-        out_ref[0] = hn
+        out_ref[0] = hn.astype(out_ref.dtype)
 
 
 def _pallas_proj_impl(x, w, bzr, r_mat, rbh, reverse: bool, last_only: bool,
@@ -128,9 +131,11 @@ def _pallas_proj_impl(x, w, bzr, r_mat, rbh, reverse: bool, last_only: bool,
             else pl.BlockSpec((1, bt, H), tmap, memory_space=pltpu.VMEM)
         ),
         out_shape=(
+            # final hidden stays fp32; per-step outputs match the input dtype
+            # (bf16 halves the hs write+read traffic between layers)
             jax.ShapeDtypeStruct((bp, H), jnp.float32)
             if last_only
-            else jax.ShapeDtypeStruct((t_steps, bp, H), jnp.float32)
+            else jax.ShapeDtypeStruct((t_steps, bp, H), x.dtype)
         ),
         scratch_shapes=[pltpu.VMEM((bt, H), jnp.float32)],
     )(x, w, bzr.reshape(1, G), r_mat, rbh.reshape(1, H))
@@ -152,7 +157,7 @@ def _scan_proj_impl(x, w, bzr, r_mat, rbh, reverse: bool, last_only: bool):
 def gru_proj_seq(x, w, bzr, r_mat, rbh, reverse: bool):
     """Fused projection + recurrence, all hidden states.
     x [T,B,din] time-major -> hs [T,B,64] in original positions."""
-    if use_pallas() and x.dtype == jnp.float32:
+    if use_pallas() and x.dtype in (jnp.float32, jnp.bfloat16):
         return _pallas_proj_impl(x, w, bzr, r_mat, rbh, reverse, last_only=False)
     return _scan_proj_impl(x, w, bzr, r_mat, rbh, reverse, last_only=False)
 
@@ -174,7 +179,7 @@ gru_proj_seq.defvjp(_gps_fwd, _gps_bwd)
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def gru_proj_last(x, w, bzr, r_mat, rbh, reverse: bool):
     """Fused projection + recurrence, final hidden only: -> hT [B,64]."""
-    if use_pallas() and x.dtype == jnp.float32:
+    if use_pallas() and x.dtype in (jnp.float32, jnp.bfloat16):
         return _pallas_proj_impl(x, w, bzr, r_mat, rbh, reverse, last_only=True)
     return _scan_proj_impl(x, w, bzr, r_mat, rbh, reverse, last_only=True)
 

@@ -98,3 +98,22 @@ def test_bfloat16_close_to_fp32(data_dir):
     d32 = ((f32[:1] - f32) ** 2).sum(-1)
     dbf = ((bf16[:1] - bf16) ** 2).sum(-1)
     assert np.argsort(d32)[:3].tolist() == np.argsort(dbf)[:3].tolist()
+
+
+def test_bfloat16_mode_close_to_fp32():
+    """bf16 compute mode (Vectorizer(dtype='bfloat16')) stays within
+    quantization distance of fp32 — the documented fast inference mode."""
+    import numpy as np
+
+    from deepreadmapper_tpu.models.encoder import Vectorizer
+
+    rng = np.random.default_rng(2)
+    seqs = ["".join(rng.choice(list("acgt"), size=150)) for _ in range(16)]
+    v32 = Vectorizer(device_batch=16)
+    vb = Vectorizer(device_batch=16, dtype="bfloat16")
+    e32 = v32.vectorize([f"<{s}>" for s in seqs])
+    eb = vb.vectorize([f"<{s}>" for s in seqs])
+    # On CPU this exercises the scan fallback, which accumulates fully in
+    # bf16 (max err ~0.14); the TPU Pallas kernel keeps fp32 gates/carry and
+    # measures ~0.004.  Either is far below typical inter-window distances.
+    assert np.abs(e32 - eb).max() < 0.3
