@@ -20,7 +20,9 @@ shapes satisfy the (8,128) tiling rule):
 Both entry points carry a custom_vjp whose backward re-runs the
 differentiable lax.scan reference implementation, so fine-tuning
 (parallel/train.py) can differentiate straight through the kernel.
-Numerics are bit-identical to the scan (same op order per step).
+fp32 numerics are bit-identical to the scan (same op order per step);
+bf16 inputs keep fp32 gates/carry in BOTH the kernel and the scan
+reference, so forward and gradient share one precision model.
 """
 
 from __future__ import annotations
@@ -146,11 +148,20 @@ def _pallas_proj_impl(x, w, bzr, r_mat, rbh, reverse: bool, last_only: bool,
 
 def _scan_proj_impl(x, w, bzr, r_mat, rbh, reverse: bool, last_only: bool):
     t_, b_, din = x.shape
+    in_dt = x.dtype
+    if in_dt == jnp.bfloat16:
+        # Match the Pallas kernel's precision model: bf16 values, fp32 gate
+        # math and carry (also what the custom_vjp backward differentiates).
+        x = x.astype(jnp.float32)
+        w = w.astype(jnp.float32)
+        bzr = bzr.astype(jnp.float32)
+        r_mat = r_mat.astype(jnp.float32)
+        rbh = rbh.astype(jnp.float32)
     gx = (x.reshape(t_ * b_, din) @ w + bzr).reshape(t_, b_, G)
     hs = _scan_impl(gx, r_mat, rbh, reverse)
     if last_only:
-        return hs[0] if reverse else hs[-1]
-    return hs
+        return hs[0] if reverse else hs[-1]  # fp32, like the kernel's hT
+    return hs.astype(in_dt)  # per-step outputs match input dtype
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
