@@ -31,6 +31,28 @@ from deepreadmapper_tpu.index.registry import register_index
 _BIGF = jnp.float32(3.4e38)
 
 
+@jax.jit
+def _row_norms(c: jax.Array) -> jax.Array:
+    """Squared row norms of an int8 code matrix, computed in 262144-row
+    chunks — a whole-matrix int32 cast would transiently need 8x the codes'
+    memory (41 GB at 40M windows)."""
+    n, d = c.shape
+    chunk = min(262144, n)
+    if n % chunk:
+        return jnp.sum(
+            c.astype(jnp.int32) * c.astype(jnp.int32), axis=-1, dtype=jnp.int32
+        )
+
+    def step(_, cc):
+        return 0, jnp.sum(
+            cc.astype(jnp.int32) * cc.astype(jnp.int32), axis=-1,
+            dtype=jnp.int32,
+        )
+
+    _, rn = jax.lax.scan(step, 0, c.reshape(n // chunk, chunk, d))
+    return rn.reshape(n)
+
+
 def quantize(x, scale: float):
     """fp32 -> int8 with symmetric clipping at +-127."""
     xj = jnp.asarray(x, jnp.float32)
@@ -129,12 +151,7 @@ class Int8FlatIndex:
             if pad:
                 codes = np.pad(codes, ((0, pad), (0, 0)))
             c = jnp.asarray(codes)
-            rn = jnp.sum(
-                c.astype(jnp.int32) * c.astype(jnp.int32),
-                axis=-1,
-                dtype=jnp.int32,
-            )
-            self._dev = (c, rn)
+            self._dev = (c, _row_norms(c))
         return self._dev
 
     def search(self, queries: np.ndarray, k: int, ef: int = 0,

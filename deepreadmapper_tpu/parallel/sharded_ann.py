@@ -186,12 +186,10 @@ class ShardedANNIndex:
                 jnp.asarray(stack),
                 sh("shard", None, None),
             )
+            from deepreadmapper_tpu.index.int8_flat import _row_norms
+
             rn = jax.device_put(
-                jnp.sum(
-                    codes.astype(jnp.int32) * codes.astype(jnp.int32),
-                    axis=-1,
-                    dtype=jnp.int32,
-                ),
+                jax.vmap(_row_norms)(codes),  # chunked: no whole-matrix cast
                 sh("shard", None),
             )
             scales = jax.device_put(

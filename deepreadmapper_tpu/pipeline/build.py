@@ -26,16 +26,27 @@ def embed_fasta_windows(
     vectorizer: Vectorizer,
     window_chunk: int = 65536,
     device_out: bool = False,
+    chunk_transform=None,
 ):
     """Embed every (fwd, revcomp) window of every record, streamed in chunks
     so genome-scale inputs never materialize all window bytes at once.
 
-    device_out=True returns a jax array resident on device (PQ builds encode
-    straight from it, skipping a 512 B/window host download)."""
+    device_out=True returns a jax array resident on device (quantizing builds
+    encode straight from it, skipping a 512 B/window host download).
+    chunk_transform, when given, is applied to each device chunk BEFORE
+    collection (e.g. int8 quantization) — fp32 embeddings of a genome-scale
+    index would not fit HBM all at once (40M windows = 20 GB fp32 vs 5 GB
+    int8)."""
     from deepreadmapper_tpu import native
 
     use_native = native.available()
     outs = []
+
+    def collect(emb):
+        if chunk_transform is not None:
+            emb = chunk_transform(jnp_asarray(emb))
+        outs.append(emb if device_out else np.asarray(emb))
+
     for rec in records:
         nw = fasta_io.num_windows(len(rec), ref_len, stride)
         if nw == 0:
@@ -47,7 +58,7 @@ def embed_fasta_windows(
                 # genome bytes; tokenization happens on device (48 B/window
                 # upload instead of 246 B of uint16 tokens).
                 wire = native.pack_windows(rec, ref_len, stride, start, n)
-                outs.append(vectorizer.vectorize_wire(wire, device_out=device_out))
+                collect(vectorizer.vectorize_wire(wire, device_out=True))
                 continue
             if use_native:
                 tokens = native.tokenize_windows(
@@ -59,10 +70,11 @@ def embed_fasta_windows(
                     rec, positions, ref_len, vectorizer.max_len
                 )
                 tokens = tok.tokenize_bytes(mat, lengths, vectorizer.max_len)
-            emb = vectorizer.vectorize_tokens(tokens)
-            outs.append(jnp_asarray(emb) if device_out else emb)
+            collect(vectorizer.vectorize_tokens(tokens, device_out=True))
     if not outs:
         z = np.zeros((0, 128), dtype=np.float32)
+        if chunk_transform is not None:
+            z = np.asarray(chunk_transform(jnp_asarray(z)))
         return jnp_asarray(z) if device_out else z
     if device_out:
         return jnp_concat(outs)
@@ -194,9 +206,25 @@ def build_index(
             f"{total/1e6:.1f} MB ({detail})"
         )
 
-    embeddings = embed_input_file(
-        ref_file, ref_len, stride, vectorizer, device_out=device_out
-    )
+    int8_stream = index_type == "INT8FLAT" and ext in FASTA_EXTS
+    if int8_stream:
+        # Stream-quantize: every embedding chunk becomes int8 ON DEVICE before
+        # collection — fp32 for a genome-scale index would not fit HBM (40M
+        # windows = 20 GB fp32 vs 5 GB int8).  Encoder outputs are final
+        # bi-GRU hiddens, tanh-bounded in [-1,1], so the fixed 1/127 scale is
+        # what build() would derive from the data anyway.
+        from deepreadmapper_tpu.index.int8_flat import quantize
+
+        int8_scale = 1.0 / 127.0
+        records = fasta_io.parse_fasta_records(ref_file)
+        embeddings = embed_fasta_windows(
+            records, ref_len, stride, vectorizer, device_out=True,
+            chunk_transform=lambda e: quantize(e, int8_scale),
+        )
+    else:
+        embeddings = embed_input_file(
+            ref_file, ref_len, stride, vectorizer, device_out=device_out
+        )
     if embeddings.shape[0] == 0:
         raise ValueError(f"No sequences found in file: {ref_file}")
 
@@ -221,6 +249,30 @@ def build_index(
     }
     os.makedirs(index_prefix, exist_ok=True)
     save_config(config, index_prefix)
+
+    if int8_stream:
+        from deepreadmapper_tpu.index.int8_flat import Int8FlatIndex
+
+        codes = np.asarray(embeddings)  # int8 download, 128 B/window
+        n = codes.shape[0]
+        if n_shards > 1:
+            from deepreadmapper_tpu.parallel.mesh import make_mesh
+            from deepreadmapper_tpu.parallel.sharded_ann import ShardedANNIndex
+
+            pad = (-n) % n_shards
+            if pad:
+                codes = np.concatenate([codes, np.repeat(codes[-1:], pad, 0)])
+            subs = [
+                Int8FlatIndex(c, int8_scale, c.shape[0])
+                for c in np.split(codes, n_shards)
+            ]
+            engine = ShardedANNIndex(
+                subs, make_mesh(n_shard=n_shards), n, "INT8FLAT"
+            )
+        else:
+            engine = Int8FlatIndex(codes, int8_scale, n)
+        engine.save(index_prefix)
+        return config
 
     if n_shards > 1:
         from deepreadmapper_tpu.parallel.mesh import make_mesh
