@@ -223,3 +223,29 @@ def test_sharded_query_super_batching(data, mesh, monkeypatch):
     got_i, got_d = idx2.search(q, 5)
     np.testing.assert_array_equal(got_i, want_i)
     np.testing.assert_allclose(got_d, want_d, rtol=1e-5)
+
+
+def test_stream_quantized_sharded_int8_build(tmp_path):
+    """build_index(INT8FLAT, n_shards=4) takes the stream-quantize branch
+    (codes split across shards, no fp32 materialization); the saved index
+    loads through the registry and maps the fixture reads."""
+    import os
+
+    from deepreadmapper_tpu.index.registry import load_index
+    from deepreadmapper_tpu.pipeline.build import build_index
+
+    prefix = str(tmp_path / "si8")
+    build_index("tests/data/ecoli_150.fna", prefix, 150,
+                index_type="INT8FLAT", n_shards=4)
+    assert os.path.exists(os.path.join(prefix, "sharded.txt"))
+    engine, cfg = load_index(prefix)
+    assert engine.ntotal == 1702 and cfg["index_type"] == "INT8FLAT"
+    from deepreadmapper_tpu.io.fastq import parse_fastq
+    from deepreadmapper_tpu.models.encoder import Vectorizer
+
+    seqs, names = parse_fastq("tests/data/test_data.fastq")
+    emb = Vectorizer(device_batch=256).vectorize(seqs[:48])
+    ids, d = engine.search(emb, 5)
+    ok = sum(abs(int(ids[i][0] // 2) - int(names[i].split("_")[1])) <= 10
+             for i in range(48))
+    assert ok >= 42, f"{ok}/48"
