@@ -27,6 +27,7 @@ import numpy as np
 
 from deepreadmapper_tpu.config import BuildConfig
 from deepreadmapper_tpu.index.registry import register_index
+from deepreadmapper_tpu.ops import scan_kernel as sk
 
 _BIGF = jnp.float32(3.4e38)
 
@@ -143,15 +144,23 @@ class Int8FlatIndex:
 
     def _device(self):
         """Codes + norms on device, padded ONCE to a chunk multiple (search
-        is the hot path; per-call jnp.pad would copy the whole array)."""
+        is the hot path; per-call jnp.pad would copy the whole array).
+        Padding granularity: 2^18 rows above 2^18 total, else the fused
+        kernel's candidate-tile (2048) — both divide evenly for the chunked
+        scans, and pad rows carry +inf norms for the fused path."""
         if self._dev is None:
             codes = self.codes
             n = codes.shape[0]
-            pad = (-n) % min(self._CHUNK, max(n, 1))
+            base = sk._PAD_BASE if n >= sk._PAD_BASE else sk.CT
+            pad = (-n) % min(base, max(n, 1))
             if pad:
                 codes = np.pad(codes, ((0, pad), (0, 0)))
             c = jnp.asarray(codes)
-            self._dev = (c, _row_norms(c))
+            rn = _row_norms(c)
+            row_ids = jnp.arange(c.shape[0], dtype=jnp.int32)[:, None]
+            rn_f = jnp.where(row_ids < n, rn[:, None].astype(jnp.float32),
+                             jnp.float32(3.4e38))
+            self._dev = (c, rn, rn_f)
         return self._dev
 
     def search(self, queries: np.ndarray, k: int, ef: int = 0,
@@ -166,25 +175,62 @@ class Int8FlatIndex:
                 np.full((queries.shape[0], k), np.inf, np.float32),
             )
         k_eff = min(k, n)
-        c, rn = self._device()  # already padded to a _CHUNK multiple
-        eff_chunk = min(self._CHUNK, int(c.shape[0]))
-        q8_all = quantize(queries, self.scale)
+        c, rn, rn_f = self._device()  # already padded to a chunk multiple
+        np_ = int(c.shape[0])
+        use_fused = (
+            not exact
+            and sk.use_fused_scan()
+            and n >= sk.MIN_FUSED_N
+            and np_ % sk._PAD_BASE == 0
+            and k_eff <= sk._PAD_BASE // sk.W
+        )
+        # numpy quantize: jnp would round-trip the queries device-side
+        # (~4 MB up + 1 MB down per batch over the host tunnel)
+        q8_all = np.clip(
+            np.round(queries / np.float32(self.scale)), -127, 127
+        ).astype(np.int8)
         nq = q8_all.shape[0]
-        q_batch = 8192  # [q_batch, chunk] int32 scores must fit HBM
+        q_batch = 8192  # [q_batch, chunk] score tensors must fit HBM
         pending = []
-        for s in range(0, nq, q_batch):
-            e = min(s + q_batch, nq)
-            q8 = q8_all[s:e]
-            if e - s < q_batch and nq > q_batch:
-                q8 = jnp.pad(q8, ((0, q_batch - (e - s)), (0, 0)))
-            pending.append(
-                (s, e, _int8_topk(q8, c, rn, jnp.int32(n), k_eff, eff_chunk, exact))
-            )
+        qn_all = None
+        if use_fused:
+            # Fused Pallas scan: scores never leave VMEM (ops/scan_kernel).
+            chunk = sk.choose_chunk(np_)
+            qn_all = (
+                q8_all.astype(np.int64) ** 2
+            ).sum(1).astype(np.float32)
+            for s in range(0, nq, q_batch):
+                e = min(s + q_batch, nq)
+                qb = q8_all[s:e]
+                width = q_batch if nq > q_batch else (e - s + (-(e - s)) % sk.QT)
+                if qb.shape[0] < width:
+                    qb = np.pad(qb, ((0, width - qb.shape[0]), (0, 0)))
+                qt_b = jnp.asarray(qb.T, jnp.bfloat16)  # [D, Qp], exact
+                pending.append(
+                    (s, e,
+                     sk.fused_scan_topk(qt_b, c, rn_f, k_eff, chunk, "int8"))
+                )
+        else:
+            eff_chunk = min(self._CHUNK, np_)
+            for s in range(0, nq, q_batch):
+                e = min(s + q_batch, nq)
+                q8 = jnp.asarray(q8_all[s:e])
+                if e - s < q_batch and nq > q_batch:
+                    q8 = jnp.pad(q8, ((0, q_batch - (e - s)), (0, 0)))
+                pending.append(
+                    (s, e,
+                     _int8_topk(q8, c, rn, jnp.int32(n), k_eff, eff_chunk, exact))
+                )
         d = np.empty((nq, k_eff), np.float32)
         i = np.empty((nq, k_eff), np.int64)
+        s2 = np.float32(self.scale) ** 2
         for s, e, (db, ib) in pending:
-            # int32 quantized-space scores -> fp32 squared L2 estimate
-            d[s:e] = np.asarray(db)[: e - s] * np.float32(self.scale) ** 2
+            # int32 quantized-space scores -> fp32 squared L2 estimate;
+            # the fused kernel returns rn - 2*q.r, so add the query norm
+            db = np.asarray(db)[: e - s]
+            if use_fused:
+                db = db + qn_all[s:e, None]
+            d[s:e] = db * s2
             i[s:e] = np.asarray(ib, dtype=np.int64)[: e - s]
         if k_eff < k:
             d = np.pad(d, ((0, 0), (0, k - k_eff)), constant_values=np.inf)

@@ -1,0 +1,261 @@
+"""Fused exhaustive-scan kernels: matmul + windowed top-1 in VMEM.
+
+The INT8FLAT / PQFLAT scans were HBM-bound, not FLOP-bound: the [Q, chunk]
+int32 score tensor (4-9 GB per chunk) was materialized to HBM just so
+lax.approx_max_k could read it back — measured 469 ms for Q=8192 x N=2M
+versus 48 ms for the same matmul with a fused reduction (10x headroom).
+
+These Pallas kernels never let scores leave VMEM: each (candidate-tile,
+query-tile) grid cell computes its score tile on the MXU and immediately
+reduces every W=128-row window to (min score, argmin row) on the VPU.  The
+HBM output is [N/W, Q] — 128x smaller than the score matrix — and the final
+per-query top-k runs on that reduced array.
+
+Approximation: one candidate per W-row window.  With k=128 drawn from
+N/W >= 16k windows the expected loss is ~C(k,2)/(N/W) candidates (<0.5% at
+N=2M), tighter than the approx_max_k(recall_target=0.95) it replaces.
+
+Numerics: all arithmetic is exact — int8 values are exact in bf16, products
+are exact in the fp32 MXU accumulator, and |scores| < 2^24 so fp32 ordering
+equals int32 ordering.  Scores are (rn - 2 q.r); the query norm is added by
+the caller after the merge (constant per query, does not affect ordering).
+
+Reference scoring being replaced: FAISS IndexHNSWPQ ADC
+(src/hnswpq/search.cpp:6-57) and the exhaustive oracle
+(src/hnswm/bruteforce.cpp:27-86).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+QT = 256      # query-tile (lanes of the score tile)
+CT = 2048     # candidate rows per tile (sublanes of the score tile)
+W = 128       # reduction window: one (min, argmin) survivor per W rows
+_BIG = 3.4e38
+
+
+MIN_FUSED_N = 1 << 18  # below this the scan is fast anyway; NW must exceed k
+_PAD_BASE = 1 << 18    # pad codes to this multiple so chunks divide evenly
+_MAX_CHUNK_UNITS = 8   # chunk <= 8 * 2^18 = 2^21 rows (1 GB of window output)
+
+
+def use_fused_scan() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def choose_chunk(np_: int) -> int:
+    """Largest chunk that divides np_ (a _PAD_BASE multiple), is a multiple
+    of _PAD_BASE, and stays <= 2^21 rows (bounds the [chunk/W, Q] output at
+    ~1 GB per pass)."""
+    units = np_ // _PAD_BASE
+    for d in range(min(_MAX_CHUNK_UNITS, units), 0, -1):
+        if units % d == 0:
+            return d * _PAD_BASE
+    return _PAD_BASE
+
+
+def _winmin(s: jax.Array, ct_idx) -> tuple[jax.Array, jax.Array]:
+    """[CT, QT] scores -> per-window (min [CT/W, QT], global argmin int32)."""
+    ct, qt = s.shape
+    s3 = s.reshape(ct // W, W, qt)
+    vmin = jnp.min(s3, axis=1)
+    widx = jax.lax.broadcasted_iota(jnp.int32, (ct // W, W, qt), 1)
+    amin = jnp.min(jnp.where(s3 == vmin[:, None, :], widx, 2**30), axis=1)
+    base = ct_idx * ct + jax.lax.broadcasted_iota(
+        jnp.int32, (ct // W, qt), 0
+    ) * W
+    return vmin, base + amin
+
+
+def _int8_kernel(q_ref, r_ref, rn_ref, vals_ref, args_ref, rbf_ref):
+    # Convert the candidate tile to bf16 ONCE per tile (int8 values are
+    # exact in bf16); the scratch persists across the query-minor grid steps.
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        rbf_ref[...] = r_ref[...].astype(jnp.bfloat16)
+
+    dot = jax.lax.dot_general(
+        rbf_ref[...], q_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [CT, QT] exact
+    s = rn_ref[...] - 2.0 * dot  # [CT, 1] broadcasts over query lanes
+    vmin, amin = _winmin(s, pl.program_id(0))
+    vals_ref[...] = vmin
+    args_ref[...] = amin
+
+
+def _pq_kernel(q_ref, codes_ref, rn_ref, cent_ref, vals_ref, args_ref,
+               recon_ref):
+    """PQ variant: reconstruct the candidate tile from its codes in VMEM.
+
+    codes_ref [CT, m] int32, cent_ref [m*ksub, dsub] bf16 (int8-valued).
+    The reconstruction (8 one-hot [CT,256] @ [256,16] matmuls — the one-hot
+    never exists outside VMEM) runs once per candidate tile and is reused
+    across all query tiles via the persistent scratch.
+    """
+    m = codes_ref.shape[1]
+    ksub = cent_ref.shape[0] // m
+    dsub = cent_ref.shape[1]
+    ct = codes_ref.shape[0]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        parts = []
+        for j in range(m):
+            cj = codes_ref[:, j : j + 1]  # [CT, 1] int32
+            oh = (
+                jax.lax.broadcasted_iota(jnp.int32, (ct, ksub), 1) == cj
+            ).astype(jnp.bfloat16)
+            parts.append(
+                jax.lax.dot_general(
+                    oh, cent_ref[j * ksub : (j + 1) * ksub, :],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [CT, dsub] exact int8-valued
+            )
+        recon_ref[...] = jnp.concatenate(parts, axis=1).astype(jnp.bfloat16)
+
+    dot = jax.lax.dot_general(
+        recon_ref[...], q_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s = rn_ref[...] - 2.0 * dot
+    vmin, amin = _winmin(s, pl.program_id(0))
+    vals_ref[...] = vmin
+    args_ref[...] = amin
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _int8_winmin_call(qt_b, r8, rn, interpret: bool = False):
+    """qt_b [D, Qp] bf16 (queries pre-transposed: the MXU consumes the rhs
+    as [K, N] directly), r8 [Np, D] int8, rn [Np, 1] f32 ->
+    (vals [Np/W, Qp] f32, args [Np/W, Qp] int32)."""
+    d, qp = qt_b.shape
+    np_ = r8.shape[0]
+    grid = (np_ // CT, qp // QT)
+    return pl.pallas_call(
+        _int8_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((d, QT), lambda c, q: (0, q), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CT, d), lambda c, q: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CT, 1), lambda c, q: (c, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((CT // W, QT), lambda c, q: (c, q), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CT // W, QT), lambda c, q: (c, q), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((np_ // W, qp), jnp.float32),
+            jax.ShapeDtypeStruct((np_ // W, qp), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((CT, d), jnp.bfloat16)],
+        interpret=interpret,
+    )(qt_b, r8, rn)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _pq_winmin_call(qt_b, codes, rn, cent2d, interpret: bool = False):
+    """qt_b [D, Qp] bf16 (pre-transposed), codes [Np, m] int32,
+    rn [Np, 1] f32, cent2d [m*ksub, dsub] bf16 -> (vals, args) as above."""
+    d, qp = qt_b.shape
+    np_, m = codes.shape
+    grid = (np_ // CT, qp // QT)
+    return pl.pallas_call(
+        _pq_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((d, QT), lambda c, q: (0, q), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CT, m), lambda c, q: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CT, 1), lambda c, q: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(cent2d.shape, lambda c, q: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((CT // W, QT), lambda c, q: (c, q), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CT // W, QT), lambda c, q: (c, q), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((np_ // W, qp), jnp.float32),
+            jax.ShapeDtypeStruct((np_ // W, qp), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((CT, d), jnp.bfloat16)],
+        interpret=interpret,
+    )(qt_b, codes, rn, cent2d)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "chunk", "kind", "exact", "interpret")
+)
+def fused_scan_topk(qt_b, store, rn, k: int, chunk: int, kind: str = "int8",
+                    cent2d=None, exact: bool = False,
+                    interpret: bool = False):
+    """Chunked fused scan with exact cross-chunk merge.
+
+    qt_b [D, Qp] bf16, queries pre-transposed (Qp % QT == 0); store =
+    r8 [Np, D] int8 (kind='int8') or codes [Np, m] int32 (kind='pq', with
+    cent2d [m*ksub, dsub] bf16); rn [Np, 1] f32 row norms with +inf on
+    padding rows (Np % chunk == 0, chunk % CT == 0).  Returns (scores
+    [Qp, k] f32 = rn - 2 q.r ascending — caller adds the query norm — and
+    ids [Qp, k] int32; all-padding windows surface as _BIG scores).
+    exact=True uses a full top_k over the window minima (measured 100 ms vs
+    approx_max_k's 22 ms on [8192, 16384]); the window reduction itself is
+    the main approximation either way.
+    """
+    qp = qt_b.shape[1]
+    np_ = store.shape[0]
+    n_chunks = np_ // chunk
+
+    def one_chunk(st, rnc, c_idx):
+        if kind == "int8":
+            vals, args = _int8_winmin_call(qt_b, st, rnc, interpret)
+        else:
+            vals, args = _pq_winmin_call(qt_b, st, rnc, cent2d, interpret)
+        # [chunk/W, Qp] -> [Qp, chunk/W]; 128x smaller than the score matrix
+        vals_t = vals.T
+        args_t = args.T + c_idx * chunk
+        if exact:
+            nd, pos = jax.lax.top_k(-vals_t, k)
+        else:
+            nd, pos = jax.lax.approx_max_k(-vals_t, k, recall_target=0.95)
+        return -nd, jnp.take_along_axis(args_t, pos, axis=1)
+
+    if n_chunks == 1:
+        return one_chunk(store, rn, jnp.int32(0))
+
+    def step(carry, inp):
+        best_d, best_i = carry
+        st, rnc, c_idx = inp
+        d, i = one_chunk(st, rnc, c_idx)
+        cat_d = jnp.concatenate([best_d, d], axis=1)
+        cat_i = jnp.concatenate([best_i, i], axis=1)
+        neg, pos = jax.lax.top_k(-cat_d, k)
+        return (-neg, jnp.take_along_axis(cat_i, pos, axis=1)), None
+
+    init = (
+        jnp.full((qp, k), _BIG, dtype=jnp.float32),
+        jnp.zeros((qp, k), dtype=jnp.int32),
+    )
+    (d, i), _ = jax.lax.scan(
+        step,
+        init,
+        (
+            store.reshape(n_chunks, chunk, store.shape[1]),
+            rn.reshape(n_chunks, chunk, 1),
+            jnp.arange(n_chunks, dtype=jnp.int32),
+        ),
+    )
+    return d, i
+
+
+def pad_rows(n: int, chunk: int) -> int:
+    """Rows of padding needed for the fused path (chunk must divide CT*W...
+    callers pass chunk % CT == 0; W divides CT)."""
+    return (-n) % chunk

@@ -30,6 +30,7 @@ from deepreadmapper_tpu.config import BuildConfig
 from deepreadmapper_tpu.index.hnsw import hnsw_search_device
 from deepreadmapper_tpu.index.registry import _REGISTRY
 from deepreadmapper_tpu.ops import pq as pq_ops
+from deepreadmapper_tpu.ops import scan_kernel as sk
 
 # per-shard scan chunks: bound the [Q_local, chunk] score tensors
 _INT8_CHUNK = 262144
@@ -159,20 +160,66 @@ class ShardedANNIndex:
             return self._dev
         if self.kind == "pqflat":
             stack = np.stack([s.codes for s in self.subs])
-            pad = (-self.n_local) % min(_PQ_CHUNK, max(self.n_local, 1))
+            base = sk._PAD_BASE if self.n_local >= sk._PAD_BASE else sk.CT
+            pad = (-self.n_local) % min(base, max(self.n_local, 1))
             if pad:  # pad so the per-shard ADC scan can chunk (rows masked)
                 stack = np.pad(stack, ((0, 0), (0, pad), (0, 0)))
             codes = jax.device_put(
-                jnp.asarray(stack),
+                jnp.asarray(stack.astype(np.int32)),
                 sh("shard", None, None),
             )
-            cents = jax.device_put(
-                jnp.asarray(
-                    np.stack([np.asarray(s.codebook.centroids) for s in self.subs])
-                ),
-                sh("shard", None, None, None),
+            # Reconstruct-then-int8-scan per shard: each shard carries its own
+            # codebook, so stack per-shard bf16 decoders, int32 row norms and
+            # dequant scales; shards merge in fp32 squared-L2 (d * scale^2).
+            rn_np = np.stack(
+                [
+                    pq_ops.recon_norms(c, s.cb8.cent_norms)
+                    for c, s in zip(stack, self.subs)
+                ]
             )
-            self._dev = (None, (), None, codes, cents)
+            rn = jax.device_put(jnp.asarray(rn_np), sh("shard", None))
+            # fused-kernel variant: fp32 norms with +inf pad rows
+            rn_f = jax.device_put(
+                jnp.asarray(
+                    np.where(
+                        np.arange(stack.shape[1])[None, :, None] < self.n_local,
+                        rn_np[..., None].astype(np.float32),
+                        np.float32(3.4e38),
+                    )
+                ),
+                sh("shard", None, None),
+            )
+            cent_flats = jax.device_put(
+                jnp.asarray(
+                    np.stack(
+                        [pq_ops.cent8_block_diag(s.cb8.cent8) for s in self.subs]
+                    ),
+                    jnp.bfloat16,
+                ),
+                sh("shard", None, None),
+            )
+            cent2ds = jax.device_put(
+                jnp.asarray(
+                    np.stack(
+                        [
+                            s.cb8.cent8.reshape(-1, s.cb8.cent8.shape[-1])
+                            for s in self.subs
+                        ]
+                    ).astype(np.float32),
+                    jnp.bfloat16,
+                ),
+                sh("shard", None, None),
+            )
+            scales = jax.device_put(
+                jnp.asarray(
+                    np.array([s.cb8.scale for s in self.subs], np.float32)
+                ),
+                sh("shard"),
+            )
+            self._dev = (
+                None, (), None, codes,
+                (rn, cent_flats, scales, rn_f, cent2ds),
+            )
             return self._dev
         if self.kind == "int8flat":
             # Pad n_local to a chunk multiple so the per-shard scan can bound
@@ -192,11 +239,21 @@ class ShardedANNIndex:
                 jax.vmap(_row_norms)(codes),  # chunked: no whole-matrix cast
                 sh("shard", None),
             )
+            # fused-kernel variant: fp32 norms with +inf pad rows
+            row_ids = jnp.arange(int(codes.shape[1]), dtype=jnp.int32)
+            rn_f = jax.device_put(
+                jnp.where(
+                    row_ids[None, :, None] < self.n_local,
+                    rn[..., None].astype(jnp.float32),
+                    jnp.float32(3.4e38),
+                ),
+                sh("shard", None, None),
+            )
             scales = jax.device_put(
                 jnp.asarray(np.array([s.scale for s in self.subs], np.float32)),
                 sh("shard"),
             )
-            self._dev = (None, (), None, codes, (rn, scales))
+            self._dev = (None, (), None, codes, (rn, scales, rn_f))
             return self._dev
         neigh0, levels, entries = _pad_graph_stack(self.subs)
         neigh0 = jax.device_put(jnp.asarray(neigh0), sh("shard", None, None))
@@ -279,68 +336,158 @@ class ShardedANNIndex:
 
             fn = jax.jit(lambda q, dev: body(q, dev[3]))
         elif self.kind == "pqflat":
-
-            @functools.partial(
-                jax.shard_map,
-                mesh=mesh,
-                in_specs=(
-                    P("data", None),
-                    P("shard", None, None),
-                    P("shard", None, None, None),
-                ),
-                out_specs=(P("data", None), P("data", None)),
-                check_vma=False,
+            n_pad = int(self._device()[3].shape[1])
+            fused = (
+                sk.use_fused_scan()
+                and n_pad % sk._PAD_BASE == 0
+                and n_local >= sk.MIN_FUSED_N
+                and k_local <= sk._PAD_BASE // sk.W
             )
-            def body(q, codes_s, cents_s):
-                from deepreadmapper_tpu.index.pq_flat import _adc_topk
+            if fused:
+                chunk = sk.choose_chunk(n_pad)
 
-                tables = pq_ops.adc_tables(q, cents_s[0])
-                chunk = min(_PQ_CHUNK, codes_s.shape[1])
-                # approx_max_k per chunk: 4.3x faster at 2M rows/shard, and
-                # PQ distances are already quantized — the sharded index IS
-                # the genome-scale deployment, so throughput wins here.
-                d, i = _adc_topk(
-                    tables, codes_s[0], jnp.int32(n_local), k_local, chunk,
-                    exact=False,
+                @functools.partial(
+                    jax.shard_map,
+                    mesh=mesh,
+                    in_specs=(
+                        P("data", None),
+                        P("shard", None, None),
+                        P("shard", None, None),
+                        P("shard", None, None),
+                        P("shard"),
+                    ),
+                    out_specs=(P("data", None), P("data", None)),
+                    check_vma=False,
                 )
-                return merge(d, i)
+                def body(q, codes_s, rnf_s, cent2d_s, scale_s):
+                    s = scale_s[0]
+                    q8f = jnp.clip(jnp.round(q / s), -127, 127)
+                    qt_b = q8f.T.astype(jnp.bfloat16)  # exact int8 values
+                    qn = jnp.sum(q8f * q8f, axis=-1)
+                    d, i = sk.fused_scan_topk(
+                        qt_b, codes_s[0], rnf_s[0], k_local, chunk, "pq",
+                        cent2d=cent2d_s[0],
+                    )
+                    # quantized scores -> fp32 squared L2 so shards with
+                    # different codebook scales merge in one metric space
+                    d = (qn[:, None] + d) * (s * s)
+                    return merge(d, i)
 
-            fn = jax.jit(lambda q, dev: body(q, dev[3], dev[4]))
+                fn = jax.jit(
+                    lambda q, dev: body(
+                        q, dev[3], dev[4][3], dev[4][4], dev[4][2]
+                    )
+                )
+            else:
+
+                @functools.partial(
+                    jax.shard_map,
+                    mesh=mesh,
+                    in_specs=(
+                        P("data", None),
+                        P("shard", None, None),
+                        P("shard", None),
+                        P("shard", None, None),
+                        P("shard"),
+                    ),
+                    out_specs=(P("data", None), P("data", None)),
+                    check_vma=False,
+                )
+                def body(q, codes_s, rn_s, cent_flat_s, scale_s):
+                    from deepreadmapper_tpu.index.pq_flat import _pq_int8_topk
+
+                    s = scale_s[0]
+                    q8 = jnp.clip(jnp.round(q / s), -127, 127).astype(jnp.int8)
+                    chunk = min(_PQ_CHUNK, codes_s.shape[1])
+                    # approx_max_k per chunk: 4.3x faster at 2M rows/shard —
+                    # the sharded index IS the genome-scale deployment, so
+                    # throughput wins here.
+                    d, i = _pq_int8_topk(
+                        q8, codes_s[0], rn_s[0], cent_flat_s[0],
+                        jnp.int32(n_local), k_local, chunk, exact=False,
+                    )
+                    # int32 quantized scores -> fp32 squared L2 so shards
+                    # with different codebook scales merge in one metric
+                    d = d * (s * s)
+                    return merge(d, i)
+
+                fn = jax.jit(
+                    lambda q, dev: body(
+                        q, dev[3], dev[4][0], dev[4][1], dev[4][2]
+                    )
+                )
         elif self.kind == "int8flat":
-
-            @functools.partial(
-                jax.shard_map,
-                mesh=mesh,
-                in_specs=(
-                    P("data", None),
-                    P("shard", None, None),
-                    P("shard", None),
-                    P("shard"),
-                ),
-                out_specs=(P("data", None), P("data", None)),
-                check_vma=False,
+            n_pad = int(self._device()[3].shape[1])
+            fused = (
+                sk.use_fused_scan()
+                and n_pad % sk._PAD_BASE == 0
+                and n_local >= sk.MIN_FUSED_N
+                and k_local <= sk._PAD_BASE // sk.W
             )
-            def body(q, codes_s, rn_s, scale_s):
-                from deepreadmapper_tpu.index.int8_flat import (
-                    _int8_topk,
-                    quantize,
-                )
+            if fused:
+                chunk = sk.choose_chunk(n_pad)
 
-                s = scale_s[0]
-                q8 = quantize(q, s)
-                chunk = min(_INT8_CHUNK, codes_s.shape[1])
-                d, i = _int8_topk(
-                    q8, codes_s[0], rn_s[0], jnp.int32(n_local), k_local,
-                    chunk,
+                @functools.partial(
+                    jax.shard_map,
+                    mesh=mesh,
+                    in_specs=(
+                        P("data", None),
+                        P("shard", None, None),
+                        P("shard", None, None),
+                        P("shard"),
+                    ),
+                    out_specs=(P("data", None), P("data", None)),
+                    check_vma=False,
                 )
-                # int32 quantized scores -> fp32 squared L2 so shards with
-                # different scales merge in one metric space
-                d = d.astype(jnp.float32) * (s * s)
-                return merge(d, i)
+                def body(q, codes_s, rnf_s, scale_s):
+                    s = scale_s[0]
+                    q8f = jnp.clip(jnp.round(q / s), -127, 127)
+                    qt_b = q8f.T.astype(jnp.bfloat16)  # exact int8 values
+                    qn = jnp.sum(q8f * q8f, axis=-1)
+                    d, i = sk.fused_scan_topk(
+                        qt_b, codes_s[0], rnf_s[0], k_local, chunk, "int8"
+                    )
+                    d = (qn[:, None] + d) * (s * s)
+                    return merge(d, i)
 
-            fn = jax.jit(
-                lambda q, dev: body(q, dev[3], dev[4][0], dev[4][1])
-            )
+                fn = jax.jit(
+                    lambda q, dev: body(q, dev[3], dev[4][2], dev[4][1])
+                )
+            else:
+
+                @functools.partial(
+                    jax.shard_map,
+                    mesh=mesh,
+                    in_specs=(
+                        P("data", None),
+                        P("shard", None, None),
+                        P("shard", None),
+                        P("shard"),
+                    ),
+                    out_specs=(P("data", None), P("data", None)),
+                    check_vma=False,
+                )
+                def body(q, codes_s, rn_s, scale_s):
+                    from deepreadmapper_tpu.index.int8_flat import (
+                        _int8_topk,
+                        quantize,
+                    )
+
+                    s = scale_s[0]
+                    q8 = quantize(q, s)
+                    chunk = min(_INT8_CHUNK, codes_s.shape[1])
+                    d, i = _int8_topk(
+                        q8, codes_s[0], rn_s[0], jnp.int32(n_local), k_local,
+                        chunk,
+                    )
+                    # int32 quantized scores -> fp32 squared L2 so shards
+                    # with different scales merge in one metric space
+                    d = d.astype(jnp.float32) * (s * s)
+                    return merge(d, i)
+
+                fn = jax.jit(
+                    lambda q, dev: body(q, dev[3], dev[4][0], dev[4][1])
+                )
         else:
             n_levels = len(self._device()[1])
             level_specs = tuple(
@@ -406,10 +553,17 @@ class ShardedANNIndex:
         out_i = np.empty((nq, k), np.int64)
         out_d = np.empty((nq, k), np.float32)
         pending = []
+        # the fused Pallas scans need the per-device query count to be a
+        # query-tile multiple; over-padding is harmless for the other kinds
+        align = (
+            n_data * sk.QT
+            if self.kind in ("int8flat", "pqflat") and sk.use_fused_scan()
+            else n_data
+        )
         for s in range(0, nq, q_super):
             e = min(s + q_super, nq)
             qb = queries[s:e]
-            width = q_super if nq > q_super else (e - s + (-(e - s)) % n_data)
+            width = q_super if nq > q_super else (e - s + (-(e - s)) % align)
             if qb.shape[0] < width:
                 qb = np.pad(qb, ((0, width - qb.shape[0]), (0, 0)))
             qj = jax.device_put(

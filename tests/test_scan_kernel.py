@@ -1,0 +1,109 @@
+"""Fused scan-kernel tests (interpret mode on CPU, bit-exact vs numpy).
+
+The kernels compute integer arithmetic in bf16/fp32 (exact for int8-valued
+inputs, |score| < 2^24), so the oracle comparison is exact equality.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from deepreadmapper_tpu.ops import scan_kernel as sk
+
+
+@pytest.fixture(scope="module")
+def int8_case():
+    rng = np.random.default_rng(0)
+    np_, qp, d = 4096, 256, 128
+    r8 = rng.integers(-127, 128, (np_, d)).astype(np.int8)
+    q8 = rng.integers(-127, 128, (qp, d)).astype(np.int8)
+    rn = (r8.astype(np.int64) ** 2).sum(1).astype(np.float32)[:, None]
+    return r8, q8, rn
+
+
+def _oracle_winmin(scores, w=sk.W):
+    """scores [Q, N] -> per-window (min [NW, Q], global argmin [NW, Q])."""
+    qp, np_ = scores.shape
+    s3 = scores.reshape(qp, np_ // w, w)
+    vals = s3.min(-1).T
+    args = (s3.argmin(-1) + np.arange(np_ // w)[None, :] * w).T
+    return vals, args
+
+
+def test_int8_winmin_matches_oracle(int8_case):
+    r8, q8, rn = int8_case
+    qt_b = jnp.asarray(q8.T.astype(np.float32), jnp.bfloat16)
+    vals, args = sk._int8_winmin_call(
+        qt_b, jnp.asarray(r8), jnp.asarray(rn), interpret=True
+    )
+    s = rn[:, 0][None, :] - 2.0 * (
+        q8.astype(np.float32) @ r8.astype(np.float32).T
+    )
+    ov, oa = _oracle_winmin(s)
+    np.testing.assert_array_equal(np.asarray(vals), ov)
+    np.testing.assert_array_equal(np.asarray(args), oa)
+
+
+def test_pq_winmin_matches_oracle(int8_case):
+    _, q8, _ = int8_case
+    rng = np.random.default_rng(1)
+    np_, m, ksub, dsub = 4096, 8, 256, 16
+    cent8 = rng.integers(-127, 128, (m, ksub, dsub)).astype(np.int8)
+    codes = rng.integers(0, ksub, (np_, m)).astype(np.int32)
+    recon = np.concatenate(
+        [cent8[j][codes[:, j]] for j in range(m)], axis=1
+    ).astype(np.float32)
+    rn = (recon**2).sum(1).astype(np.float32)[:, None]
+    cent2d = cent8.reshape(-1, dsub).astype(np.float32)
+    qt_b = jnp.asarray(q8.T.astype(np.float32), jnp.bfloat16)
+    vals, args = sk._pq_winmin_call(
+        qt_b, jnp.asarray(codes), jnp.asarray(rn),
+        jnp.asarray(cent2d, jnp.bfloat16), interpret=True,
+    )
+    s = rn[:, 0][None, :] - 2.0 * (q8.astype(np.float32) @ recon.T)
+    ov, oa = _oracle_winmin(s)
+    np.testing.assert_array_equal(np.asarray(vals), ov)
+    np.testing.assert_array_equal(np.asarray(args), oa)
+
+
+def test_fused_topk_multichunk_merge(int8_case):
+    r8, q8, rn = int8_case
+    qt_b = jnp.asarray(q8.T.astype(np.float32), jnp.bfloat16)
+    k = 16
+    d, i = sk.fused_scan_topk(
+        qt_b, jnp.asarray(r8), jnp.asarray(rn), k, sk.CT, "int8",
+        exact=True, interpret=True,
+    )
+    d, i = np.asarray(d), np.asarray(i)
+    s = rn[:, 0][None, :] - 2.0 * (
+        q8.astype(np.float32) @ r8.astype(np.float32).T
+    )
+    wv, wa = _oracle_winmin(s)
+    order = np.argsort(wv.T, axis=1, kind="stable")[:, :k]
+    np.testing.assert_array_equal(d, np.take_along_axis(wv.T, order, 1))
+    oi = np.take_along_axis(wa.T, order, 1)
+    for r in range(d.shape[0]):
+        assert set(i[r]) == set(oi[r])
+
+
+def test_padding_rows_never_win(int8_case):
+    r8, q8, rn = int8_case
+    # mark the last CT rows as padding: +inf norms
+    rn2 = rn.copy()
+    n_real = r8.shape[0] - sk.CT
+    rn2[n_real:] = np.float32(3.4e38)
+    qt_b = jnp.asarray(q8.T.astype(np.float32), jnp.bfloat16)
+    d, i = sk.fused_scan_topk(
+        qt_b, jnp.asarray(r8), jnp.asarray(rn2), 8, sk.CT, "int8",
+        exact=True, interpret=True,
+    )
+    assert np.all(np.asarray(i) < n_real)
+
+
+def test_choose_chunk():
+    base = sk._PAD_BASE
+    assert sk.choose_chunk(8 * base) == 8 * base
+    assert sk.choose_chunk(16 * base) == 8 * base
+    assert sk.choose_chunk(9 * base) == 3 * base   # largest divisor <= 8
+    assert sk.choose_chunk(41 * base) == base      # prime unit count
+    assert sk.choose_chunk(12 * base) == 6 * base
