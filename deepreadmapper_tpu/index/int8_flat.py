@@ -156,11 +156,7 @@ class Int8FlatIndex:
             if pad:
                 codes = np.pad(codes, ((0, pad), (0, 0)))
             c = jnp.asarray(codes)
-            rn = _row_norms(c)
-            row_ids = jnp.arange(c.shape[0], dtype=jnp.int32)[:, None]
-            rn_f = jnp.where(row_ids < n, rn[:, None].astype(jnp.float32),
-                             jnp.float32(3.4e38))
-            self._dev = (c, rn, rn_f)
+            self._dev = (c, _row_norms(c))
         return self._dev
 
     def search(self, queries: np.ndarray, k: int, ef: int = 0,
@@ -175,7 +171,7 @@ class Int8FlatIndex:
                 np.full((queries.shape[0], k), np.inf, np.float32),
             )
         k_eff = min(k, n)
-        c, rn, rn_f = self._device()  # already padded to a chunk multiple
+        c, rn = self._device()  # already padded to a chunk multiple
         np_ = int(c.shape[0])
         use_fused = (
             not exact
@@ -208,7 +204,7 @@ class Int8FlatIndex:
                 qt_b = jnp.asarray(qb.T, jnp.bfloat16)  # [D, Qp], exact
                 pending.append(
                     (s, e,
-                     sk.fused_scan_topk(qt_b, c, rn_f, k_eff, chunk, "int8"))
+                     sk.fused_scan_topk(qt_b, c, n, k_eff, chunk, "int8"))
                 )
         else:
             eff_chunk = min(self._CHUNK, np_)

@@ -135,16 +135,12 @@ class PQFlatIndex:
             rn = pq_ops.recon_norms(codes, self.cb8.cent_norms)
             cent_flat = pq_ops.cent8_block_diag(self.cb8.cent8)
             cent2d = self.cb8.cent8.reshape(-1, self.cb8.cent8.shape[-1])
-            rn_f = np.where(
-                np.arange(codes.shape[0])[:, None] < n,
-                rn[:, None].astype(np.float32),
-                np.float32(3.4e38),
-            )
+            # codes upload TRANSPOSED [m, Np]: TPU arrays tile as (8, 128),
+            # so a [Np, m] array would lane-pad to 128/m times its size
             self._dev = (
-                jnp.asarray(codes.astype(np.int32)),
+                jnp.asarray(codes.T.astype(np.int32)),
                 jnp.asarray(rn),
                 jnp.asarray(cent_flat, jnp.bfloat16),
-                jnp.asarray(rn_f),
                 jnp.asarray(cent2d.astype(np.float32), jnp.bfloat16),
             )
         return self._dev
@@ -164,8 +160,8 @@ class PQFlatIndex:
                 np.full((queries.shape[0], k), np.inf, np.float32),
             )
         k_eff = min(k, n)
-        codes_j, rn_j, cent_flat, rn_f, cent2d = self._device()
-        np_ = int(codes_j.shape[0])
+        codes_t, rn_j, cent_flat, cent2d = self._device()
+        np_ = int(codes_t.shape[1])
         scale = self.cb8.scale
         q8_all = np.clip(
             np.round(queries / np.float32(scale)), -127, 127
@@ -193,11 +189,13 @@ class PQFlatIndex:
                 qt_b = jnp.asarray(qb.T, jnp.bfloat16)
                 pending.append(
                     (s, e,
-                     sk.fused_scan_topk(qt_b, codes_j, rn_f, k_eff, fchunk,
+                     sk.fused_scan_topk(qt_b, codes_t, n, k_eff, fchunk,
                                         "pq", cent2d=cent2d))
                 )
         else:
             eff_chunk = min(chunk or self._CHUNK, np_)
+            if np_ % eff_chunk:  # padding granularity (2048) < _CHUNK
+                eff_chunk = np_
             for s in range(0, nq, q_batch):
                 e = min(s + q_batch, nq)
                 qb = q8_all[s:e]
@@ -206,8 +204,9 @@ class PQFlatIndex:
                     qb = np.pad(qb, ((0, q_batch - (e - s)), (0, 0)))
                 pending.append(
                     (s, e,
-                     _pq_int8_topk(jnp.asarray(qb), codes_j, rn_j, cent_flat,
-                                   jnp.int32(n), k_eff, eff_chunk, exact))
+                     _pq_int8_topk(jnp.asarray(qb), codes_t.T, rn_j,
+                                   cent_flat, jnp.int32(n), k_eff, eff_chunk,
+                                   exact))
                 )
         d = np.empty((nq, k_eff), np.float32)
         i = np.empty((nq, k_eff), np.int64)

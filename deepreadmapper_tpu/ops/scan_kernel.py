@@ -11,6 +11,19 @@ reduces every W=128-row window to (min score, argmin row) on the VPU.  The
 HBM output is [N/W, Q] — 128x smaller than the score matrix — and the final
 per-query top-k runs on that reduced array.
 
+Layout rules learned the hard way (TPU arrays tile as (sublane=8, lane=128);
+narrow trailing dims are PADDED to 128 lanes):
+  * PQ codes live TRANSPOSED, [m, N] int32 — a [N, m] array would occupy
+    128/m times its logical size (20 GB for 40M rows) and OOM the chip.
+  * Row norms are never stored: each kernel recomputes ||row||^2 from its
+    (reconstructed) candidate tile once per tile — exact in fp32 (< 2^21)
+    — and folds the pad/ntotal mask into that per-tile norm column, so no
+    [N, 1] array (which would also pad 128x) exists at all.
+  * The PQ one-hot is built transposed, [ksub, CT], by comparing a sublane
+    iota against the code row broadcast over sublanes; the decoder matmul
+    then contracts over sublanes on both sides, so candidates land back on
+    sublanes for the score matmul with zero in-kernel transposes.
+
 Approximation: one candidate per W-row window.  With k=128 drawn from
 N/W >= 16k windows the expected loss is ~C(k,2)/(N/W) candidates (<0.5% at
 N=2M), tighter than the approx_max_k(recall_target=0.95) it replaces.
@@ -38,7 +51,6 @@ QT = 256      # query-tile (lanes of the score tile)
 CT = 2048     # candidate rows per tile (sublanes of the score tile)
 W = 128       # reduction window: one (min, argmin) survivor per W rows
 _BIG = 3.4e38
-
 
 MIN_FUSED_N = 1 << 18  # below this the scan is fast anyway; NW must exceed k
 _PAD_BASE = 1 << 18    # pad codes to this multiple so chunks divide evenly
@@ -73,71 +85,89 @@ def _winmin(s: jax.Array, ct_idx) -> tuple[jax.Array, jax.Array]:
     return vmin, base + amin
 
 
-def _int8_kernel(q_ref, r_ref, rn_ref, vals_ref, args_ref, rbf_ref):
-    # Convert the candidate tile to bf16 ONCE per tile (int8 values are
-    # exact in bf16); the scratch persists across the query-minor grid steps.
+def _int8_kernel(nt_ref, q_ref, r_ref, vals_ref, args_ref, rbf_ref, rn_ref):
+    """q_ref [D, QT] bf16, r_ref [CT, D] int8; per-tile scratch: rbf
+    (bf16 candidate tile) and rn ([CT, 1] fp32 = row norms with the
+    pad/ntotal mask folded in as +inf)."""
+    c_idx = pl.program_id(0)
+
     @pl.when(pl.program_id(1) == 0)
     def _():
-        rbf_ref[...] = r_ref[...].astype(jnp.bfloat16)
+        rbf = r_ref[...].astype(jnp.bfloat16)  # int8 values exact in bf16
+        rbf_ref[...] = rbf
+        rf = rbf.astype(jnp.float32)
+        rn = jnp.sum(rf * rf, axis=1, keepdims=True)  # exact: ints < 2^21
+        row = c_idx * r_ref.shape[0] + jax.lax.broadcasted_iota(
+            jnp.int32, (r_ref.shape[0], 1), 0
+        )
+        rn_ref[...] = jnp.where(row < nt_ref[0, 0], rn, _BIG)
 
     dot = jax.lax.dot_general(
         rbf_ref[...], q_ref[...],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [CT, QT] exact
-    s = rn_ref[...] - 2.0 * dot  # [CT, 1] broadcasts over query lanes
-    vmin, amin = _winmin(s, pl.program_id(0))
+    s = rn_ref[...] - 2.0 * dot
+    vmin, amin = _winmin(s, c_idx)
     vals_ref[...] = vmin
     args_ref[...] = amin
 
 
-def _pq_kernel(q_ref, codes_ref, rn_ref, cent_ref, vals_ref, args_ref,
-               recon_ref):
+def _pq_kernel(nt_ref, q_ref, codes_ref, cent_ref, vals_ref, args_ref,
+               recon_ref, rnb_ref):
     """PQ variant: reconstruct the candidate tile from its codes in VMEM.
 
-    codes_ref [CT, m] int32, cent_ref [m*ksub, dsub] bf16 (int8-valued).
-    The reconstruction (8 one-hot [CT,256] @ [256,16] matmuls — the one-hot
-    never exists outside VMEM) runs once per candidate tile and is reused
-    across all query tiles via the persistent scratch.
+    codes_ref [m, CT] int32 (transposed storage), cent_ref [m*ksub, dsub]
+    bf16 (int8-valued).  Reconstruction runs once per candidate tile into
+    recon_ref [D, CT] (transposed: the one-hot is built as [ksub, CT] so no
+    in-kernel transposes are needed), and the norm broadcast [CT, QT] is a
+    rank-1 fp32 MXU outer product, also cached per tile.
     """
-    m = codes_ref.shape[1]
+    m, ct = codes_ref.shape
     ksub = cent_ref.shape[0] // m
     dsub = cent_ref.shape[1]
-    ct = codes_ref.shape[0]
+    c_idx = pl.program_id(0)
 
     @pl.when(pl.program_id(1) == 0)
     def _():
-        parts = []
         for j in range(m):
-            cj = codes_ref[:, j : j + 1]  # [CT, 1] int32
-            oh = (
-                jax.lax.broadcasted_iota(jnp.int32, (ct, ksub), 1) == cj
-            ).astype(jnp.bfloat16)
-            parts.append(
-                jax.lax.dot_general(
-                    oh, cent_ref[j * ksub : (j + 1) * ksub, :],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # [CT, dsub] exact int8-valued
-            )
-        recon_ref[...] = jnp.concatenate(parts, axis=1).astype(jnp.bfloat16)
+            cj = codes_ref[j : j + 1, :]  # [1, CT] int32
+            oh_t = (
+                jax.lax.broadcasted_iota(jnp.int32, (ksub, ct), 0) == cj
+            ).astype(jnp.bfloat16)  # [ksub, CT]
+            part = jax.lax.dot_general(
+                cent_ref[j * ksub : (j + 1) * ksub, :], oh_t,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [dsub, CT] exact int8-valued
+            recon_ref[j * dsub : (j + 1) * dsub, :] = part.astype(jnp.bfloat16)
+        rf = recon_ref[...].astype(jnp.float32)  # [D, CT]
+        rn_row = jnp.sum(rf * rf, axis=0, keepdims=True)  # [1, CT] exact
+        col = c_idx * ct + jax.lax.broadcasted_iota(jnp.int32, (1, ct), 1)
+        rn_row = jnp.where(col < nt_ref[0, 0], rn_row, _BIG)
+        # rank-1 outer product broadcasts the lane-major norms onto sublanes
+        rnb_ref[...] = jax.lax.dot_general(
+            rn_row, jnp.ones((1, q_ref.shape[1]), jnp.float32),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [CT, QT]
 
     dot = jax.lax.dot_general(
         recon_ref[...], q_ref[...],
-        dimension_numbers=(((1,), (0,)), ((), ())),
+        dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
-    s = rn_ref[...] - 2.0 * dot
-    vmin, amin = _winmin(s, pl.program_id(0))
+    )  # [CT, QT]
+    s = rnb_ref[...] - 2.0 * dot
+    vmin, amin = _winmin(s, c_idx)
     vals_ref[...] = vmin
     args_ref[...] = amin
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _int8_winmin_call(qt_b, r8, rn, interpret: bool = False):
+def _int8_winmin_call(qt_b, r8, ntotal, interpret: bool = False):
     """qt_b [D, Qp] bf16 (queries pre-transposed: the MXU consumes the rhs
-    as [K, N] directly), r8 [Np, D] int8, rn [Np, 1] f32 ->
-    (vals [Np/W, Qp] f32, args [Np/W, Qp] int32)."""
+    as [K, N] directly), r8 [Np, D] int8, ntotal scalar int32 (rows at or
+    beyond it never win) -> (vals [Np/W, Qp] f32, args [Np/W, Qp] int32)."""
     d, qp = qt_b.shape
     np_ = r8.shape[0]
     grid = (np_ // CT, qp // QT)
@@ -145,9 +175,9 @@ def _int8_winmin_call(qt_b, r8, rn, interpret: bool = False):
         _int8_kernel,
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((d, QT), lambda c, q: (0, q), memory_space=pltpu.VMEM),
             pl.BlockSpec((CT, d), lambda c, q: (c, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((CT, 1), lambda c, q: (c, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((CT // W, QT), lambda c, q: (c, q), memory_space=pltpu.VMEM),
@@ -157,25 +187,28 @@ def _int8_winmin_call(qt_b, r8, rn, interpret: bool = False):
             jax.ShapeDtypeStruct((np_ // W, qp), jnp.float32),
             jax.ShapeDtypeStruct((np_ // W, qp), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((CT, d), jnp.bfloat16)],
+        scratch_shapes=[
+            pltpu.VMEM((CT, d), jnp.bfloat16),
+            pltpu.VMEM((CT, 1), jnp.float32),
+        ],
         interpret=interpret,
-    )(qt_b, r8, rn)
+    )(jnp.asarray(ntotal, jnp.int32).reshape(1, 1), qt_b, r8)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _pq_winmin_call(qt_b, codes, rn, cent2d, interpret: bool = False):
-    """qt_b [D, Qp] bf16 (pre-transposed), codes [Np, m] int32,
-    rn [Np, 1] f32, cent2d [m*ksub, dsub] bf16 -> (vals, args) as above."""
+def _pq_winmin_call(qt_b, codes_t, ntotal, cent2d, interpret: bool = False):
+    """qt_b [D, Qp] bf16 (pre-transposed), codes_t [m, Np] int32 (transposed
+    storage — lane-dense), cent2d [m*ksub, dsub] bf16 -> (vals, args)."""
     d, qp = qt_b.shape
-    np_, m = codes.shape
+    m, np_ = codes_t.shape
     grid = (np_ // CT, qp // QT)
     return pl.pallas_call(
         _pq_kernel,
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((d, QT), lambda c, q: (0, q), memory_space=pltpu.VMEM),
-            pl.BlockSpec((CT, m), lambda c, q: (c, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((CT, 1), lambda c, q: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, CT), lambda c, q: (0, c), memory_space=pltpu.VMEM),
             pl.BlockSpec(cent2d.shape, lambda c, q: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -186,38 +219,42 @@ def _pq_winmin_call(qt_b, codes, rn, cent2d, interpret: bool = False):
             jax.ShapeDtypeStruct((np_ // W, qp), jnp.float32),
             jax.ShapeDtypeStruct((np_ // W, qp), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((CT, d), jnp.bfloat16)],
+        scratch_shapes=[
+            pltpu.VMEM((d, CT), jnp.bfloat16),
+            pltpu.VMEM((CT, QT), jnp.float32),
+        ],
         interpret=interpret,
-    )(qt_b, codes, rn, cent2d)
+    )(jnp.asarray(ntotal, jnp.int32).reshape(1, 1), qt_b, codes_t, cent2d)
 
 
 @functools.partial(
     jax.jit, static_argnames=("k", "chunk", "kind", "exact", "interpret")
 )
-def fused_scan_topk(qt_b, store, rn, k: int, chunk: int, kind: str = "int8",
-                    cent2d=None, exact: bool = False,
+def fused_scan_topk(qt_b, store, ntotal, k: int, chunk: int,
+                    kind: str = "int8", cent2d=None, exact: bool = False,
                     interpret: bool = False):
     """Chunked fused scan with exact cross-chunk merge.
 
     qt_b [D, Qp] bf16, queries pre-transposed (Qp % QT == 0); store =
-    r8 [Np, D] int8 (kind='int8') or codes [Np, m] int32 (kind='pq', with
-    cent2d [m*ksub, dsub] bf16); rn [Np, 1] f32 row norms with +inf on
-    padding rows (Np % chunk == 0, chunk % CT == 0).  Returns (scores
-    [Qp, k] f32 = rn - 2 q.r ascending — caller adds the query norm — and
-    ids [Qp, k] int32; all-padding windows surface as _BIG scores).
-    exact=True uses a full top_k over the window minima (measured 100 ms vs
-    approx_max_k's 22 ms on [8192, 16384]); the window reduction itself is
-    the main approximation either way.
+    r8 [Np, D] int8 (kind='int8') or codes_t [m, Np] int32 (kind='pq', with
+    cent2d [m*ksub, dsub] bf16); ntotal = count of real rows (the rest is
+    padding, masked inside the kernel); Np % chunk == 0, chunk % CT == 0.
+    Returns (scores [Qp, k] f32 = rn - 2 q.r ascending — caller adds the
+    query norm — and ids [Qp, k] int32; all-padding windows surface as _BIG
+    scores).  exact=True uses a full top_k over the window minima (measured
+    100 ms vs approx_max_k's 22 ms on [8192, 16384]); the window reduction
+    itself is the main approximation either way.
     """
     qp = qt_b.shape[1]
-    np_ = store.shape[0]
+    np_ = store.shape[0] if kind == "int8" else store.shape[1]
     n_chunks = np_ // chunk
+    nt = jnp.asarray(ntotal, jnp.int32)
 
-    def one_chunk(st, rnc, c_idx):
+    def one_chunk(st, nt_c, c_idx):
         if kind == "int8":
-            vals, args = _int8_winmin_call(qt_b, st, rnc, interpret)
+            vals, args = _int8_winmin_call(qt_b, st, nt_c, interpret)
         else:
-            vals, args = _pq_winmin_call(qt_b, st, rnc, cent2d, interpret)
+            vals, args = _pq_winmin_call(qt_b, st, nt_c, cent2d, interpret)
         # [chunk/W, Qp] -> [Qp, chunk/W]; 128x smaller than the score matrix
         vals_t = vals.T
         args_t = args.T + c_idx * chunk
@@ -228,12 +265,19 @@ def fused_scan_topk(qt_b, store, rn, k: int, chunk: int, kind: str = "int8",
         return -nd, jnp.take_along_axis(args_t, pos, axis=1)
 
     if n_chunks == 1:
-        return one_chunk(store, rn, jnp.int32(0))
+        return one_chunk(store, nt, jnp.int32(0))
 
-    def step(carry, inp):
+    def step(carry, c_idx):
         best_d, best_i = carry
-        st, rnc, c_idx = inp
-        d, i = one_chunk(st, rnc, c_idx)
+        if kind == "int8":
+            st = jax.lax.dynamic_slice(
+                store, (c_idx * chunk, 0), (chunk, store.shape[1])
+            )
+        else:
+            st = jax.lax.dynamic_slice(
+                store, (0, c_idx * chunk), (store.shape[0], chunk)
+            )
+        d, i = one_chunk(st, nt - c_idx * chunk, c_idx)
         cat_d = jnp.concatenate([best_d, d], axis=1)
         cat_i = jnp.concatenate([best_i, i], axis=1)
         neg, pos = jax.lax.top_k(-cat_d, k)
@@ -244,18 +288,12 @@ def fused_scan_topk(qt_b, store, rn, k: int, chunk: int, kind: str = "int8",
         jnp.zeros((qp, k), dtype=jnp.int32),
     )
     (d, i), _ = jax.lax.scan(
-        step,
-        init,
-        (
-            store.reshape(n_chunks, chunk, store.shape[1]),
-            rn.reshape(n_chunks, chunk, 1),
-            jnp.arange(n_chunks, dtype=jnp.int32),
-        ),
+        step, init, jnp.arange(n_chunks, dtype=jnp.int32)
     )
     return d, i
 
 
 def pad_rows(n: int, chunk: int) -> int:
-    """Rows of padding needed for the fused path (chunk must divide CT*W...
-    callers pass chunk % CT == 0; W divides CT)."""
+    """Rows of padding needed for the fused path (callers pass chunk with
+    chunk % CT == 0; W divides CT)."""
     return (-n) % chunk

@@ -164,8 +164,9 @@ class ShardedANNIndex:
             pad = (-self.n_local) % min(base, max(self.n_local, 1))
             if pad:  # pad so the per-shard ADC scan can chunk (rows masked)
                 stack = np.pad(stack, ((0, 0), (0, pad), (0, 0)))
+            # transposed [S, m, Np]: a [Np, m] device array lane-pads 16x
             codes = jax.device_put(
-                jnp.asarray(stack.astype(np.int32)),
+                jnp.asarray(np.swapaxes(stack, 1, 2).astype(np.int32)),
                 sh("shard", None, None),
             )
             # Reconstruct-then-int8-scan per shard: each shard carries its own
@@ -178,17 +179,6 @@ class ShardedANNIndex:
                 ]
             )
             rn = jax.device_put(jnp.asarray(rn_np), sh("shard", None))
-            # fused-kernel variant: fp32 norms with +inf pad rows
-            rn_f = jax.device_put(
-                jnp.asarray(
-                    np.where(
-                        np.arange(stack.shape[1])[None, :, None] < self.n_local,
-                        rn_np[..., None].astype(np.float32),
-                        np.float32(3.4e38),
-                    )
-                ),
-                sh("shard", None, None),
-            )
             cent_flats = jax.device_put(
                 jnp.asarray(
                     np.stack(
@@ -218,7 +208,7 @@ class ShardedANNIndex:
             )
             self._dev = (
                 None, (), None, codes,
-                (rn, cent_flats, scales, rn_f, cent2ds),
+                (rn, cent_flats, scales, cent2ds),
             )
             return self._dev
         if self.kind == "int8flat":
@@ -239,21 +229,11 @@ class ShardedANNIndex:
                 jax.vmap(_row_norms)(codes),  # chunked: no whole-matrix cast
                 sh("shard", None),
             )
-            # fused-kernel variant: fp32 norms with +inf pad rows
-            row_ids = jnp.arange(int(codes.shape[1]), dtype=jnp.int32)
-            rn_f = jax.device_put(
-                jnp.where(
-                    row_ids[None, :, None] < self.n_local,
-                    rn[..., None].astype(jnp.float32),
-                    jnp.float32(3.4e38),
-                ),
-                sh("shard", None, None),
-            )
             scales = jax.device_put(
                 jnp.asarray(np.array([s.scale for s in self.subs], np.float32)),
                 sh("shard"),
             )
-            self._dev = (None, (), None, codes, (rn, scales, rn_f))
+            self._dev = (None, (), None, codes, (rn, scales))
             return self._dev
         neigh0, levels, entries = _pad_graph_stack(self.subs)
         neigh0 = jax.device_put(jnp.asarray(neigh0), sh("shard", None, None))
@@ -336,7 +316,7 @@ class ShardedANNIndex:
 
             fn = jax.jit(lambda q, dev: body(q, dev[3]))
         elif self.kind == "pqflat":
-            n_pad = int(self._device()[3].shape[1])
+            n_pad = int(self._device()[3].shape[2])  # codes are [S, m, Np]
             fused = (
                 sk.use_fused_scan()
                 and n_pad % sk._PAD_BASE == 0
@@ -353,19 +333,18 @@ class ShardedANNIndex:
                         P("data", None),
                         P("shard", None, None),
                         P("shard", None, None),
-                        P("shard", None, None),
                         P("shard"),
                     ),
                     out_specs=(P("data", None), P("data", None)),
                     check_vma=False,
                 )
-                def body(q, codes_s, rnf_s, cent2d_s, scale_s):
+                def body(q, codes_s, cent2d_s, scale_s):
                     s = scale_s[0]
                     q8f = jnp.clip(jnp.round(q / s), -127, 127)
                     qt_b = q8f.T.astype(jnp.bfloat16)  # exact int8 values
                     qn = jnp.sum(q8f * q8f, axis=-1)
                     d, i = sk.fused_scan_topk(
-                        qt_b, codes_s[0], rnf_s[0], k_local, chunk, "pq",
+                        qt_b, codes_s[0], n_local, k_local, chunk, "pq",
                         cent2d=cent2d_s[0],
                     )
                     # quantized scores -> fp32 squared L2 so shards with
@@ -375,7 +354,7 @@ class ShardedANNIndex:
 
                 fn = jax.jit(
                     lambda q, dev: body(
-                        q, dev[3], dev[4][3], dev[4][4], dev[4][2]
+                        q, dev[3], dev[4][3], dev[4][2]
                     )
                 )
             else:
@@ -398,12 +377,14 @@ class ShardedANNIndex:
 
                     s = scale_s[0]
                     q8 = jnp.clip(jnp.round(q / s), -127, 127).astype(jnp.int8)
-                    chunk = min(_PQ_CHUNK, codes_s.shape[1])
+                    chunk = min(_PQ_CHUNK, codes_s.shape[2])
+                    if codes_s.shape[2] % chunk:  # 2048-granular padding
+                        chunk = codes_s.shape[2]
                     # approx_max_k per chunk: 4.3x faster at 2M rows/shard —
                     # the sharded index IS the genome-scale deployment, so
                     # throughput wins here.
                     d, i = _pq_int8_topk(
-                        q8, codes_s[0], rn_s[0], cent_flat_s[0],
+                        q8, codes_s[0].T, rn_s[0], cent_flat_s[0],
                         jnp.int32(n_local), k_local, chunk, exact=False,
                     )
                     # int32 quantized scores -> fp32 squared L2 so shards
@@ -433,25 +414,24 @@ class ShardedANNIndex:
                     in_specs=(
                         P("data", None),
                         P("shard", None, None),
-                        P("shard", None, None),
                         P("shard"),
                     ),
                     out_specs=(P("data", None), P("data", None)),
                     check_vma=False,
                 )
-                def body(q, codes_s, rnf_s, scale_s):
+                def body(q, codes_s, scale_s):
                     s = scale_s[0]
                     q8f = jnp.clip(jnp.round(q / s), -127, 127)
                     qt_b = q8f.T.astype(jnp.bfloat16)  # exact int8 values
                     qn = jnp.sum(q8f * q8f, axis=-1)
                     d, i = sk.fused_scan_topk(
-                        qt_b, codes_s[0], rnf_s[0], k_local, chunk, "int8"
+                        qt_b, codes_s[0], n_local, k_local, chunk, "int8"
                     )
                     d = (qn[:, None] + d) * (s * s)
                     return merge(d, i)
 
                 fn = jax.jit(
-                    lambda q, dev: body(q, dev[3], dev[4][2], dev[4][1])
+                    lambda q, dev: body(q, dev[3], dev[4][1])
                 )
             else:
 

@@ -17,8 +17,7 @@ def int8_case():
     np_, qp, d = 4096, 256, 128
     r8 = rng.integers(-127, 128, (np_, d)).astype(np.int8)
     q8 = rng.integers(-127, 128, (qp, d)).astype(np.int8)
-    rn = (r8.astype(np.int64) ** 2).sum(1).astype(np.float32)[:, None]
-    return r8, q8, rn
+    return r8, q8
 
 
 def _oracle_winmin(scores, w=sk.W):
@@ -30,22 +29,27 @@ def _oracle_winmin(scores, w=sk.W):
     return vals, args
 
 
-def test_int8_winmin_matches_oracle(int8_case):
-    r8, q8, rn = int8_case
-    qt_b = jnp.asarray(q8.T.astype(np.float32), jnp.bfloat16)
-    vals, args = sk._int8_winmin_call(
-        qt_b, jnp.asarray(r8), jnp.asarray(rn), interpret=True
-    )
-    s = rn[:, 0][None, :] - 2.0 * (
+def _scores(q8, r8, ntotal):
+    rn = (r8.astype(np.int64) ** 2).sum(1).astype(np.float32)
+    rn[ntotal:] = np.float32(3.4e38)
+    return rn[None, :] - 2.0 * (
         q8.astype(np.float32) @ r8.astype(np.float32).T
     )
-    ov, oa = _oracle_winmin(s)
+
+
+def test_int8_winmin_matches_oracle(int8_case):
+    r8, q8 = int8_case
+    qt_b = jnp.asarray(q8.T.astype(np.float32), jnp.bfloat16)
+    vals, args = sk._int8_winmin_call(
+        qt_b, jnp.asarray(r8), r8.shape[0], interpret=True
+    )
+    ov, oa = _oracle_winmin(_scores(q8, r8, r8.shape[0]))
     np.testing.assert_array_equal(np.asarray(vals), ov)
     np.testing.assert_array_equal(np.asarray(args), oa)
 
 
 def test_pq_winmin_matches_oracle(int8_case):
-    _, q8, _ = int8_case
+    _, q8 = int8_case
     rng = np.random.default_rng(1)
     np_, m, ksub, dsub = 4096, 8, 256, 16
     cent8 = rng.integers(-127, 128, (m, ksub, dsub)).astype(np.int8)
@@ -53,32 +57,29 @@ def test_pq_winmin_matches_oracle(int8_case):
     recon = np.concatenate(
         [cent8[j][codes[:, j]] for j in range(m)], axis=1
     ).astype(np.float32)
-    rn = (recon**2).sum(1).astype(np.float32)[:, None]
     cent2d = cent8.reshape(-1, dsub).astype(np.float32)
     qt_b = jnp.asarray(q8.T.astype(np.float32), jnp.bfloat16)
     vals, args = sk._pq_winmin_call(
-        qt_b, jnp.asarray(codes), jnp.asarray(rn),
+        qt_b, jnp.asarray(codes.T), np_,
         jnp.asarray(cent2d, jnp.bfloat16), interpret=True,
     )
-    s = rn[:, 0][None, :] - 2.0 * (q8.astype(np.float32) @ recon.T)
+    rn = (recon**2).sum(1).astype(np.float32)
+    s = rn[None, :] - 2.0 * (q8.astype(np.float32) @ recon.T)
     ov, oa = _oracle_winmin(s)
     np.testing.assert_array_equal(np.asarray(vals), ov)
     np.testing.assert_array_equal(np.asarray(args), oa)
 
 
 def test_fused_topk_multichunk_merge(int8_case):
-    r8, q8, rn = int8_case
+    r8, q8 = int8_case
     qt_b = jnp.asarray(q8.T.astype(np.float32), jnp.bfloat16)
     k = 16
     d, i = sk.fused_scan_topk(
-        qt_b, jnp.asarray(r8), jnp.asarray(rn), k, sk.CT, "int8",
+        qt_b, jnp.asarray(r8), r8.shape[0], k, sk.CT, "int8",
         exact=True, interpret=True,
     )
     d, i = np.asarray(d), np.asarray(i)
-    s = rn[:, 0][None, :] - 2.0 * (
-        q8.astype(np.float32) @ r8.astype(np.float32).T
-    )
-    wv, wa = _oracle_winmin(s)
+    wv, wa = _oracle_winmin(_scores(q8, r8, r8.shape[0]))
     order = np.argsort(wv.T, axis=1, kind="stable")[:, :k]
     np.testing.assert_array_equal(d, np.take_along_axis(wv.T, order, 1))
     oi = np.take_along_axis(wa.T, order, 1)
@@ -86,18 +87,21 @@ def test_fused_topk_multichunk_merge(int8_case):
         assert set(i[r]) == set(oi[r])
 
 
-def test_padding_rows_never_win(int8_case):
-    r8, q8, rn = int8_case
-    # mark the last CT rows as padding: +inf norms
-    rn2 = rn.copy()
-    n_real = r8.shape[0] - sk.CT
-    rn2[n_real:] = np.float32(3.4e38)
+def test_ntotal_masks_padding_rows(int8_case):
+    r8, q8 = int8_case
+    n_real = r8.shape[0] - sk.CT  # treat the last tile as padding
     qt_b = jnp.asarray(q8.T.astype(np.float32), jnp.bfloat16)
     d, i = sk.fused_scan_topk(
-        qt_b, jnp.asarray(r8), jnp.asarray(rn2), 8, sk.CT, "int8",
+        qt_b, jnp.asarray(r8), n_real, 8, sk.CT, "int8",
         exact=True, interpret=True,
     )
     assert np.all(np.asarray(i) < n_real)
+    # and the kept scores equal the oracle restricted to real rows
+    wv, _ = _oracle_winmin(_scores(q8, r8, n_real))
+    order = np.argsort(wv.T, axis=1, kind="stable")[:, :8]
+    np.testing.assert_array_equal(
+        np.asarray(d), np.take_along_axis(wv.T, order, 1)
+    )
 
 
 def test_choose_chunk():
