@@ -54,6 +54,17 @@ def read_manifest(index_prefix: str) -> dict:
     return meta
 
 
+def compose_global_ids(local: np.ndarray, shard: np.ndarray,
+                       n_local: int) -> np.ndarray:
+    """(local int32, shard int32) -> int64 global ids (shard*n_local+local).
+
+    The device merge never forms global ids, so a sharded index may exceed
+    2^31 total vectors; -1 locals (masked/invalid) stay -1."""
+    loc = local.astype(np.int64)
+    shd = shard.astype(np.int64)
+    return np.where(loc >= 0, shd * np.int64(n_local) + loc, np.int64(-1))
+
+
 def _pad_graph_stack(subs):
     """Stack per-shard HNSWGraphData into common-shape device arrays.
 
@@ -129,12 +140,13 @@ class ShardedANNIndex:
             embeddings = np.concatenate(
                 [embeddings, np.repeat(embeddings[-1:], pad, axis=0)]
             )
-        if n + pad >= 2**31:
-            # Shard-local ids merge as int32 (jax default; int64 needs x64
-            # mode).  2^31 vectors per sharded index is the current cap —
-            # split across multiple indexes beyond that.
+        # No 2^31 id cap: the merge carries (local id, shard id) as two
+        # int32 payloads and the host composes int64 global ids, so only
+        # the PER-SHARD row count must fit int32 (it must fit HBM anyway).
+        if (n + pad) // n_shard >= 2**31:
             raise NotImplementedError(
-                f"sharded index of {n} vectors exceeds the int32 id space"
+                f"{(n + pad) // n_shard} rows/shard exceeds the int32 "
+                "local-id space; use more shards"
             )
         parts = np.split(np.asarray(embeddings, np.float32), n_shard)
         eng = _REGISTRY[index_type]
@@ -270,18 +282,34 @@ class ShardedANNIndex:
     # -------------------------------------------------------------- search
 
     def _merge_fn(self, k: int):
-        """Shard-local -> global: offset ids, mask pad rows, all_gather merge."""
+        """Shard-local -> global merge without a 2^31 id cap: the collectives
+        carry TWO int32 payloads (local id, shard id) and the host composes
+        int64 global ids (shard * n_local + local), so total index size is
+        bounded only by per-shard HBM.  Validity of (shard, local) against
+        ntotal is decided in pure int32: shards before ntotal // n_local are
+        full; the boundary shard keeps rows below ntotal % n_local."""
         n_local, ntotal = self.n_local, self.ntotal
+        full_shards = ntotal // n_local
+        boundary_rows = ntotal % n_local
 
         def merge(d, i):
-            offset = jax.lax.axis_index("shard").astype(jnp.int32) * n_local
-            gid = jnp.where(i >= 0, i + offset, -1)
-            d = jnp.where((gid >= 0) & (gid < ntotal), d, jnp.float32(np.inf))
-            gid = jnp.where(gid < ntotal, gid, -1)
+            shard = jax.lax.axis_index("shard").astype(jnp.int32)
+            valid = (i >= 0) & (i < n_local) & (
+                (shard < full_shards)
+                | ((shard == full_shards) & (i < boundary_rows))
+            )
+            d = jnp.where(valid, d, jnp.float32(np.inf))
+            i = jnp.where(valid, i, -1)
+            sh = jnp.where(valid, jnp.broadcast_to(shard, i.shape), -1)
             d_all = jax.lax.all_gather(d, "shard", axis=1, tiled=True)
-            i_all = jax.lax.all_gather(gid, "shard", axis=1, tiled=True)
+            i_all = jax.lax.all_gather(i, "shard", axis=1, tiled=True)
+            s_all = jax.lax.all_gather(sh, "shard", axis=1, tiled=True)
             neg, pos = jax.lax.top_k(-d_all, k)
-            return -neg, jnp.take_along_axis(i_all, pos, axis=1)
+            return (
+                -neg,
+                jnp.take_along_axis(i_all, pos, axis=1),
+                jnp.take_along_axis(s_all, pos, axis=1),
+            )
 
         return merge
 
@@ -304,7 +332,7 @@ class ShardedANNIndex:
                 jax.shard_map,
                 mesh=mesh,
                 in_specs=(P("data", None), P("shard", None, None)),
-                out_specs=(P("data", None), P("data", None)),
+                out_specs=(P("data", None), P("data", None), P("data", None)),
                 check_vma=False,
             )
             def body(q, vecs_s):
@@ -335,7 +363,7 @@ class ShardedANNIndex:
                         P("shard", None, None),
                         P("shard"),
                     ),
-                    out_specs=(P("data", None), P("data", None)),
+                    out_specs=(P("data", None), P("data", None), P("data", None)),
                     check_vma=False,
                 )
                 def body(q, codes_s, cent2d_s, scale_s):
@@ -369,7 +397,7 @@ class ShardedANNIndex:
                         P("shard", None, None),
                         P("shard"),
                     ),
-                    out_specs=(P("data", None), P("data", None)),
+                    out_specs=(P("data", None), P("data", None), P("data", None)),
                     check_vma=False,
                 )
                 def body(q, codes_s, rn_s, cent_flat_s, scale_s):
@@ -416,7 +444,7 @@ class ShardedANNIndex:
                         P("shard", None, None),
                         P("shard"),
                     ),
-                    out_specs=(P("data", None), P("data", None)),
+                    out_specs=(P("data", None), P("data", None), P("data", None)),
                     check_vma=False,
                 )
                 def body(q, codes_s, scale_s):
@@ -444,7 +472,7 @@ class ShardedANNIndex:
                         P("shard", None),
                         P("shard"),
                     ),
-                    out_specs=(P("data", None), P("data", None)),
+                    out_specs=(P("data", None), P("data", None), P("data", None)),
                     check_vma=False,
                 )
                 def body(q, codes_s, rn_s, scale_s):
@@ -486,7 +514,7 @@ class ShardedANNIndex:
                     P("shard", None, None),
                     (P("shard", None, None, None) if mode == "pq" else None),
                 ),
-                out_specs=(P("data", None), P("data", None)),
+                out_specs=(P("data", None), P("data", None), P("data", None)),
                 check_vma=False,
             )
             def body(q, neigh0_s, levels_s, entry_s, storage_s, cents_s):
@@ -550,8 +578,10 @@ class ShardedANNIndex:
                 jnp.asarray(qb), NamedSharding(self.mesh, P("data", None))
             )
             pending.append((s, e, fn(qj, dev)))
-        for s, e, (d, i) in pending:
-            out_i[s:e] = np.asarray(i, dtype=np.int64)[: e - s]
+        for s, e, (d, i, shd) in pending:
+            out_i[s:e] = compose_global_ids(
+                np.asarray(i)[: e - s], np.asarray(shd)[: e - s], self.n_local
+            )
             out_d[s:e] = np.asarray(d, dtype=np.float32)[: e - s]
         return out_i, out_d
 

@@ -249,3 +249,36 @@ def test_stream_quantized_sharded_int8_build(tmp_path):
     ok = sum(abs(int(ids[i][0] // 2) - int(names[i].split("_")[1])) <= 10
              for i in range(48))
     assert ok >= 42, f"{ok}/48"
+
+
+def test_compose_global_ids_beyond_int32():
+    """The merge carries (local, shard) int32 pairs; host composition must
+    produce correct int64 ids past 2^31 (one-index human genome: 6.2e9
+    windows over 8 shards)."""
+    from deepreadmapper_tpu.parallel.sharded_ann import compose_global_ids
+
+    n_local = 800_000_000  # 0.8e9 rows/shard, fits int32
+    local = np.array([[0, 123, n_local - 1, -1]], dtype=np.int32)
+    shard = np.array([[7, 3, 7, 2]], dtype=np.int32)
+    gid = compose_global_ids(local, shard, n_local)
+    assert gid.dtype == np.int64
+    assert gid[0, 0] == 7 * 800_000_000
+    assert gid[0, 1] == 3 * 800_000_000 + 123
+    assert gid[0, 2] == 8 * 800_000_000 - 1  # 6.4e9 > 2^31
+    assert gid[0, 3] == -1
+
+
+def test_sharded_boundary_shard_masking():
+    """ntotal not divisible by n_shard: the pad rows (repeat of the last
+    real row) in the boundary shard must never be returned even though
+    they score identically to the real last row."""
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((1003, 32)).astype(np.float32)
+    mesh = make_mesh(n_shard=4)
+    idx = ShardedANNIndex.build(x, mesh, index_type="FLAT")
+    ids, d = idx.search(x[-1:], 1003)
+    valid = ids[ids >= 0]
+    assert valid.max() < 1003
+    assert len(set(valid.tolist())) == len(valid)
+    # the duplicated last row appears exactly once
+    assert (valid == 1002).sum() == 1
