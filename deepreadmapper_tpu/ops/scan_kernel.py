@@ -47,9 +47,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-QT = 256      # query-tile (lanes of the score tile)
-CT = 2048     # candidate rows per tile (sublanes of the score tile)
-W = 128       # reduction window: one (min, argmin) survivor per W rows
+QT = 512      # query-tile (lanes of the score tile)
+CT = 4096     # candidate rows per tile (sublanes of the score tile)
+W = 128       # default reduction window: one (min, argmin) survivor per W
+              # rows; W=512 shrinks the selection stage 4x at ~1.5% recall
+              # cost at N=2M (collision probability ~k^2/(2*N/W))
 _BIG = 3.4e38
 
 MIN_FUSED_N = 1 << 18  # below this the scan is fast anyway; NW must exceed k
@@ -72,20 +74,21 @@ def choose_chunk(np_: int) -> int:
     return _PAD_BASE
 
 
-def _winmin(s: jax.Array, ct_idx) -> tuple[jax.Array, jax.Array]:
-    """[CT, QT] scores -> per-window (min [CT/W, QT], global argmin int32)."""
+def _winmin(s: jax.Array, ct_idx, w: int) -> tuple[jax.Array, jax.Array]:
+    """[CT, QT] scores -> per-w-window (min [CT/w, QT], global argmin)."""
     ct, qt = s.shape
-    s3 = s.reshape(ct // W, W, qt)
+    s3 = s.reshape(ct // w, w, qt)
     vmin = jnp.min(s3, axis=1)
-    widx = jax.lax.broadcasted_iota(jnp.int32, (ct // W, W, qt), 1)
+    widx = jax.lax.broadcasted_iota(jnp.int32, (ct // w, w, qt), 1)
     amin = jnp.min(jnp.where(s3 == vmin[:, None, :], widx, 2**30), axis=1)
     base = ct_idx * ct + jax.lax.broadcasted_iota(
-        jnp.int32, (ct // W, qt), 0
-    ) * W
+        jnp.int32, (ct // w, qt), 0
+    ) * w
     return vmin, base + amin
 
 
-def _int8_kernel(nt_ref, q_ref, r_ref, vals_ref, args_ref, rbf_ref, rn_ref):
+def _int8_kernel(nt_ref, q_ref, r_ref, vals_ref, args_ref, rbf_ref, rn_ref,
+                 *, w: int):
     """q_ref [D, QT] bf16, r_ref [CT, D] int8; per-tile scratch: rbf
     (bf16 candidate tile) and rn ([CT, 1] fp32 = row norms with the
     pad/ntotal mask folded in as +inf)."""
@@ -108,20 +111,20 @@ def _int8_kernel(nt_ref, q_ref, r_ref, vals_ref, args_ref, rbf_ref, rn_ref):
         preferred_element_type=jnp.float32,
     )  # [CT, QT] exact
     s = rn_ref[...] - 2.0 * dot
-    vmin, amin = _winmin(s, c_idx)
+    vmin, amin = _winmin(s, c_idx, w)
     vals_ref[...] = vmin
     args_ref[...] = amin
 
 
 def _pq_kernel(nt_ref, q_ref, codes_ref, cent_ref, vals_ref, args_ref,
-               recon_ref, rnb_ref):
+               recon_ref, rn_ref, *, w: int):
     """PQ variant: reconstruct the candidate tile from its codes in VMEM.
 
     codes_ref [m, CT] int32 (transposed storage), cent_ref [m*ksub, dsub]
     bf16 (int8-valued).  Reconstruction runs once per candidate tile into
     recon_ref [D, CT] (transposed: the one-hot is built as [ksub, CT] so no
-    in-kernel transposes are needed), and the norm broadcast [CT, QT] is a
-    rank-1 fp32 MXU outer product, also cached per tile.
+    big in-kernel transposes are needed); the lane-major norms relayout to a
+    [CT, 1] column once per tile.
     """
     m, ct = codes_ref.shape
     ksub = cent_ref.shape[0] // m
@@ -145,26 +148,21 @@ def _pq_kernel(nt_ref, q_ref, codes_ref, cent_ref, vals_ref, args_ref,
         rn_row = jnp.sum(rf * rf, axis=0, keepdims=True)  # [1, CT] exact
         col = c_idx * ct + jax.lax.broadcasted_iota(jnp.int32, (1, ct), 1)
         rn_row = jnp.where(col < nt_ref[0, 0], rn_row, _BIG)
-        # rank-1 outer product broadcasts the lane-major norms onto sublanes
-        rnb_ref[...] = jax.lax.dot_general(
-            rn_row, jnp.ones((1, q_ref.shape[1]), jnp.float32),
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [CT, QT]
+        rn_ref[...] = rn_row.T  # [CT, 1]
 
     dot = jax.lax.dot_general(
         recon_ref[...], q_ref[...],
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [CT, QT]
-    s = rnb_ref[...] - 2.0 * dot
-    vmin, amin = _winmin(s, c_idx)
+    s = rn_ref[...] - 2.0 * dot
+    vmin, amin = _winmin(s, c_idx, w)
     vals_ref[...] = vmin
     args_ref[...] = amin
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _int8_winmin_call(qt_b, r8, ntotal, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("w", "interpret"))
+def _int8_winmin_call(qt_b, r8, ntotal, w: int = W, interpret: bool = False):
     """qt_b [D, Qp] bf16 (queries pre-transposed: the MXU consumes the rhs
     as [K, N] directly), r8 [Np, D] int8, ntotal scalar int32 (rows at or
     beyond it never win) -> (vals [Np/W, Qp] f32, args [Np/W, Qp] int32)."""
@@ -172,7 +170,7 @@ def _int8_winmin_call(qt_b, r8, ntotal, interpret: bool = False):
     np_ = r8.shape[0]
     grid = (np_ // CT, qp // QT)
     return pl.pallas_call(
-        _int8_kernel,
+        functools.partial(_int8_kernel, w=w),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -180,12 +178,12 @@ def _int8_winmin_call(qt_b, r8, ntotal, interpret: bool = False):
             pl.BlockSpec((CT, d), lambda c, q: (c, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((CT // W, QT), lambda c, q: (c, q), memory_space=pltpu.VMEM),
-            pl.BlockSpec((CT // W, QT), lambda c, q: (c, q), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CT // w, QT), lambda c, q: (c, q), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CT // w, QT), lambda c, q: (c, q), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((np_ // W, qp), jnp.float32),
-            jax.ShapeDtypeStruct((np_ // W, qp), jnp.int32),
+            jax.ShapeDtypeStruct((np_ // w, qp), jnp.float32),
+            jax.ShapeDtypeStruct((np_ // w, qp), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((CT, d), jnp.bfloat16),
@@ -195,15 +193,16 @@ def _int8_winmin_call(qt_b, r8, ntotal, interpret: bool = False):
     )(jnp.asarray(ntotal, jnp.int32).reshape(1, 1), qt_b, r8)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _pq_winmin_call(qt_b, codes_t, ntotal, cent2d, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("w", "interpret"))
+def _pq_winmin_call(qt_b, codes_t, ntotal, cent2d, w: int = W,
+                    interpret: bool = False):
     """qt_b [D, Qp] bf16 (pre-transposed), codes_t [m, Np] int32 (transposed
     storage — lane-dense), cent2d [m*ksub, dsub] bf16 -> (vals, args)."""
     d, qp = qt_b.shape
     m, np_ = codes_t.shape
     grid = (np_ // CT, qp // QT)
     return pl.pallas_call(
-        _pq_kernel,
+        functools.partial(_pq_kernel, w=w),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -212,27 +211,27 @@ def _pq_winmin_call(qt_b, codes_t, ntotal, cent2d, interpret: bool = False):
             pl.BlockSpec(cent2d.shape, lambda c, q: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((CT // W, QT), lambda c, q: (c, q), memory_space=pltpu.VMEM),
-            pl.BlockSpec((CT // W, QT), lambda c, q: (c, q), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CT // w, QT), lambda c, q: (c, q), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CT // w, QT), lambda c, q: (c, q), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((np_ // W, qp), jnp.float32),
-            jax.ShapeDtypeStruct((np_ // W, qp), jnp.int32),
+            jax.ShapeDtypeStruct((np_ // w, qp), jnp.float32),
+            jax.ShapeDtypeStruct((np_ // w, qp), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((d, CT), jnp.bfloat16),
-            pltpu.VMEM((CT, QT), jnp.float32),
+            pltpu.VMEM((CT, 1), jnp.float32),
         ],
         interpret=interpret,
     )(jnp.asarray(ntotal, jnp.int32).reshape(1, 1), qt_b, codes_t, cent2d)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "chunk", "kind", "exact", "interpret")
+    jax.jit, static_argnames=("k", "chunk", "kind", "w", "exact", "interpret")
 )
 def fused_scan_topk(qt_b, store, ntotal, k: int, chunk: int,
-                    kind: str = "int8", cent2d=None, exact: bool = False,
-                    interpret: bool = False):
+                    kind: str = "int8", cent2d=None, w: int = W,
+                    exact: bool = False, interpret: bool = False):
     """Chunked fused scan with exact cross-chunk merge.
 
     qt_b [D, Qp] bf16, queries pre-transposed (Qp % QT == 0); store =
@@ -252,9 +251,9 @@ def fused_scan_topk(qt_b, store, ntotal, k: int, chunk: int,
 
     def one_chunk(st, nt_c, c_idx):
         if kind == "int8":
-            vals, args = _int8_winmin_call(qt_b, st, nt_c, interpret)
+            vals, args = _int8_winmin_call(qt_b, st, nt_c, w, interpret)
         else:
-            vals, args = _pq_winmin_call(qt_b, st, nt_c, cent2d, interpret)
+            vals, args = _pq_winmin_call(qt_b, st, nt_c, cent2d, w, interpret)
         # [chunk/W, Qp] -> [Qp, chunk/W]; 128x smaller than the score matrix
         vals_t = vals.T
         args_t = args.T + c_idx * chunk

@@ -14,7 +14,7 @@ from deepreadmapper_tpu.ops import scan_kernel as sk
 @pytest.fixture(scope="module")
 def int8_case():
     rng = np.random.default_rng(0)
-    np_, qp, d = 4096, 256, 128
+    np_, qp, d = 2 * sk.CT, sk.QT, 128
     r8 = rng.integers(-127, 128, (np_, d)).astype(np.int8)
     q8 = rng.integers(-127, 128, (qp, d)).astype(np.int8)
     return r8, q8
@@ -37,13 +37,14 @@ def _scores(q8, r8, ntotal):
     )
 
 
-def test_int8_winmin_matches_oracle(int8_case):
+@pytest.mark.parametrize("w", [128, 512])
+def test_int8_winmin_matches_oracle(int8_case, w):
     r8, q8 = int8_case
     qt_b = jnp.asarray(q8.T.astype(np.float32), jnp.bfloat16)
     vals, args = sk._int8_winmin_call(
-        qt_b, jnp.asarray(r8), r8.shape[0], interpret=True
+        qt_b, jnp.asarray(r8), r8.shape[0], w, interpret=True
     )
-    ov, oa = _oracle_winmin(_scores(q8, r8, r8.shape[0]))
+    ov, oa = _oracle_winmin(_scores(q8, r8, r8.shape[0]), w)
     np.testing.assert_array_equal(np.asarray(vals), ov)
     np.testing.assert_array_equal(np.asarray(args), oa)
 
@@ -51,7 +52,7 @@ def test_int8_winmin_matches_oracle(int8_case):
 def test_pq_winmin_matches_oracle(int8_case):
     _, q8 = int8_case
     rng = np.random.default_rng(1)
-    np_, m, ksub, dsub = 4096, 8, 256, 16
+    np_, m, ksub, dsub = 2 * sk.CT, 8, 256, 16
     cent8 = rng.integers(-127, 128, (m, ksub, dsub)).astype(np.int8)
     codes = rng.integers(0, ksub, (np_, m)).astype(np.int32)
     recon = np.concatenate(
