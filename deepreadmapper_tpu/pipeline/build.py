@@ -206,6 +206,45 @@ def build_index(
             f"{total/1e6:.1f} MB ({detail})"
         )
 
+    pq_stream = index_type == "PQFLAT" and ext in FASTA_EXTS
+    if pq_stream:
+        # Two-pass stream-encode (PQ is the >10M-window engine, where even
+        # device-resident fp32 embeddings would not fit HBM — 40M windows =
+        # 20 GB):  pass A embeds an evenly-spaced window sample (the
+        # reference trains on a 50% evenly-spaced sample, create_training_set
+        # index.cpp:57-84 — capped here at 1M vectors, ample for 8x256
+        # centroids) and trains the codebook; pass B re-streams every window
+        # and encodes each embedding chunk to codes ON DEVICE, so only
+        # 8 B/window ever reaches the host.
+        import jax
+
+        from deepreadmapper_tpu.ops import pq as pq_ops
+
+        records = fasta_io.parse_fasta_records(ref_file)
+        nv_est = sum(
+            2 * fasta_io.num_windows(len(r), ref_len, stride) for r in records
+        )
+        # Cap at 262k training vectors: 1000 points/centroid (FAISS trains
+        # with at most 256/centroid), and the k-means assignment tensor
+        # [m, n_train, ksub] fp32 stays ~2 GB instead of 16 GB at 2M.
+        target = max(1, min(int(nv_est * cfg.sample_rate), 262_144))
+        # nv_est counts both strands and so does the sampled embed, so the
+        # window step is the full ratio
+        step = max(1, nv_est // max(target, 1))
+        train = embed_fasta_windows(records, ref_len, stride * step, vectorizer)
+        if train.shape[0] == 0:
+            raise ValueError(f"No sequences found in file: {ref_file}")
+        cb = pq_ops.train_pq(
+            np.asarray(train), m=cfg.m_pq, nbits=cfg.nbits,
+            iters=cfg.kmeans_iters, seed=cfg.seed,
+        )
+        cent = cb.centroids
+        m_pq = cfg.m_pq
+        encode = jax.jit(lambda e: pq_ops._encode(pq_ops._split(e, m_pq), cent))
+        codes = embed_fasta_windows(
+            records, ref_len, stride, vectorizer, chunk_transform=encode
+        )
+        embeddings = codes  # row count for config below
     int8_stream = index_type == "INT8FLAT" and ext in FASTA_EXTS
     if int8_stream:
         # Stream-quantize: every embedding chunk becomes int8 ON DEVICE before
@@ -221,7 +260,7 @@ def build_index(
             records, ref_len, stride, vectorizer, device_out=True,
             chunk_transform=lambda e: quantize(e, int8_scale),
         )
-    else:
+    elif not pq_stream:
         embeddings = embed_input_file(
             ref_file, ref_len, stride, vectorizer, device_out=device_out
         )
@@ -240,7 +279,8 @@ def build_index(
         "stride": stride,
         "ref_len": ref_len,
         "n_vects": int(embeddings.shape[0]),
-        "dim": int(embeddings.shape[1]),
+        # pq_stream collects codes, not embeddings; the vector dim is fixed
+        "dim": 128 if pq_stream else int(embeddings.shape[1]),
         "M_hnsw": cfg.m_hnsw,
         "EFC": cfg.efc,
         "M_pq": cfg.m_pq,
@@ -249,6 +289,29 @@ def build_index(
     }
     os.makedirs(index_prefix, exist_ok=True)
     save_config(config, index_prefix)
+
+    if pq_stream:
+        from deepreadmapper_tpu.index.pq_flat import PQFlatIndex
+
+        n = codes.shape[0]
+        if n_shards > 1:
+            from deepreadmapper_tpu.parallel.mesh import make_mesh
+            from deepreadmapper_tpu.parallel.sharded_ann import ShardedANNIndex
+
+            pad = (-n) % n_shards
+            if pad:
+                codes = np.concatenate([codes, np.repeat(codes[-1:], pad, 0)])
+            subs = [
+                PQFlatIndex(c, cb, c.shape[0])  # shards share one codebook
+                for c in np.split(codes, n_shards)
+            ]
+            engine = ShardedANNIndex(
+                subs, make_mesh(n_shard=n_shards), n, "PQFLAT"
+            )
+        else:
+            engine = PQFlatIndex(codes, cb, n)
+        engine.save(index_prefix)
+        return config
 
     if int8_stream:
         from deepreadmapper_tpu.index.int8_flat import Int8FlatIndex
