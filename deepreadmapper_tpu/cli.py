@@ -30,6 +30,11 @@ def _add_pipeline(sub):
     p.add_argument("use_streaming", nargs="?", type=int, default=0)
     p.add_argument("--no-sam", action="store_true")
     p.add_argument("--rerank", default="l2", choices=["l2", "sw"])
+    p.add_argument(
+        "--dense-rerank", action="store_true",
+        help="exactly re-rank ANN candidates even on a dense (stride=1) "
+             "index; recovers near-exact top-1 on quantized engines (PQFLAT)",
+    )
 
 
 def _add_build(sub):
@@ -117,6 +122,7 @@ def main(argv=None) -> int:
             use_dynamic=bool(args.use_dynamic),
             use_streaming=bool(args.use_streaming),
             rerank=args.rerank,
+            dense_rerank=args.dense_rerank,
             write_sam=not args.no_sam,
         )
         print(

@@ -64,11 +64,16 @@ def run_pipeline(
     use_dynamic: bool = False,
     use_streaming: bool = False,
     rerank: str = "l2",
+    dense_rerank: bool = False,
     write_sam: bool = True,
     vectorizer: Vectorizer | None = None,
     search_cfg: SearchConfig | None = None,
 ) -> dict:
-    """Run the full pipeline; returns a timing/result summary dict."""
+    """Run the full pipeline; returns a timing/result summary dict.
+
+    dense_rerank=True re-embeds and exactly reranks the ANN candidates even
+    on a dense (stride == 1) index — beyond the reference's passthrough;
+    restores near-exact top-1 on quantized-metric engines (PQFLAT)."""
     scfg = search_cfg or SearchConfig()
     ef = ef if ef is not None else scfg.ef
     k = k if k is not None else scfg.k
@@ -99,6 +104,7 @@ def run_pipeline(
 
     t0 = time.time()
     final_ids = None
+    final_d = None
     if have_seqs:
         genome = fasta_io.extract_fasta_sequence(ref_file)
         if use_dynamic:
@@ -169,6 +175,7 @@ def run_pipeline(
                     k,
                     k_clusters,
                     bound,
+                    force_rerank=dense_rerank,
                 )
                 sam_io.write_sam(
                     query_seqs[start:end],
@@ -183,7 +190,7 @@ def run_pipeline(
                     query_offset=start,
                 )
         else:
-            final_ids, _final_d = pp.post_process_l2(
+            final_ids, final_d = pp.post_process_l2(
                 neighbors,
                 distances,
                 query_emb,
@@ -192,6 +199,7 @@ def run_pipeline(
                 k,
                 k_clusters,
                 bound,
+                force_rerank=dense_rerank,
             )
             if write_sam:
                 sam_io.write_sam(
@@ -206,16 +214,28 @@ def run_pipeline(
     t_post = time.time() - t0
 
     if not use_streaming:
-        # Raw ANN results, k columns for dense / k_clusters for sparse
-        # (main.cpp:371-384).
-        out_k = k if stride == 1 else k_clusters
-        save_results(
-            neighbors,
-            distances,
-            os.path.join(output_dir, "indices.npy"),
-            os.path.join(output_dir, "distances.npy"),
-            out_k,
-        )
+        if dense_rerank and stride == 1 and final_d is not None:
+            # Extension path: surface the exactly-reranked results (the
+            # reference always saves raw ANN output, main.cpp:371-384, and
+            # routes reranked results to SAM only).
+            save_results(
+                final_ids,
+                final_d,
+                os.path.join(output_dir, "indices.npy"),
+                os.path.join(output_dir, "distances.npy"),
+                k,
+            )
+        else:
+            # Raw ANN results, k columns for dense / k_clusters for sparse
+            # (main.cpp:371-384).
+            out_k = k if stride == 1 else k_clusters
+            save_results(
+                neighbors,
+                distances,
+                os.path.join(output_dir, "indices.npy"),
+                os.path.join(output_dir, "distances.npy"),
+                out_k,
+            )
 
     return {
         "num_queries": int(query_emb.shape[0]),

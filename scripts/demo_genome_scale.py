@@ -110,6 +110,19 @@ def main():
         print(f"top-1 accuracy (pos within {tol}bp + strand): {acc:.4f}",
               flush=True)
 
+        if index_type == "PQFLAT" and stride == 1:
+            # --dense-rerank: exact re-embedding rerank of the quantized
+            # engine's candidates (recovers near-exact top-1 at 8 B/vector)
+            out2 = os.path.join(tmp, "out_rr")
+            t0 = time.time()
+            run_pipeline(prefix, fq, ref, ef=128, k=16, output_dir=out2,
+                         write_sam=False, dense_rerank=True)
+            ids2 = np.load(os.path.join(out2, "indices.npy"))
+            pos_ok2 = np.abs((ids2[:, 0] // 2).astype(np.int64) - starts) <= tol
+            acc2 = float((pos_ok2 & (ids2[:, 0] % 2 == strands)).mean())
+            print(f"top-1 with --dense-rerank: {acc2:.4f} "
+                  f"(+{time.time()-t0:.1f}s incl. re-search)", flush=True)
+
 
 if __name__ == "__main__":
     main()

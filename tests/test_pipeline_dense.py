@@ -135,3 +135,44 @@ def test_precomputed_embeddings_path(flat_index, data_dir, tmp_path, vec):
     assert res["final_ids"] is None  # no post-processing without sequences
     idx = np.load(tmp_path / "out" / "indices.npy")
     assert idx.shape == (10, 16)
+
+
+def test_dense_rerank_on_pq_index(data_dir, tmp_path, vec):
+    """--dense-rerank re-embeds and exactly reranks ANN candidates on a
+    stride=1 PQFLAT index (beyond-reference): top-1 accuracy must match or
+    beat the raw quantized passthrough, and every returned id must come from
+    the ANN candidate list."""
+    from deepreadmapper_tpu.io.fastq import parse_fastq
+    from deepreadmapper_tpu.pipeline.build import build_index
+    from deepreadmapper_tpu.pipeline.search import run_pipeline
+
+    prefix = str(tmp_path / "pq")
+    build_index(
+        str(data_dir / "ecoli_150.fna"), prefix, ref_len=150, stride=1,
+        index_type="PQFLAT", vectorizer=vec,
+    )
+
+    def top1_hits(out_dir, ids):
+        idx = np.load(f"{out_dir}/indices.npy")
+        _, names = parse_fastq(str(data_dir / "test_data.fastq"))
+        return idx, sum(
+            abs(int(idx[r, 0] // 2) - (int(n.split("_")[1]) - 1)) <= 2
+            for r, n in enumerate(names)
+        )
+
+    out_raw = str(tmp_path / "raw")
+    run_pipeline(prefix, str(data_dir / "test_data.fastq"),
+                 str(data_dir / "ecoli_150.fna"), k=16, output_dir=out_raw,
+                 write_sam=False, vectorizer=vec)
+    raw_idx, raw_hits = top1_hits(out_raw, None)
+
+    out_rr = str(tmp_path / "rr")
+    run_pipeline(prefix, str(data_dir / "test_data.fastq"),
+                 str(data_dir / "ecoli_150.fna"), k=16, output_dir=out_rr,
+                 write_sam=False, vectorizer=vec, dense_rerank=True)
+    rr_idx, rr_hits = top1_hits(out_rr, None)
+
+    assert rr_hits >= raw_hits
+    # reranked ids are a reordering drawn from the raw candidate lists
+    for r in range(rr_idx.shape[0]):
+        assert set(rr_idx[r]) <= set(raw_idx[r])
