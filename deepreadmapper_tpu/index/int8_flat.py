@@ -55,17 +55,37 @@ def _row_norms(c: jax.Array) -> jax.Array:
 
 
 def quantize(x, scale: float):
-    """fp32 -> int8 with symmetric clipping at +-127."""
+    """fp32 -> int8 with symmetric clipping at +-127 (device)."""
     xj = jnp.asarray(x, jnp.float32)
     return jnp.clip(jnp.round(xj / scale), -127, 127).astype(jnp.int8)
 
 
+def quantize_host(x: np.ndarray, scale) -> np.ndarray:
+    """Host twin of quantize() — same rounding (banker's) and clipping;
+    the single definition both engines' query paths share."""
+    return np.clip(
+        np.round(np.asarray(x, np.float32) / np.float32(scale)), -127, 127
+    ).astype(np.int8)
+
+
+def query_scale_ratio(queries: np.ndarray, code_scale: float):
+    """Pick the query quantization scale: the code scale when the batch
+    fits it (exact shared-scale integer scoring), else the batch's own
+    amax/127 (no clipping; the sq/sc ratio folds into the score)."""
+    sc = np.float32(code_scale)
+    qmax = np.float32(np.max(np.abs(queries))) if queries.size else sc
+    sq = max(sc, qmax / np.float32(127.0))
+    return sq, np.float32(sq / sc)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "chunk", "exact"))
 def _int8_topk(q8: jax.Array, r8: jax.Array, rn: jax.Array, ntotal, k: int,
-               chunk: int, exact: bool = False):
+               chunk: int, exact: bool = False, ratio=1.0):
     """Top-k in the quantized space.  q8 [Q,D] int8, r8 [N,D] int8
     (N padded to a chunk multiple), rn [N] int32 = per-row squared norms.
-    Scores are int32: qn + rn - 2*q8.r8 (monotone in true distance).
+    Scores: r^2*qn + rn - 2r*(q8.r8) with r = sq/sc, the query/code
+    quantization-scale ratio (1.0 when the query batch fits the code scale;
+    then every term is an exact integer and ordering equals int32 ordering).
 
     exact=False uses lax.approx_max_k per chunk — the TPU-native partial
     reduction — measured 15x faster than lax.top_k at 2M rows (17.2k vs
@@ -73,7 +93,8 @@ def _int8_topk(q8: jax.Array, r8: jax.Array, rn: jax.Array, ntotal, k: int,
     exact top_k over k-sized lists."""
     qn = jnp.sum(
         q8.astype(jnp.int32) * q8.astype(jnp.int32), axis=-1, dtype=jnp.int32
-    )
+    ).astype(jnp.float32)
+    r = jnp.asarray(ratio, jnp.float32)
     n = r8.shape[0]
     n_chunks = n // chunk
     r_chunks = r8.reshape(n_chunks, chunk, r8.shape[1])
@@ -88,12 +109,15 @@ def _int8_topk(q8: jax.Array, r8: jax.Array, rn: jax.Array, ntotal, k: int,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32,
         )  # [Q, chunk] int32, exact
-        scores = qn[:, None] + rnc[None, :] - 2 * dot
-        # top_k on int32 lowers to a full stable SORT (three [Q,chunk] HBM
-        # temps — OOM at scale); scores are bounded by 4*127^2*D < 2^24 so
-        # they are EXACTLY representable in fp32, whose top_k lowering is the
-        # efficient partial-reduction path.
-        scores = scores.astype(jnp.float32)
+        # int32 top_k lowers to a full stable SORT (three [Q,chunk] HBM
+        # temps — OOM at scale); all terms are bounded by 4*127^2*D < 2^24
+        # so they are EXACTLY representable in fp32, whose top_k lowering is
+        # the efficient partial-reduction path.
+        scores = (
+            r * r * qn[:, None]
+            + rnc[None, :].astype(jnp.float32)
+            - (2.0 * r) * dot.astype(jnp.float32)
+        )
         ids = c_idx * chunk + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
         scores = jnp.where(ids < ntotal, scores, _BIGF)
         if exact:
@@ -146,8 +170,8 @@ class Int8FlatIndex:
         """Codes + norms on device, padded ONCE to a chunk multiple (search
         is the hot path; per-call jnp.pad would copy the whole array).
         Padding granularity: 2^18 rows above 2^18 total, else the fused
-        kernel's candidate-tile (2048) — both divide evenly for the chunked
-        scans, and pad rows carry +inf norms for the fused path."""
+        kernel's candidate tile (sk.CT) — both divide evenly for every
+        chunked scan; both paths mask pad rows by ntotal themselves."""
         if self._dev is None:
             codes = self.codes
             n = codes.shape[0]
@@ -181,10 +205,10 @@ class Int8FlatIndex:
             and k_eff <= sk._PAD_BASE // sk.W
         )
         # numpy quantize: jnp would round-trip the queries device-side
-        # (~4 MB up + 1 MB down per batch over the host tunnel)
-        q8_all = np.clip(
-            np.round(queries / np.float32(self.scale)), -127, 127
-        ).astype(np.int8)
+        # (~4 MB up + 1 MB down per batch over the host tunnel).  Queries
+        # exceeding the code scale get their own scale (no clipping).
+        sq, ratio = query_scale_ratio(queries, self.scale)
+        q8_all = quantize_host(queries, sq)
         nq = q8_all.shape[0]
         q_batch = 8192  # [q_batch, chunk] score tensors must fit HBM
         pending = []
@@ -204,7 +228,8 @@ class Int8FlatIndex:
                 qt_b = jnp.asarray(qb.T, jnp.bfloat16)  # [D, Qp], exact
                 pending.append(
                     (s, e,
-                     sk.fused_scan_topk(qt_b, c, n, k_eff, chunk, "int8"))
+                     sk.fused_scan_topk(qt_b, c, n, k_eff, chunk, "int8",
+                                        ratio=ratio))
                 )
         else:
             eff_chunk = min(self._CHUNK, np_)
@@ -215,17 +240,18 @@ class Int8FlatIndex:
                     q8 = jnp.pad(q8, ((0, q_batch - (e - s)), (0, 0)))
                 pending.append(
                     (s, e,
-                     _int8_topk(q8, c, rn, jnp.int32(n), k_eff, eff_chunk, exact))
+                     _int8_topk(q8, c, rn, jnp.int32(n), k_eff, eff_chunk,
+                                exact, ratio))
                 )
         d = np.empty((nq, k_eff), np.float32)
         i = np.empty((nq, k_eff), np.int64)
         s2 = np.float32(self.scale) ** 2
         for s, e, (db, ib) in pending:
-            # int32 quantized-space scores -> fp32 squared L2 estimate;
-            # the fused kernel returns rn - 2*q.r, so add the query norm
+            # quantized-space scores -> fp32 squared L2 estimate; the fused
+            # kernel returns rn - 2(sq/sc) q.r, so add the scaled query norm
             db = np.asarray(db)[: e - s]
             if use_fused:
-                db = db + qn_all[s:e, None]
+                db = db + (ratio * ratio) * qn_all[s:e, None]
             d[s:e] = db * s2
             i[s:e] = np.asarray(ib, dtype=np.int64)[: e - s]
         if k_eff < k:

@@ -36,29 +36,36 @@ _BIG = jnp.float32(3.4e38)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "chunk", "exact"))
-def _pq_int8_topk(q8: jax.Array, codes: jax.Array, rn: jax.Array,
+def _pq_int8_topk(q8: jax.Array, codes_t: jax.Array, rn: jax.Array,
                   cent_flat: jax.Array, ntotal: jax.Array, k: int,
-                  chunk: int, exact: bool = True):
-    """Streaming top-k over a reconstruct-then-int8-scan of PQ codes.
+                  chunk: int, exact: bool = True, ratio=1.0):
+    """Streaming top-k over a reconstruct-then-int8-scan of PQ codes
+    (the exact-in-quantized-space oracle / CPU fallback for the fused
+    Pallas path in ops/scan_kernel.py).
 
-    q8 [Q, d] int8, codes [N, m] uint8 (N padded to a chunk multiple),
-    rn [N] int32 = ||recon8||^2 per row, cent_flat [m*ksub, d] bf16
-    block-diagonal int8-valued decoder.  Scores are exact int32 in the
-    quantized space (bounded by 4*127^2*d < 2^24, so the fp32 cast used for
-    the efficient top-k lowering is exact).
+    q8 [Q, d] int8, codes_t [m, N] int32 TRANSPOSED (a [N, m] device array
+    would lane-pad ~16x — 20 GB at 40M rows; only the per-chunk [chunk, m]
+    transpose is ever materialized), rn [N] int32 = ||recon8||^2 per row,
+    cent_flat [m*ksub, d] bf16 block-diagonal int8-valued decoder.  ratio =
+    sq/sc, the query/code quantization-scale ratio (1.0 when the query
+    batch fits the codebook scale without clipping); all terms are exact
+    integers (< 2^24) carried in fp32, so at ratio == 1 ordering equals
+    exact int32 ordering.
     """
     qn = jnp.sum(
         q8.astype(jnp.int32) * q8.astype(jnp.int32), axis=-1, dtype=jnp.int32
-    )
-    n = codes.shape[0]
+    ).astype(jnp.float32)
+    m, n = codes_t.shape
+    ksub = cent_flat.shape[0] // m
     n_chunks = n // chunk
-    code_chunks = codes.reshape(n_chunks, chunk, codes.shape[1])
+    code_chunks = jnp.moveaxis(codes_t.reshape(m, n_chunks, chunk), 1, 0)
     rn_chunks = rn.reshape(n_chunks, chunk)
+    r = jnp.asarray(ratio, jnp.float32)
 
     def step(carry, inp):
         best_d, best_i = carry
-        cc, rnc, c_idx = inp
-        onehot = pq_ops.codes_to_onehot(cc)  # [chunk, m*ksub] bf16
+        cc_t, rnc, c_idx = inp
+        onehot = pq_ops.codes_to_onehot(cc_t.T, ksub=ksub)  # [chunk, m*ksub]
         recon = jax.lax.dot_general(
             onehot,
             cent_flat,
@@ -72,7 +79,11 @@ def _pq_int8_topk(q8: jax.Array, codes: jax.Array, rn: jax.Array,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32,
         )  # [Q, chunk] int32, exact
-        d = (qn[:, None] + rnc[None, :] - 2 * dot).astype(jnp.float32)
+        d = (
+            r * r * qn[:, None]
+            + rnc[None, :].astype(jnp.float32)
+            - (2.0 * r) * dot.astype(jnp.float32)
+        )
         ids = c_idx * chunk + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
         d = jnp.where(ids < ntotal, d, _BIG)
         if exact:
@@ -121,8 +132,9 @@ class PQFlatIndex:
     def _device(self):
         """Codes, row norms and the bf16 decoders on device, padded ONCE to
         a chunk multiple (per-search padding would re-copy + re-upload).
-        Codes upload as int32 (the fused kernel's code-tile dtype); rn_f
-        carries +inf on pad rows for the fused path."""
+        Codes upload TRANSPOSED as int32 [m, Np] (dense under the (8,128)
+        tiling; both scan paths consume this layout).  rn is int32 with NO
+        pad mask — both paths mask by ntotal themselves."""
         if self._dev is None:
             codes = self.codes
             n = codes.shape[0]
@@ -162,10 +174,16 @@ class PQFlatIndex:
         k_eff = min(k, n)
         codes_t, rn_j, cent_flat, cent2d = self._device()
         np_ = int(codes_t.shape[1])
-        scale = self.cb8.scale
-        q8_all = np.clip(
-            np.round(queries / np.float32(scale)), -127, 127
-        ).astype(np.int8)
+        from deepreadmapper_tpu.index.int8_flat import quantize_host
+
+        # Queries quantize with their OWN scale when the batch exceeds the
+        # codebook range (clipping at the codebook scale would bias every
+        # out-of-range dim); the sq/sc ratio folds into the score instead.
+        sc = np.float32(self.cb8.scale)
+        qmax = np.float32(np.max(np.abs(queries))) if queries.size else sc
+        sq = max(sc, qmax / np.float32(127.0))
+        ratio = np.float32(sq / sc)
+        q8_all = quantize_host(queries, sq)
         nq = queries.shape[0]
         q_batch = 8192  # bound the [q_batch, chunk] score tensor
         use_fused = (
@@ -190,7 +208,7 @@ class PQFlatIndex:
                 pending.append(
                     (s, e,
                      sk.fused_scan_topk(qt_b, codes_t, n, k_eff, fchunk,
-                                        "pq", cent2d=cent2d))
+                                        "pq", cent2d=cent2d, ratio=ratio))
                 )
         else:
             eff_chunk = min(chunk or self._CHUNK, np_)
@@ -204,19 +222,19 @@ class PQFlatIndex:
                     qb = np.pad(qb, ((0, q_batch - (e - s)), (0, 0)))
                 pending.append(
                     (s, e,
-                     _pq_int8_topk(jnp.asarray(qb), codes_t.T, rn_j,
+                     _pq_int8_topk(jnp.asarray(qb), codes_t, rn_j,
                                    cent_flat, jnp.int32(n), k_eff, eff_chunk,
-                                   exact))
+                                   exact, ratio))
                 )
         d = np.empty((nq, k_eff), np.float32)
         i = np.empty((nq, k_eff), np.int64)
-        s2 = np.float32(scale) ** 2
+        s2 = sc * sc
         for s, e, (db, ib) in pending:
-            # int32 quantized-space scores -> fp32 squared L2 estimate;
-            # the fused kernel returns rn - 2*q.r, so add the query norm
+            # quantized-space scores -> fp32 squared L2 estimate; the fused
+            # kernel returns rn - 2(sq/sc) q.r, so add the scaled query norm
             db = np.asarray(db)[: e - s]
             if use_fused:
-                db = db + qn_all[s:e, None]
+                db = db + (ratio * ratio) * qn_all[s:e, None]
             d[s:e] = db * s2
             i[s:e] = np.asarray(ib, dtype=np.int64)[: e - s]
         if k_eff < k:

@@ -87,11 +87,13 @@ def _winmin(s: jax.Array, ct_idx, w: int) -> tuple[jax.Array, jax.Array]:
     return vmin, base + amin
 
 
-def _int8_kernel(nt_ref, q_ref, r_ref, vals_ref, args_ref, rbf_ref, rn_ref,
-                 *, w: int):
+def _int8_kernel(nt_ref, rat_ref, q_ref, r_ref, vals_ref, args_ref, rbf_ref,
+                 rn_ref, *, w: int):
     """q_ref [D, QT] bf16, r_ref [CT, D] int8; per-tile scratch: rbf
     (bf16 candidate tile) and rn ([CT, 1] fp32 = row norms with the
-    pad/ntotal mask folded in as +inf)."""
+    pad/ntotal mask folded in as +inf).  rat_ref holds 2*sq/sc — the query/
+    code quantization-scale ratio folded into the dot term so queries may
+    quantize with their own (clip-free) scale; 2.0 when scales match."""
     c_idx = pl.program_id(0)
 
     @pl.when(pl.program_id(1) == 0)
@@ -110,14 +112,14 @@ def _int8_kernel(nt_ref, q_ref, r_ref, vals_ref, args_ref, rbf_ref, rn_ref,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [CT, QT] exact
-    s = rn_ref[...] - 2.0 * dot
+    s = rn_ref[...] - rat_ref[0, 0] * dot
     vmin, amin = _winmin(s, c_idx, w)
     vals_ref[...] = vmin
     args_ref[...] = amin
 
 
-def _pq_kernel(nt_ref, q_ref, codes_ref, cent_ref, vals_ref, args_ref,
-               recon_ref, rn_ref, *, w: int):
+def _pq_kernel(nt_ref, rat_ref, q_ref, codes_ref, cent_ref, vals_ref,
+               args_ref, recon_ref, rn_ref, *, w: int):
     """PQ variant: reconstruct the candidate tile from its codes in VMEM.
 
     codes_ref [m, CT] int32 (transposed storage), cent_ref [m*ksub, dsub]
@@ -155,14 +157,15 @@ def _pq_kernel(nt_ref, q_ref, codes_ref, cent_ref, vals_ref, args_ref,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [CT, QT]
-    s = rn_ref[...] - 2.0 * dot
+    s = rn_ref[...] - rat_ref[0, 0] * dot
     vmin, amin = _winmin(s, c_idx, w)
     vals_ref[...] = vmin
     args_ref[...] = amin
 
 
 @functools.partial(jax.jit, static_argnames=("w", "interpret"))
-def _int8_winmin_call(qt_b, r8, ntotal, w: int = W, interpret: bool = False):
+def _int8_winmin_call(qt_b, r8, ntotal, ratio2=2.0, w: int = W,
+                      interpret: bool = False):
     """qt_b [D, Qp] bf16 (queries pre-transposed: the MXU consumes the rhs
     as [K, N] directly), r8 [Np, D] int8, ntotal scalar int32 (rows at or
     beyond it never win) -> (vals [Np/W, Qp] f32, args [Np/W, Qp] int32)."""
@@ -173,6 +176,7 @@ def _int8_winmin_call(qt_b, r8, ntotal, w: int = W, interpret: bool = False):
         functools.partial(_int8_kernel, w=w),
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((d, QT), lambda c, q: (0, q), memory_space=pltpu.VMEM),
             pl.BlockSpec((CT, d), lambda c, q: (c, 0), memory_space=pltpu.VMEM),
@@ -190,11 +194,16 @@ def _int8_winmin_call(qt_b, r8, ntotal, w: int = W, interpret: bool = False):
             pltpu.VMEM((CT, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(jnp.asarray(ntotal, jnp.int32).reshape(1, 1), qt_b, r8)
+    )(
+        jnp.asarray(ntotal, jnp.int32).reshape(1, 1),
+        jnp.asarray(ratio2, jnp.float32).reshape(1, 1),
+        qt_b,
+        r8,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("w", "interpret"))
-def _pq_winmin_call(qt_b, codes_t, ntotal, cent2d, w: int = W,
+def _pq_winmin_call(qt_b, codes_t, ntotal, cent2d, ratio2=2.0, w: int = W,
                     interpret: bool = False):
     """qt_b [D, Qp] bf16 (pre-transposed), codes_t [m, Np] int32 (transposed
     storage — lane-dense), cent2d [m*ksub, dsub] bf16 -> (vals, args)."""
@@ -205,6 +214,7 @@ def _pq_winmin_call(qt_b, codes_t, ntotal, cent2d, w: int = W,
         functools.partial(_pq_kernel, w=w),
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((d, QT), lambda c, q: (0, q), memory_space=pltpu.VMEM),
             pl.BlockSpec((m, CT), lambda c, q: (0, c), memory_space=pltpu.VMEM),
@@ -223,14 +233,20 @@ def _pq_winmin_call(qt_b, codes_t, ntotal, cent2d, w: int = W,
             pltpu.VMEM((CT, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(jnp.asarray(ntotal, jnp.int32).reshape(1, 1), qt_b, codes_t, cent2d)
+    )(
+        jnp.asarray(ntotal, jnp.int32).reshape(1, 1),
+        jnp.asarray(ratio2, jnp.float32).reshape(1, 1),
+        qt_b,
+        codes_t,
+        cent2d,
+    )
 
 
 @functools.partial(
     jax.jit, static_argnames=("k", "chunk", "kind", "w", "exact", "interpret")
 )
 def fused_scan_topk(qt_b, store, ntotal, k: int, chunk: int,
-                    kind: str = "int8", cent2d=None, w: int = W,
+                    kind: str = "int8", cent2d=None, ratio=1.0, w: int = W,
                     exact: bool = False, interpret: bool = False):
     """Chunked fused scan with exact cross-chunk merge.
 
@@ -248,12 +264,15 @@ def fused_scan_topk(qt_b, store, ntotal, k: int, chunk: int,
     np_ = store.shape[0] if kind == "int8" else store.shape[1]
     n_chunks = np_ // chunk
     nt = jnp.asarray(ntotal, jnp.int32)
+    ratio2 = 2.0 * jnp.asarray(ratio, jnp.float32)
 
     def one_chunk(st, nt_c, c_idx):
         if kind == "int8":
-            vals, args = _int8_winmin_call(qt_b, st, nt_c, w, interpret)
+            vals, args = _int8_winmin_call(qt_b, st, nt_c, ratio2, w, interpret)
         else:
-            vals, args = _pq_winmin_call(qt_b, st, nt_c, cent2d, w, interpret)
+            vals, args = _pq_winmin_call(
+                qt_b, st, nt_c, cent2d, ratio2, w, interpret
+            )
         # [chunk/W, Qp] -> [Qp, chunk/W]; 128x smaller than the score matrix
         vals_t = vals.T
         args_t = args.T + c_idx * chunk

@@ -368,16 +368,20 @@ class ShardedANNIndex:
                 )
                 def body(q, codes_s, cent2d_s, scale_s):
                     s = scale_s[0]
-                    q8f = jnp.clip(jnp.round(q / s), -127, 127)
+                    # clip-free query scale; the sq/sc ratio folds into the
+                    # score (query dims may exceed the codebook range)
+                    sq = jnp.maximum(s, jnp.max(jnp.abs(q)) / 127.0)
+                    rat = sq / s
+                    q8f = jnp.round(q / sq)
                     qt_b = q8f.T.astype(jnp.bfloat16)  # exact int8 values
                     qn = jnp.sum(q8f * q8f, axis=-1)
                     d, i = sk.fused_scan_topk(
                         qt_b, codes_s[0], n_local, k_local, chunk, "pq",
-                        cent2d=cent2d_s[0],
+                        cent2d=cent2d_s[0], ratio=rat,
                     )
                     # quantized scores -> fp32 squared L2 so shards with
                     # different codebook scales merge in one metric space
-                    d = (qn[:, None] + d) * (s * s)
+                    d = (rat * rat * qn[:, None] + d) * (s * s)
                     return merge(d, i)
 
                 fn = jax.jit(
@@ -404,19 +408,22 @@ class ShardedANNIndex:
                     from deepreadmapper_tpu.index.pq_flat import _pq_int8_topk
 
                     s = scale_s[0]
-                    q8 = jnp.clip(jnp.round(q / s), -127, 127).astype(jnp.int8)
+                    sq = jnp.maximum(s, jnp.max(jnp.abs(q)) / 127.0)
+                    rat = sq / s
+                    q8 = jnp.round(q / sq).astype(jnp.int8)
                     chunk = min(_PQ_CHUNK, codes_s.shape[2])
-                    if codes_s.shape[2] % chunk:  # 2048-granular padding
+                    if chunk and codes_s.shape[2] % chunk:  # sub-chunk pads
                         chunk = codes_s.shape[2]
                     # approx_max_k per chunk: 4.3x faster at 2M rows/shard —
                     # the sharded index IS the genome-scale deployment, so
                     # throughput wins here.
                     d, i = _pq_int8_topk(
-                        q8, codes_s[0].T, rn_s[0], cent_flat_s[0],
+                        q8, codes_s[0], rn_s[0], cent_flat_s[0],
                         jnp.int32(n_local), k_local, chunk, exact=False,
+                        ratio=rat,
                     )
-                    # int32 quantized scores -> fp32 squared L2 so shards
-                    # with different codebook scales merge in one metric
+                    # quantized scores -> fp32 squared L2 so shards with
+                    # different codebook scales merge in one metric space
                     d = d * (s * s)
                     return merge(d, i)
 
@@ -449,13 +456,16 @@ class ShardedANNIndex:
                 )
                 def body(q, codes_s, scale_s):
                     s = scale_s[0]
-                    q8f = jnp.clip(jnp.round(q / s), -127, 127)
+                    sq = jnp.maximum(s, jnp.max(jnp.abs(q)) / 127.0)
+                    rat = sq / s
+                    q8f = jnp.round(q / sq)
                     qt_b = q8f.T.astype(jnp.bfloat16)  # exact int8 values
                     qn = jnp.sum(q8f * q8f, axis=-1)
                     d, i = sk.fused_scan_topk(
-                        qt_b, codes_s[0], n_local, k_local, chunk, "int8"
+                        qt_b, codes_s[0], n_local, k_local, chunk, "int8",
+                        ratio=rat,
                     )
-                    d = (qn[:, None] + d) * (s * s)
+                    d = (rat * rat * qn[:, None] + d) * (s * s)
                     return merge(d, i)
 
                 fn = jax.jit(
@@ -478,19 +488,22 @@ class ShardedANNIndex:
                 def body(q, codes_s, rn_s, scale_s):
                     from deepreadmapper_tpu.index.int8_flat import (
                         _int8_topk,
-                        quantize,
                     )
 
                     s = scale_s[0]
-                    q8 = quantize(q, s)
+                    sq = jnp.maximum(s, jnp.max(jnp.abs(q)) / 127.0)
+                    rat = sq / s
+                    q8 = jnp.round(q / sq).astype(jnp.int8)
                     chunk = min(_INT8_CHUNK, codes_s.shape[1])
+                    if codes_s.shape[1] % chunk:  # sub-chunk pads
+                        chunk = codes_s.shape[1]
                     d, i = _int8_topk(
                         q8, codes_s[0], rn_s[0], jnp.int32(n_local), k_local,
-                        chunk,
+                        chunk, ratio=rat,
                     )
-                    # int32 quantized scores -> fp32 squared L2 so shards
-                    # with different scales merge in one metric space
-                    d = d.astype(jnp.float32) * (s * s)
+                    # quantized scores -> fp32 squared L2 so shards with
+                    # different scales merge in one metric space
+                    d = d * (s * s)
                     return merge(d, i)
 
                 fn = jax.jit(

@@ -212,10 +212,10 @@ def build_index(
         # device-resident fp32 embeddings would not fit HBM — 40M windows =
         # 20 GB):  pass A embeds an evenly-spaced window sample (the
         # reference trains on a 50% evenly-spaced sample, create_training_set
-        # index.cpp:57-84 — capped here at 1M vectors, ample for 8x256
-        # centroids) and trains the codebook; pass B re-streams every window
-        # and encodes each embedding chunk to codes ON DEVICE, so only
-        # 8 B/window ever reaches the host.
+        # index.cpp:57-84 — capped here, ample for 8x256 centroids) and
+        # trains the codebook; pass B re-streams every window and encodes
+        # each embedding chunk to codes ON DEVICE, so only 8 B/window ever
+        # reaches the host.
         import jax
 
         from deepreadmapper_tpu.ops import pq as pq_ops
@@ -228,9 +228,9 @@ def build_index(
         # with at most 256/centroid), and the k-means assignment tensor
         # [m, n_train, ksub] fp32 stays ~2 GB instead of 16 GB at 2M.
         target = max(1, min(int(nv_est * cfg.sample_rate), 262_144))
-        # nv_est counts both strands and so does the sampled embed, so the
-        # window step is the full ratio
-        step = max(1, nv_est // max(target, 1))
+        # nv_est counts both strands and so does the sampled embed; ceil so
+        # the sample never exceeds ~target (floor could double it)
+        step = max(1, -(-nv_est // max(target, 1)))
         train = embed_fasta_windows(records, ref_len, stride * step, vectorizer)
         if train.shape[0] == 0:
             raise ValueError(f"No sequences found in file: {ref_file}")

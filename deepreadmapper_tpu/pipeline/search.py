@@ -73,7 +73,11 @@ def run_pipeline(
 
     dense_rerank=True re-embeds and exactly reranks the ANN candidates even
     on a dense (stride == 1) index — beyond the reference's passthrough;
-    restores near-exact top-1 on quantized-metric engines (PQFLAT)."""
+    restores near-exact top-1 on quantized-metric engines (PQFLAT).  NOTE:
+    the saved distances then follow the reranker's sqrt-L2 convention
+    (reference reranker.cpp:147-166) instead of the engines' squared L2.
+    The flag needs query SEQUENCES (not precomputed .npy embeddings) and the
+    L2 reranker; incompatible combinations warn and fall back."""
     scfg = search_cfg or SearchConfig()
     ef = ef if ef is not None else scfg.ef
     k = k if k is not None else scfg.k
@@ -105,6 +109,13 @@ def run_pipeline(
     t0 = time.time()
     final_ids = None
     final_d = None
+    if dense_rerank and stride == 1 and (not have_seqs or rerank == "sw"):
+        print(
+            "[MAIN] WARNING: --dense-rerank ignored ("
+            + ("precomputed query embeddings carry no sequences"
+               if not have_seqs else "SW rerank already reranks at stride 1")
+            + "); saving raw ANN results"
+        )
     if have_seqs:
         genome = fasta_io.extract_fasta_sequence(ref_file)
         if use_dynamic:

@@ -122,3 +122,52 @@ def test_pqflat_small_n_padding():
     assert np.all(ids[:, :37] >= 0)
     assert np.all(ids[:, 37:] == -1)
     assert np.all(np.isinf(d[:, 37:]))
+
+
+def test_pqflat_exact_matches_reconstruction_oracle(clustered_data):
+    """search(exact=True) — the parity oracle — must order exactly like a
+    brute-force L2 scan against the int8-quantized reconstructions, with
+    bit-matching distances (all terms exact integers times scale^2)."""
+    x = clustered_data[:1200]
+    pqi = PQFlatIndex.build(x)
+    q = clustered_data[1500:1532]
+    ids, d = pqi.search(q, 10, exact=True)
+    cb8 = pqi.cb8
+    recon8 = np.concatenate(
+        [cb8.cent8[j][pqi.codes[:, j].astype(np.int64)] for j in range(8)],
+        axis=1,
+    ).astype(np.float32)
+    sq = max(np.float32(cb8.scale),
+             np.float32(np.abs(q).max()) / np.float32(127))
+    q8 = np.clip(np.round(q / sq), -127, 127).astype(np.float32)
+    # oracle in the same mixed-scale quantized metric
+    r = np.float32(sq / np.float32(cb8.scale))
+    s = (r * r * (q8**2).sum(1)[:, None]
+         + (recon8**2).sum(1)[None, :]
+         - 2 * r * (q8 @ recon8.T))
+    order = np.argsort(s, axis=1, kind="stable")[:, :10]
+    np.testing.assert_array_equal(ids, order)
+    np.testing.assert_allclose(
+        d, np.take_along_axis(s, order, 1) * np.float32(cb8.scale) ** 2,
+        rtol=1e-6,
+    )
+
+
+def test_pqflat_outlier_queries_not_clipped(clustered_data):
+    """Queries far outside the codebook range must still rank their true
+    nearest reconstruction first (the old fixed-scale clipping destroyed
+    the ordering for out-of-range dims)."""
+    x = clustered_data[:1000]
+    pqi = PQFlatIndex.build(x)
+    # scale queries 8x beyond the data range: nearest row is preserved
+    q = x[:16] * 8.0
+    ids, _ = pqi.search(q, 5, exact=True)
+    recon = pq_ops.pq_reconstruct(pqi.codes, pqi.codebook)
+    oracle = np.argmin(
+        ((q[:, None, :] - recon[None, :, :]) ** 2).sum(-1), axis=1
+    )
+    # top-1 must match the unquantized-query-vs-reconstruction oracle for
+    # a clear majority (int8 granularity of the scaled queries allows a few
+    # near-tie swaps; the broken clipping path got essentially none right)
+    agree = (ids[:, 0] == oracle).mean()
+    assert agree >= 0.75, f"top-1 agreement {agree:.2f}"

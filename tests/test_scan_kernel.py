@@ -42,7 +42,7 @@ def test_int8_winmin_matches_oracle(int8_case, w):
     r8, q8 = int8_case
     qt_b = jnp.asarray(q8.T.astype(np.float32), jnp.bfloat16)
     vals, args = sk._int8_winmin_call(
-        qt_b, jnp.asarray(r8), r8.shape[0], w, interpret=True
+        qt_b, jnp.asarray(r8), r8.shape[0], w=w, interpret=True
     )
     ov, oa = _oracle_winmin(_scores(q8, r8, r8.shape[0]), w)
     np.testing.assert_array_equal(np.asarray(vals), ov)
