@@ -15,7 +15,10 @@ INT8FLAT's scan:
 
 This replaces the previous [Q, m*ksub] one-hot-tables matmul (256x FLOP
 inflation -> 16x fewer MXU FLOPs at m=8, d=128) and adds int8 (2x bf16 MXU
-rate).  Row norms ||recon8||^2 are precomputed per vector (int32, +4 B/row).
+rate).  On TPU the default search is the fused Pallas scan
+(ops/scan_kernel.py, norms recomputed in-kernel); this module holds the
+engine plumbing plus the chunked exact-in-quantized-space oracle (row norms
+precomputed, int32) used for parity and as the CPU fallback.
 """
 
 from __future__ import annotations

@@ -10,12 +10,13 @@ TPU design:
   * Training runs ALL subquantizers as one batched k-means: data [m, n, dsub]
     against centroids [m, ksub, dsub]; the assignment step is one batched
     matmul (MXU), the update one segment-sum.
-  * ADC scan is expressed two ways:
-      - gather: T[q, m, codes[n, m]] summed over m (XLA gather; baseline);
-      - one-hot matmul: codes one-hot [chunk, m*ksub] @ tables [m*ksub, Q] —
-        256x FLOP inflation but it rides the MXU and amortizes the code
-        one-hot across ALL queries; the TPU-native formulation for large
-        query batches.
+  * ADC scanning: the production form is reconstruct-then-int8-scan (ADC
+    distance to the PQ reconstruction == exact L2 to the reconstructed
+    vector) — see PQInt8Codebook below and the fused kernel in
+    ops/scan_kernel.py / the chunked oracle in index/pq_flat.py.  The
+    historical forms kept here for tests/HNSW-ADC: gather
+    (T[q, m, codes[n, m]] summed over m) and one-hot-tables matmul
+    ([chunk, m*ksub] @ [m*ksub, Q]; 256x FLOP inflation — superseded).
   * Everything is deterministic given the seed (FAISS's k-means is not).
 """
 

@@ -77,6 +77,16 @@ def main():
         res = run_pipeline(prefix, fq, ref, ef=128, k=16, output_dir=out,
                            write_sam=False)
         t_cold = time.time() - t0
+        if stride > 1 and res.get("final_ids") is not None:
+            # reranked dense ids (the sparse path's real output): id = 2*pos
+            # + strand after expansion + exact re-embedding rerank
+            fid = res["final_ids"][:, 0]
+            racc = float(np.mean(
+                (np.abs((fid // 2).astype(np.int64) - starts) <= 5)
+                & ((fid % 2) == strands)
+            ))
+            print(f"top-1 after sparse rerank (pos within 5bp + strand): "
+                  f"{racc:.4f}", flush=True)
         print(f"pipeline cold (incl. index upload + compiles): {t_cold:.1f}s "
               f"| embed {res['t_embed']:.1f}s search {res['t_search']:.1f}s "
               f"post {res['t_post']:.1f}s", flush=True)
