@@ -79,6 +79,10 @@ def _add_finetune(sub):
     p.add_argument("--sub-rate", type=float, default=0.01,
                    help="substitution noise for simulated training reads; "
                         "match the expected read error rate")
+    p.add_argument("--max-shift", type=int, default=0,
+                   help="offset training reads 0..N bases from their source "
+                        "window (shift-matched tuning for sparse indexes: "
+                        "use stride-1)")
     p.add_argument("--resume", default=None, metavar="NPZ",
                    help="resume from a previously saved weights npz "
                         "(checkpoint/continue fine-tuning)")
@@ -187,6 +191,7 @@ def main(argv=None) -> int:
         params, losses = finetune(
             args.ref_file, args.ref_len, steps=args.steps, batch=args.batch,
             lr=args.lr, seed=args.seed, sub_rate=args.sub_rate,
+            max_shift=args.max_shift,
             params=start_params, state_path=args.state,
         )
         save_params_npz(params, args.output)

@@ -52,3 +52,38 @@ def test_train_state_checkpoint_exact_resume(tmp_path):
     np.testing.assert_allclose(
         np.asarray(p_split.embedding), np.asarray(p_full.embedding), atol=1e-6
     )
+
+
+def test_sample_pairs_shift_augmentation(data_dir):
+    """max_shift=0 + no noise -> reads ARE their windows; max_shift>0 ->
+    most reads are shifted copies (tokens differ) and the shifted read
+    equals the window sampled at the shifted position."""
+    import numpy as np
+
+    from deepreadmapper_tpu.io import fasta as fasta_io
+    from deepreadmapper_tpu.pipeline.finetune import sample_pairs
+
+    genome = fasta_io.extract_fasta_sequence(str(data_dir / "ecoli_150.fna"))
+    rng = np.random.default_rng(0)
+    rt, wt = sample_pairs(genome, 150, 64, rng, sub_rate=0.0, max_shift=0)
+    np.testing.assert_array_equal(rt, wt)
+
+    rng = np.random.default_rng(0)
+    rt, wt = sample_pairs(genome, 150, 256, rng, sub_rate=0.0, max_shift=3)
+    frac_diff = np.mean(np.any(rt != wt, axis=1))
+    assert frac_diff > 0.5  # delta > 0 w.p. 3/4
+
+    # reproduce the internal sampling to check the shifted read content
+    rng2 = np.random.default_rng(0)
+    glen = genome.size
+    pos = rng2.integers(0, glen - 150 + 1, size=256)
+    strand = rng2.integers(0, 2, size=256)
+    delta = rng2.integers(0, 4, size=256)
+    pos_r = np.clip(pos + delta, 0, glen - 150)
+    from deepreadmapper_tpu import tokenizer as tok
+
+    r_mat, r_lens = fasta_io.fetch_windows_by_id(
+        genome, (pos_r << 1) | strand, 150, 123, wrap=True
+    )
+    expect_rt = tok.tokenize_bytes_fast(r_mat, r_lens, 123)
+    np.testing.assert_array_equal(rt, expect_rt)
