@@ -57,6 +57,10 @@ def _add_build(sub):
     p.add_argument("--shards", type=int, default=1,
                    help="shard the index over N mesh positions "
                         "(multi-chip/multi-host serving)")
+    p.add_argument("--opq", action="store_true",
+                   help="learn an orthogonal rotation before PQ (FAISS "
+                        "OPQMatrix analog; improves PQFLAT recall at the "
+                        "same 8 B/vector)")
 
 
 def _add_inference(sub):
@@ -146,6 +150,7 @@ def main(argv=None) -> int:
             m_hnsw=args.M_hnsw,
             efc=args.EFC,
             build_mode=args.build_mode,
+            opq=args.opq,
         )
         config = build_index(
             args.ref_file,

@@ -43,6 +43,8 @@ class BuildConfig:
     sample_rate: float = 0.5    # fraction of vectors used to train PQ
     kmeans_iters: int = 25      # PQ k-means iterations (FAISS default)
     seed: int = 1234            # deterministic codebook init
+    opq: bool = False           # learn an orthogonal rotation before PQ
+    opq_iters: int = 10         # OPQ alternation rounds
 
 
 @dataclasses.dataclass(frozen=True)

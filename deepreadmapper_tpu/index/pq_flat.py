@@ -115,10 +115,15 @@ def _pq_int8_topk(q8: jax.Array, codes_t: jax.Array, rn: jax.Array,
 class PQFlatIndex:
     _CHUNK = 131072  # bounds the transient [chunk, m*ksub] one-hot (512 MB)
 
-    def __init__(self, codes: np.ndarray, codebook: pq_ops.PQCodebook, ntotal: int):
+    def __init__(self, codes: np.ndarray, codebook: pq_ops.PQCodebook,
+                 ntotal: int, rot: np.ndarray | None = None):
         self.codes = codes
         self.codebook = codebook
         self.ntotal = ntotal
+        # Optional OPQ rotation Rt [d, d]: codes/codebook live in the
+        # ROTATED space (y = x @ Rt); queries rotate at search time.  Rt is
+        # orthogonal so L2 distances are unchanged.
+        self.rot = None if rot is None else np.asarray(rot, np.float32)
         self.cb8 = pq_ops.quantize_codebook(codebook)
         self._dev = None
 
@@ -126,6 +131,14 @@ class PQFlatIndex:
     def build(cls, embeddings: np.ndarray, cfg: BuildConfig | None = None):
         cfg = cfg or BuildConfig()
         train = pq_ops.sample_training_set(embeddings, cfg.sample_rate)
+        if cfg.opq:
+            cb, rot = pq_ops.train_opq(
+                np.asarray(train), m=cfg.m_pq, nbits=cfg.nbits,
+                iters=cfg.opq_iters, seed=cfg.seed,
+            )
+            rotated = jnp.asarray(embeddings) @ jnp.asarray(rot)
+            codes = pq_ops.encode_pq(rotated, cb)
+            return cls(codes, cb, embeddings.shape[0], rot)
         cb = pq_ops.train_pq(
             train, m=cfg.m_pq, nbits=cfg.nbits, iters=cfg.kmeans_iters, seed=cfg.seed
         )
@@ -169,6 +182,8 @@ class PQFlatIndex:
         vs the exact scan) or approx_max_k elsewhere."""
         n = self.ntotal
         queries = np.asarray(queries, np.float32)
+        if self.rot is not None and queries.size:
+            queries = queries @ self.rot  # into the OPQ-rotated space
         if n == 0:
             return (
                 np.full((queries.shape[0], k), -1, np.int64),
@@ -247,12 +262,14 @@ class PQFlatIndex:
 
     def save(self, index_prefix: str) -> None:
         os.makedirs(index_prefix, exist_ok=True)
-        np.savez(
-            os.path.join(index_prefix, "pq.npz"),
+        payload = dict(
             codes=self.codes,
             centroids=np.asarray(self.codebook.centroids),
             ntotal=self.ntotal,
         )
+        if self.rot is not None:
+            payload["rot"] = self.rot
+        np.savez(os.path.join(index_prefix, "pq.npz"), **payload)
 
     @classmethod
     def load(cls, index_prefix: str, config: dict | None = None):
@@ -261,4 +278,5 @@ class PQFlatIndex:
             z["codes"],
             pq_ops.PQCodebook(jnp.asarray(z["centroids"])),
             int(z["ntotal"]),
+            rot=z["rot"] if "rot" in z.files else None,
         )

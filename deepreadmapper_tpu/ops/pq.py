@@ -115,6 +115,48 @@ def train_pq(
     return PQCodebook(centroids=cent)
 
 
+def train_opq(
+    train_vectors: np.ndarray,
+    m: int = 8,
+    nbits: int = 8,
+    iters: int = 10,
+    pq_iters: int = 8,
+    seed: int = 1234,
+) -> tuple[PQCodebook, np.ndarray]:
+    """OPQ (Ge et al., non-parametric): learn an orthogonal rotation that
+    minimizes PQ quantization error (FAISS OPQMatrix analog; the reference's
+    FAISS build does not enable it — beyond-reference quality knob).
+
+    Alternates (a) k-means in the rotated space, warm-started from the
+    previous centroids, with (b) the orthogonal-Procrustes update
+    Rt = U @ Vt from svd(X^T @ recon).  Returns (codebook trained in the
+    ROTATED space, Rt [d, d]) with y = x @ Rt the rotated embedding; L2 is
+    preserved exactly (Rt orthogonal), so distances stay comparable with
+    every other engine.
+    """
+    x = np.asarray(train_vectors, np.float32)
+    n, d = x.shape
+    rt = np.eye(d, dtype=np.float32)
+    cb = None
+    for it in range(iters):
+        y = x @ rt
+        if cb is None:
+            cb = train_pq(y, m=m, nbits=nbits, iters=pq_iters, seed=seed)
+        else:
+            # warm start: refine the previous centroids in the new rotation
+            data = _split(jnp.asarray(y), m)
+            cb = PQCodebook(_kmeans_batched(data, cb.centroids, pq_iters))
+        codes = encode_pq(y, cb)
+        recon = pq_reconstruct(codes, cb)
+        # min ||x @ Rt - recon||_F over orthogonal Rt (Procrustes)
+        u, _, vt = np.linalg.svd(x.T @ recon)
+        rt = (u @ vt).astype(np.float32)
+    # final codebook consistent with the final rotation
+    data = _split(jnp.asarray(x @ rt), m)
+    cb = PQCodebook(_kmeans_batched(data, cb.centroids, pq_iters))
+    return cb, rt
+
+
 @jax.jit
 def _encode(data_split: jax.Array, cent: jax.Array) -> jax.Array:
     d2 = (

@@ -218,9 +218,20 @@ class ShardedANNIndex:
                 ),
                 sh("shard"),
             )
+            d = self.subs[0].codes.shape[1] * self.subs[0].cb8.cent8.shape[-1]
+            rots = jax.device_put(
+                jnp.asarray(
+                    np.stack([
+                        s.rot if s.rot is not None
+                        else np.eye(d, dtype=np.float32)
+                        for s in self.subs
+                    ])
+                ),
+                sh("shard", None, None),
+            )
             self._dev = (
                 None, (), None, codes,
-                (rn, cent_flats, scales, cent2ds),
+                (rn, cent_flats, scales, cent2ds, rots),
             )
             return self._dev
         if self.kind == "int8flat":
@@ -362,11 +373,13 @@ class ShardedANNIndex:
                         P("shard", None, None),
                         P("shard", None, None),
                         P("shard"),
+                        P("shard", None, None),
                     ),
                     out_specs=(P("data", None), P("data", None), P("data", None)),
                     check_vma=False,
                 )
-                def body(q, codes_s, cent2d_s, scale_s):
+                def body(q, codes_s, cent2d_s, scale_s, rot_s):
+                    q = q @ rot_s[0]  # per-shard OPQ rotation (or identity)
                     s = scale_s[0]
                     # clip-free query scale; the sq/sc ratio folds into the
                     # score (query dims may exceed the codebook range)
@@ -386,7 +399,7 @@ class ShardedANNIndex:
 
                 fn = jax.jit(
                     lambda q, dev: body(
-                        q, dev[3], dev[4][3], dev[4][2]
+                        q, dev[3], dev[4][3], dev[4][2], dev[4][4]
                     )
                 )
             else:
@@ -400,13 +413,15 @@ class ShardedANNIndex:
                         P("shard", None),
                         P("shard", None, None),
                         P("shard"),
+                        P("shard", None, None),
                     ),
                     out_specs=(P("data", None), P("data", None), P("data", None)),
                     check_vma=False,
                 )
-                def body(q, codes_s, rn_s, cent_flat_s, scale_s):
+                def body(q, codes_s, rn_s, cent_flat_s, scale_s, rot_s):
                     from deepreadmapper_tpu.index.pq_flat import _pq_int8_topk
 
+                    q = q @ rot_s[0]  # per-shard OPQ rotation (or identity)
                     s = scale_s[0]
                     sq = jnp.maximum(s, jnp.max(jnp.abs(q)) / 127.0)
                     rat = sq / s
@@ -429,7 +444,7 @@ class ShardedANNIndex:
 
                 fn = jax.jit(
                     lambda q, dev: body(
-                        q, dev[3], dev[4][0], dev[4][1], dev[4][2]
+                        q, dev[3], dev[4][0], dev[4][1], dev[4][2], dev[4][4]
                     )
                 )
         elif self.kind == "int8flat":

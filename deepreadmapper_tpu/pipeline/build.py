@@ -234,13 +234,30 @@ def build_index(
         train = embed_fasta_windows(records, ref_len, stride * step, vectorizer)
         if train.shape[0] == 0:
             raise ValueError(f"No sequences found in file: {ref_file}")
-        cb = pq_ops.train_pq(
-            np.asarray(train), m=cfg.m_pq, nbits=cfg.nbits,
-            iters=cfg.kmeans_iters, seed=cfg.seed,
-        )
+        rot = None
+        if cfg.opq:
+            cb, rot = pq_ops.train_opq(
+                np.asarray(train), m=cfg.m_pq, nbits=cfg.nbits,
+                iters=cfg.opq_iters, seed=cfg.seed,
+            )
+        else:
+            cb = pq_ops.train_pq(
+                np.asarray(train), m=cfg.m_pq, nbits=cfg.nbits,
+                iters=cfg.kmeans_iters, seed=cfg.seed,
+            )
         cent = cb.centroids
         m_pq = cfg.m_pq
-        encode = jax.jit(lambda e: pq_ops._encode(pq_ops._split(e, m_pq), cent))
+        if rot is not None:
+            import jax.numpy as jnp
+
+            rot_dev = jnp.asarray(rot)
+            encode = jax.jit(
+                lambda e: pq_ops._encode(pq_ops._split(e @ rot_dev, m_pq), cent)
+            )
+        else:
+            encode = jax.jit(
+                lambda e: pq_ops._encode(pq_ops._split(e, m_pq), cent)
+            )
         codes = embed_fasta_windows(
             records, ref_len, stride, vectorizer, chunk_transform=encode
         )
@@ -302,14 +319,15 @@ def build_index(
             if pad:
                 codes = np.concatenate([codes, np.repeat(codes[-1:], pad, 0)])
             subs = [
-                PQFlatIndex(c, cb, c.shape[0])  # shards share one codebook
+                # shards share one codebook (and OPQ rotation, if any)
+                PQFlatIndex(c, cb, c.shape[0], rot)
                 for c in np.split(codes, n_shards)
             ]
             engine = ShardedANNIndex(
                 subs, make_mesh(n_shard=n_shards), n, "PQFLAT"
             )
         else:
-            engine = PQFlatIndex(codes, cb, n)
+            engine = PQFlatIndex(codes, cb, n, rot)
         engine.save(index_prefix)
         return config
 
