@@ -230,3 +230,30 @@ def test_opq_save_load_roundtrip(clustered_data, tmp_path):
     i2, d2 = loaded.search(q, 5)
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_allclose(d1, d2, rtol=1e-6)
+
+
+@pytest.mark.parametrize("m,nbits", [(8, 6), (16, 8), (4, 8)])
+def test_pqflat_nondefault_configs(clustered_data, m, nbits):
+    """Engine correctness for non-default (m_pq, nbits): ksub/dsub are
+    derived from shapes everywhere (a hard-coded ksub=256 once crashed the
+    oracle path for nbits != 8)."""
+    from deepreadmapper_tpu.config import BuildConfig
+    from deepreadmapper_tpu.index.flat import FlatIndex
+
+    x = clustered_data[:1500]
+    cfg = BuildConfig(m_pq=m, nbits=nbits, kmeans_iters=8)
+    pqi = PQFlatIndex.build(x, cfg)
+    assert pqi.codes.shape == (1500, m)
+    assert np.asarray(pqi.codebook.centroids).shape == (m, 1 << nbits, 128 // m)
+    q = clustered_data[1600:1624]
+    ids, d = pqi.search(q, 10)
+    ids_e, d_e = pqi.search(q, 10, exact=True)
+    np.testing.assert_array_equal(ids, ids_e)  # CPU default == exact oracle
+    assert np.all(np.diff(d, axis=1) >= -1e-3)
+    # candidate quality sanity vs exact search
+    oracle = FlatIndex(x)
+    ids_o, _ = oracle.search(q, 5)
+    rec = np.mean([len(set(ids_o[i]) & set(ids[i])) / 5 for i in range(len(q))])
+    # mechanical-correctness gate only: nbits=6 is legitimately coarse on
+    # this adversarial fixture (in-cluster separations below quant error)
+    assert rec > 0.25, f"recall {rec:.2f}"
