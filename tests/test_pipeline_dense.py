@@ -176,3 +176,25 @@ def test_dense_rerank_on_pq_index(data_dir, tmp_path, vec):
     # reranked ids are a reordering drawn from the raw candidate lists
     for r in range(rr_idx.shape[0]):
         assert set(rr_idx[r]) <= set(raw_idx[r])
+
+
+def test_streaming_with_dense_rerank(data_dir, tmp_path, vec):
+    """use_streaming + dense_rerank: per-batch rerank feeds the SAM stream;
+    every SAM alignment line's position must come from the reranked ids."""
+    from deepreadmapper_tpu.pipeline.build import build_index
+    from deepreadmapper_tpu.pipeline.search import run_pipeline
+
+    prefix = str(tmp_path / "pq")
+    build_index(str(data_dir / "ecoli_150.fna"), prefix, ref_len=150,
+                stride=1, index_type="PQFLAT", vectorizer=vec)
+    out = str(tmp_path / "out")
+    run_pipeline(prefix, str(data_dir / "test_data.fastq"),
+                 str(data_dir / "ecoli_150.fna"), k=4, output_dir=out,
+                 use_streaming=True, dense_rerank=True, vectorizer=vec)
+    sam = open(f"{out}/results.sam").read().splitlines()
+    aligns = [l for l in sam if l and not l.startswith("@")]
+    assert len(aligns) == 150 * 4
+    # positions are 1-based id//2 + 1 and must be within the window space
+    for l in aligns[:40]:
+        pos = int(l.split("\t")[3])
+        assert 1 <= pos <= 851
