@@ -282,3 +282,33 @@ def test_sharded_boundary_shard_masking():
     assert len(set(valid.tolist())) == len(valid)
     # the duplicated last row appears exactly once
     assert (valid == 1002).sum() == 1
+
+
+def test_sharded_pqflat_with_opq():
+    """Per-shard OPQ rotations flow through the sharded scan: results match
+    the single-index engine on the same data (both deterministic)."""
+    from deepreadmapper_tpu.config import BuildConfig
+    from deepreadmapper_tpu.index.pq_flat import PQFlatIndex
+
+    rng = np.random.default_rng(11)
+    mix = rng.standard_normal((64, 64)).astype(np.float32)
+    x = rng.standard_normal((2000, 64)).astype(np.float32) @ mix
+    x /= np.abs(x).max()
+    q = x[:32] + 0.001
+    cfg = BuildConfig(opq=True, opq_iters=3, kmeans_iters=5)
+    mesh = make_mesh(n_shard=2)
+    idx = ShardedANNIndex.build(x, mesh, cfg, index_type="PQFLAT")
+    assert all(s.rot is not None for s in idx.subs)
+    ids, d = idx.search(q, 8)
+    # oracle: per-shard single-engine searches merged by distance
+    subs = [PQFlatIndex.build(p, cfg) for p in np.split(x, 2)]
+    cand = []
+    for si, sub in enumerate(subs):
+        i_s, d_s = sub.search(q, 8)
+        cand.append((i_s + si * 1000, d_s))
+    all_i = np.concatenate([c[0] for c in cand], axis=1)
+    all_d = np.concatenate([c[1] for c in cand], axis=1)
+    order = np.argsort(all_d, axis=1, kind="stable")[:, :8]
+    want_i = np.take_along_axis(all_i, order, axis=1)
+    for r in range(len(q)):
+        assert set(ids[r]) == set(want_i[r]), f"row {r}"
