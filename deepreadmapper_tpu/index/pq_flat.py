@@ -136,8 +136,9 @@ class PQFlatIndex:
                 np.asarray(train), m=cfg.m_pq, nbits=cfg.nbits,
                 iters=cfg.opq_iters, seed=cfg.seed,
             )
-            rotated = jnp.asarray(embeddings) @ jnp.asarray(rot)
-            codes = pq_ops.encode_pq(rotated, cb)
+            # rotation applied per 262k-row chunk inside encode_pq — the
+            # full rotated fp32 matrix would not fit HBM at genome scale
+            codes = pq_ops.encode_pq(embeddings, cb, rot=rot)
             return cls(codes, cb, embeddings.shape[0], rot)
         cb = pq_ops.train_pq(
             train, m=cfg.m_pq, nbits=cfg.nbits, iters=cfg.kmeans_iters, seed=cfg.seed

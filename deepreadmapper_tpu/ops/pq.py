@@ -134,6 +134,8 @@ def train_opq(
     preserved exactly (Rt orthogonal), so distances stay comparable with
     every other engine.
     """
+    if iters < 1:
+        raise ValueError("train_opq needs iters >= 1 (opq_iters in BuildConfig)")
     x = np.asarray(train_vectors, np.float32)
     n, d = x.shape
     rt = np.eye(d, dtype=np.float32)
@@ -167,12 +169,20 @@ def _encode(data_split: jax.Array, cent: jax.Array) -> jax.Array:
     return jnp.argmin(d2, axis=-1).astype(jnp.uint8).T  # [n, m]
 
 
-def encode_pq(vectors: np.ndarray, codebook: PQCodebook, chunk: int = 262144) -> np.ndarray:
+def encode_pq(vectors: np.ndarray, codebook: PQCodebook, chunk: int = 262144,
+              rot: np.ndarray | None = None) -> np.ndarray:
+    """Chunked encode; rot (the OPQ rotation) is applied PER CHUNK on
+    device so the full rotated fp32 matrix never materializes (20 GB at
+    40M rows)."""
     n = vectors.shape[0]
     out = np.empty((n, codebook.m), dtype=np.uint8)
+    rot_dev = None if rot is None else jnp.asarray(rot, jnp.float32)
     for s in range(0, n, chunk):
         e = min(s + chunk, n)
-        data = _split(jnp.asarray(vectors[s:e], jnp.float32), codebook.m)
+        x = jnp.asarray(vectors[s:e], jnp.float32)
+        if rot_dev is not None:
+            x = x @ rot_dev
+        data = _split(x, codebook.m)
         out[s:e] = np.asarray(_encode(data, codebook.centroids))
     return out
 

@@ -168,6 +168,11 @@ def build_index(
     """Build + persist an index directory; returns the saved config."""
     cfg = build_cfg or BuildConfig(stride=stride)
     vectorizer = vectorizer or Vectorizer()
+    if cfg.opq and index_type != "PQFLAT":
+        print(
+            f"[BUILD INDEX] WARNING: --opq only applies to PQFLAT; "
+            f"ignored for {index_type}"
+        )
 
     # Quantizing engines consume embeddings on device (only the 8-128 B/window
     # codes ever download); graph builds need host vectors anyway.

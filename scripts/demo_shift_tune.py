@@ -20,15 +20,16 @@ import time
 
 import numpy as np
 
-# Reuse the genome/read simulators from the genome-scale demo (works both as
-# a file and via the `python - < script` stdin pattern).
-_demo = os.path.join(os.getcwd(), "scripts", "demo_genome_scale.py")
-exec(open(_demo).read().split("def main()")[0])
+# Reuse the genome/read simulators from the genome-scale demo (cwd is
+# /root/repo under the documented `python - < script` pattern, so the
+# scripts namespace package resolves without PYTHONPATH).
+sys.path.insert(0, os.getcwd())
+from scripts.demo_genome_scale import make_genome, simulate_reads  # noqa: E402
 
 
 def run(n_bp, n_reads, stride, steps, read_len=150):
-    genome = make_genome(n_bp)  # noqa: F821  (from the exec'd demo)
-    reads, names, starts, strands = simulate_reads(  # noqa: F821
+    genome = make_genome(n_bp)
+    reads, names, starts, strands = simulate_reads(
         genome, n_reads, read_len, err=0.01
     )
     with tempfile.TemporaryDirectory() as tmp:
@@ -72,9 +73,10 @@ def run(n_bp, n_reads, stride, steps, read_len=150):
             ref, read_len, steps=steps, batch=1024, sub_rate=0.01,
             max_shift=stride - 1, seed=1,
         )
+        loss_str = (f"loss {losses[0]:.3f} -> {losses[-1]:.3f}"
+                    if losses else "no steps")
         print(f"shift-tune ({steps} steps, max_shift={stride-1}): "
-              f"{time.time()-t0:.0f}s, loss {losses[0]:.3f} -> "
-              f"{losses[-1]:.3f}", flush=True)
+              f"{time.time()-t0:.0f}s, {loss_str}", flush=True)
         vec_t = Vectorizer(params=params)
         build_index(ref, os.path.join(tmp, "tuned"), read_len, stride=stride,
                     index_type="INT8FLAT", vectorizer=vec_t)
