@@ -30,6 +30,9 @@ def _add_pipeline(sub):
     p.add_argument("use_streaming", nargs="?", type=int, default=0)
     p.add_argument("--no-sam", action="store_true")
     p.add_argument("--rerank", default="l2", choices=["l2", "sw"])
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="write a jax profiler trace of the search stage "
+                        "(view with tensorboard/xprof)")
     p.add_argument(
         "--dense-rerank", action="store_true",
         help="exactly re-rank ANN candidates even on a dense (stride=1) "
@@ -132,6 +135,7 @@ def main(argv=None) -> int:
             rerank=args.rerank,
             dense_rerank=args.dense_rerank,
             write_sam=not args.no_sam,
+            profile_dir=args.profile,
         )
         print(
             f"[MAIN] {res['num_queries']} queries | embed {res['t_embed']:.2f}s "

@@ -66,6 +66,7 @@ def run_pipeline(
     rerank: str = "l2",
     dense_rerank: bool = False,
     write_sam: bool = True,
+    profile_dir: str | None = None,
     vectorizer: Vectorizer | None = None,
     search_cfg: SearchConfig | None = None,
 ) -> dict:
@@ -99,7 +100,16 @@ def run_pipeline(
     t_embed = time.time() - t0
 
     t0 = time.time()
-    neighbors, distances = engine.search(query_emb, k_clusters, ef)
+    if profile_dir:
+        # jax profiler trace around the hot stage (host + device timelines;
+        # view with tensorboard or xprof).  Device events may be missing on
+        # remote-plugin backends -- the host trace still captures dispatch.
+        import jax
+
+        with jax.profiler.trace(profile_dir):
+            neighbors, distances = engine.search(query_emb, k_clusters, ef)
+    else:
+        neighbors, distances = engine.search(query_emb, k_clusters, ef)
     t_search = time.time() - t0
 
     os.makedirs(output_dir, exist_ok=True)
