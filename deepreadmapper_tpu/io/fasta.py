@@ -70,6 +70,54 @@ def parse_fasta_records(path: str) -> list[np.ndarray]:
     return records
 
 
+def parse_fasta_names(path: str) -> list[str]:
+    """Record names (first token after '>') in file order, paired with
+    parse_fasta_records — for multi-record SAM RNAME/@SQ emission."""
+    names = []
+    with open(path, "rb") as f:
+        for line in f:
+            if line.startswith(b">"):
+                tok = line[1:].strip().split()
+                names.append(tok[0].decode() if tok else f"ref{len(names)}")
+    return names
+
+
+def record_window_table(records, ref_len: int, stride: int = 1):
+    """Per-record cumulative tables for the GLOBAL window-id space:
+    (win_offsets [R+1] = cumulative window counts at this stride,
+     base_offsets [R+1] = cumulative base counts).
+
+    Window ids are assigned record-by-record (build order), so window index
+    w belongs to record r = searchsorted(win_offsets, w, 'right')-1 and sits
+    at concatenated-stream position base_offsets[r] +
+    (w - win_offsets[r]) * stride.  For a single record this is the identity
+    mapping the single-genome code paths assume.
+    """
+    wins = [num_windows(len(r), ref_len, stride) for r in records]
+    lens = [len(r) for r in records]
+    win_off = np.concatenate(([0], np.cumsum(wins))).astype(np.int64)
+    base_off = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
+    return win_off, base_off
+
+
+def translate_window_ids(
+    ids: np.ndarray,
+    win_off: np.ndarray,
+    base_off: np.ndarray,
+    stride: int = 1,
+) -> np.ndarray:
+    """Dense ids (2*global_window_index | strand) -> ids addressed by
+    CONCATENATED-record-stream position (2*pos | strand), so the
+    single-array window fetchers work on multi-record references.
+    Negative (invalid) ids pass through unchanged."""
+    ids = np.asarray(ids, dtype=np.int64)
+    wid = ids >> 1
+    r = np.searchsorted(win_off, np.maximum(wid, 0), side="right") - 1
+    r = np.clip(r, 0, len(win_off) - 2)
+    pos = base_off[r] + (wid - win_off[r]) * stride
+    return np.where(ids >= 0, (pos << 1) | (ids & 1), ids)
+
+
 def extract_fasta_sequence(path: str) -> np.ndarray:
     """Whole-file clean stream after skipping only the first line (the
     reference's dynamic-mode genome loader, parse_inputs.cpp:174-220)."""

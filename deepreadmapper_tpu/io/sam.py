@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from typing import Iterable
 
+import numpy as np
+
 PREFIX_LEN = 1
 POSTFIX_LEN = 1
 
@@ -25,6 +27,15 @@ def sam_header(ref_name: str, ref_len: int) -> str:
     return f"@HD\tVN:1.0\tSO:unsorted\n@SQ\tSN:{ref_name}\tLN:{ref_len}\n"
 
 
+def sam_header_multi(record_names: list[str], record_lens: list[int]) -> str:
+    """Proper per-chromosome @SQ lines (beyond the reference's single
+    hard-coded SN:ref) for multi-record references."""
+    sq = "".join(
+        f"@SQ\tSN:{n}\tLN:{ln}\n" for n, ln in zip(record_names, record_lens)
+    )
+    return "@HD\tVN:1.0\tSO:unsorted\n" + sq
+
+
 def format_sam_records(
     query_seqs: list[str],
     query_ids: list[str],
@@ -32,9 +43,16 @@ def format_sam_records(
     k: int,
     ref_name: str,
     query_offset: int = 0,
+    record_names: list[str] | None = None,
+    dense_off: np.ndarray | None = None,
 ) -> Iterable[str]:
     """Yield SAM lines for queries [query_offset, query_offset+len(query_seqs))
-    whose flattened candidate ids are ``cand_ids`` ([nq * k], row-major)."""
+    whose flattened candidate ids are ``cand_ids`` ([nq * k], row-major).
+
+    With record_names + dense_off (cumulative stride-1 window counts per
+    record), global window ids resolve to per-chromosome RNAME and 1-based
+    record-local POS; otherwise the reference's single-ref convention
+    (POS = id//2 + 1) is emitted."""
     cand_ids = list(cand_ids)
     for i, qseq in enumerate(query_seqs):
         clean = _clean_query(qseq)
@@ -50,10 +68,18 @@ def format_sam_records(
             if idx >= len(cand_ids):
                 break
             seq_id = int(cand_ids[idx])
-            pos = seq_id // 2 + 1
+            wid = seq_id // 2
+            if record_names is not None:
+                r = int(np.searchsorted(dense_off, wid, side="right")) - 1
+                r = min(max(r, 0), len(record_names) - 1)
+                rname = record_names[r]
+                pos = wid - int(dense_off[r]) + 1
+            else:
+                rname = ref_name
+                pos = wid + 1
             flag = (0 if j == 0 else 256) | (16 if seq_id % 2 == 1 else 0)
             yield (
-                f"{qname}\t{flag}\t{ref_name}\t{pos}\t60\t{cigar}\t*\t0\t0\t"
+                f"{qname}\t{flag}\t{rname}\t{pos}\t60\t{cigar}\t*\t0\t0\t"
                 f"{clean}\t*\n"
             )
 
@@ -69,12 +95,19 @@ def write_sam(
     append: bool = False,
     write_header: bool = True,
     query_offset: int = 0,
+    record_names: list[str] | None = None,
+    record_lens: list[int] | None = None,
+    dense_off: np.ndarray | None = None,
 ) -> None:
     mode = "a" if append else "w"
     with open(output_file, mode) as f:
         if write_header:
-            f.write(sam_header(ref_name, ref_len))
+            if record_names is not None:
+                f.write(sam_header_multi(record_names, record_lens))
+            else:
+                f.write(sam_header(ref_name, ref_len))
         for line in format_sam_records(
-            query_seqs, query_ids, cand_ids, k, ref_name, query_offset
+            query_seqs, query_ids, cand_ids, k, ref_name, query_offset,
+            record_names, dense_off,
         ):
             f.write(line)

@@ -43,24 +43,53 @@ def expand_candidates(
     stride: int,
     bound: int,
     k_clusters: int,
+    sparse_off: np.ndarray | None = None,
+    dense_off: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Expand sparse hits to dense window-id candidates.
 
     neighbors: int array [Q, >=k_clusters] of sparse ids (-1 = missing).
     Returns (cand_ids [Q, C] int64 with -1 for invalid, C = k_clusters*(2s-1)).
+
+    Multi-record references pass per-record window tables (sparse_off at the
+    index stride, dense_off at stride 1, from io.fasta.record_window_table):
+    the reference expansion arithmetic then runs in each hit's RECORD-LOCAL
+    id space and candidates are clipped to that record, so expansions never
+    leak across chromosome boundaries; returned ids are global dense ids
+    (2*dense_off[r] + local).  With tables omitted (single record) the
+    arithmetic is byte-identical to before.
     """
     s = stride
     q = neighbors.shape[0]
     sparse = neighbors[:, :k_clusters].astype(np.int64)
-    ap = sparse * s  # [Q, kc]
     offs = np.arange(-(s - 1), s, dtype=np.int64)  # 2s-1 offsets
-    cand = ap[:, :, None] + offs[None, None, :]  # [Q, kc, 2s-1]
+    if sparse_off is None:
+        ap = sparse * s  # [Q, kc]
+        cand = ap[:, :, None] + offs[None, None, :]  # [Q, kc, 2s-1]
+        valid = (
+            (sparse[:, :, None] >= 0)
+            & (ap[:, :, None] < bound)
+            & (cand >= 0)
+            & (cand < bound)
+        )
+        cand = np.where(valid, cand, -1)
+        return cand.reshape(q, -1), valid.reshape(q, -1)
+
+    wid = sparse >> 1
+    st = sparse & 1
+    r = np.searchsorted(sparse_off, np.maximum(wid, 0), side="right") - 1
+    r = np.clip(r, 0, len(sparse_off) - 2)
+    sparse_loc = 2 * (wid - sparse_off[r]) + st
+    ap = sparse_loc * s
+    bound_r = 2 * (dense_off[r + 1] - dense_off[r])  # [Q, kc]
+    cand_loc = ap[:, :, None] + offs[None, None, :]
     valid = (
         (sparse[:, :, None] >= 0)
-        & (ap[:, :, None] < bound)
-        & (cand >= 0)
-        & (cand < bound)
+        & (ap[:, :, None] < bound_r[:, :, None])
+        & (cand_loc >= 0)
+        & (cand_loc < bound_r[:, :, None])
     )
+    cand = 2 * dense_off[r][:, :, None] + cand_loc
     cand = np.where(valid, cand, -1)
     return cand.reshape(q, -1), valid.reshape(q, -1)
 
@@ -111,6 +140,8 @@ def post_process_sw(
     k_clusters: int,
     bound: int,
     query_chunk: int = 512,
+    sparse_off: np.ndarray | None = None,
+    dense_off: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Smith-Waterman post-processing (reference post_process_sw_{static,
     dynamic}, post_processor.cpp:357-549): expand sparse hits, rerank every
@@ -133,7 +164,9 @@ def post_process_sw(
         # SW rerank still runs over the k_clusters hits.
         cand_ids = neighbors[:, :k_clusters].astype(np.int64)
     else:
-        cand_ids, _ = expand_candidates(neighbors, stride, bound, k_clusters)
+        cand_ids, _ = expand_candidates(
+            neighbors, stride, bound, k_clusters, sparse_off, dense_off
+        )
     q, c = cand_ids.shape
     out_ids = np.empty((q, k), dtype=np.int64)
     out_scores = np.empty((q, k), dtype=np.int32)
@@ -165,6 +198,8 @@ def post_process_l2(
     k_clusters: int,
     bound: int,
     force_rerank: bool = False,
+    sparse_off: np.ndarray | None = None,
+    dense_off: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """L2 post-processing (reference post_process_l2_{static,dynamic}).
 
@@ -196,7 +231,9 @@ def post_process_l2(
         # Dense rerank: the candidate set IS the ANN list (no expansion).
         cand_ids = neighbors.astype(np.int64)
     else:
-        cand_ids, _ = expand_candidates(neighbors, stride, bound, k_clusters)
+        cand_ids, _ = expand_candidates(
+            neighbors, stride, bound, k_clusters, sparse_off, dense_off
+        )
     uniq, pool_idx = unique_pool(cand_ids)
     pool_emb = embed_windows(uniq)
     d, ids = _rerank_l2_device(

@@ -127,17 +127,44 @@ def run_pipeline(
             + "); saving raw ANN results"
         )
     if have_seqs:
-        genome = fasta_io.extract_fasta_sequence(ref_file)
-        if use_dynamic:
-            bound = int(genome.size)
+        records = fasta_io.parse_fasta_records(ref_file)
+        multi = len(records) > 1
+        if multi:
+            # Multi-chromosome reference: window ids are per-record
+            # cumulative WINDOW counts while fetches address the
+            # concatenated BASE stream, so candidate ids translate through
+            # per-record tables (and never expand across record
+            # boundaries).  The reference's dynamic loader concatenates the
+            # raw file after line 1 — header characters leak into its
+            # stream and record arithmetic breaks; divergence documented.
+            genome = np.concatenate(records)
+            dense_off, base_off = fasta_io.record_window_table(
+                records, ref_len, 1
+            )
+            sparse_off, _ = fasta_io.record_window_table(
+                records, ref_len, stride
+            )
+            bound = 2 * int(dense_off[-1])
+            rec_names = fasta_io.parse_fasta_names(ref_file)
+            rec_lens = [int(len(r)) for r in records]
         else:
-            # Static mode bound = number of dense windows x 2 strands
-            # (main.cpp:190 loads the stride-1 window list).
-            bound = 2 * max(0, int(genome.size) - ref_len + 1)
+            genome = fasta_io.extract_fasta_sequence(ref_file)
+            dense_off = sparse_off = base_off = None
+            rec_names = rec_lens = None
+            if use_dynamic:
+                bound = int(genome.size)
+            else:
+                # Static mode bound = number of dense windows x 2 strands
+                # (main.cpp:190 loads the stride-1 window list).
+                bound = 2 * max(0, int(genome.size) - ref_len + 1)
 
         from deepreadmapper_tpu import native
 
         def embed_windows(unique_ids: np.ndarray) -> np.ndarray:
+            if multi:
+                unique_ids = fasta_io.translate_window_ids(
+                    unique_ids, dense_off, base_off
+                )
             # Candidates are re-embedded WRAPPED — the same embedding space
             # the index was built in.  The reference re-embeds the UNWRAPPED
             # lookup windows (post_processor.cpp:659-684 on the lookup-mode
@@ -170,17 +197,23 @@ def run_pipeline(
             q_mat, q_lens = strings_to_bytes(query_seqs)
 
             def fetch_windows(ids: np.ndarray):
+                if multi:
+                    ids = fasta_io.translate_window_ids(
+                        ids, dense_off, base_off
+                    )
                 return fasta_io.fetch_windows_by_id(
                     genome, ids, ref_len, max_len=ref_len, wrap=False
                 )
 
             final_ids, final_scores = pp.post_process_sw(
-                neighbors, q_mat, q_lens, fetch_windows, stride, k, k_clusters, bound
+                neighbors, q_mat, q_lens, fetch_windows, stride, k,
+                k_clusters, bound, sparse_off=sparse_off, dense_off=dense_off,
             )
             if write_sam:
                 sam_io.write_sam(
                     query_seqs, query_ids, final_ids.ravel(), "ref", ref_len,
-                    k, sam_file,
+                    k, sam_file, record_names=rec_names,
+                    record_lens=rec_lens, dense_off=dense_off,
                 )
         elif use_streaming:
             bs = scfg.query_batch_size
@@ -197,6 +230,8 @@ def run_pipeline(
                     k_clusters,
                     bound,
                     force_rerank=dense_rerank,
+                    sparse_off=sparse_off,
+                    dense_off=dense_off,
                 )
                 sam_io.write_sam(
                     query_seqs[start:end],
@@ -209,6 +244,9 @@ def run_pipeline(
                     append=start > 0,
                     write_header=start == 0,
                     query_offset=start,
+                    record_names=rec_names,
+                    record_lens=rec_lens,
+                    dense_off=dense_off,
                 )
         else:
             final_ids, final_d = pp.post_process_l2(
@@ -221,6 +259,8 @@ def run_pipeline(
                 k_clusters,
                 bound,
                 force_rerank=dense_rerank,
+                sparse_off=sparse_off,
+                dense_off=dense_off,
             )
             if write_sam:
                 sam_io.write_sam(
@@ -231,6 +271,9 @@ def run_pipeline(
                     ref_len,
                     k,
                     sam_file,
+                    record_names=rec_names,
+                    record_lens=rec_lens,
+                    dense_off=dense_off,
                 )
     t_post = time.time() - t0
 
