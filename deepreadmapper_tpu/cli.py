@@ -86,6 +86,9 @@ def _add_finetune(sub):
     p.add_argument("--sub-rate", type=float, default=0.01,
                    help="substitution noise for simulated training reads; "
                         "match the expected read error rate")
+    p.add_argument("--indel-rate", type=float, default=0.0,
+                   help="insertion+deletion noise (each, per base) for "
+                        "training reads; match long-read error profiles")
     p.add_argument("--max-shift", type=int, default=0,
                    help="offset training reads 0..N bases from their source "
                         "window (shift-matched tuning for sparse indexes: "
@@ -201,6 +204,7 @@ def main(argv=None) -> int:
             args.ref_file, args.ref_len, steps=args.steps, batch=args.batch,
             lr=args.lr, seed=args.seed, sub_rate=args.sub_rate,
             max_shift=args.max_shift,
+            indel_rate=args.indel_rate,
             params=start_params, state_path=args.state,
         )
         save_params_npz(params, args.output)

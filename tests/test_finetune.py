@@ -87,3 +87,31 @@ def test_sample_pairs_shift_augmentation(data_dir):
     )
     expect_rt = tok.tokenize_bytes_fast(r_mat, r_lens, 123)
     np.testing.assert_array_equal(rt, expect_rt)
+
+
+def test_indel_augmentation(data_dir):
+    """indel_rate=0 is a no-op; indel_rate>0 perturbs read lengths/content
+    while windows stay clean, and rows keep the '<' wrap byte."""
+    import numpy as np
+
+    from deepreadmapper_tpu.io import fasta as fasta_io
+    from deepreadmapper_tpu.pipeline.finetune import sample_pairs
+
+    genome = fasta_io.extract_fasta_sequence(str(data_dir / "ecoli_150.fna"))
+    rng = np.random.default_rng(4)
+    rt0, wt0 = sample_pairs(genome, 150, 64, rng, sub_rate=0.0, indel_rate=0.0)
+    np.testing.assert_array_equal(rt0, wt0)
+
+    rng = np.random.default_rng(4)
+    rt, wt = sample_pairs(genome, 150, 256, rng, sub_rate=0.0, indel_rate=0.02)
+    frac_diff = np.mean(np.any(rt != wt, axis=1))
+    assert frac_diff > 0.8  # ~2.4 indels expected per 122-base read
+    # windows unchanged by the augmentation
+    rng2 = np.random.default_rng(4)
+    _, wt_ref = sample_pairs(genome, 150, 256, rng2, sub_rate=0.0,
+                             indel_rate=0.0)
+    # (different rng consumption order, so compare window CONTENT statistics
+    # instead: every window token row must appear unperturbed — tokens of
+    # clean genome windows)
+    assert wt.shape == (256, 123)
+    assert np.all(wt > 0)  # clean ACGT windows never hit the N token (0)
