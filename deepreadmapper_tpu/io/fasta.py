@@ -100,6 +100,17 @@ def record_window_table(records, ref_len: int, stride: int = 1):
     return win_off, base_off
 
 
+def record_of(wid: np.ndarray, win_off: np.ndarray):
+    """Global window index -> (record index r, record-local window index).
+    The single id->record mapping shared by id translation, sparse
+    expansion and SAM emission (negative wids clamp to record 0; callers
+    mask invalid ids themselves)."""
+    wid = np.asarray(wid, dtype=np.int64)
+    r = np.searchsorted(win_off, np.maximum(wid, 0), side="right") - 1
+    r = np.clip(r, 0, len(win_off) - 2)
+    return r, wid - win_off[r]
+
+
 def translate_window_ids(
     ids: np.ndarray,
     win_off: np.ndarray,
@@ -111,10 +122,8 @@ def translate_window_ids(
     single-array window fetchers work on multi-record references.
     Negative (invalid) ids pass through unchanged."""
     ids = np.asarray(ids, dtype=np.int64)
-    wid = ids >> 1
-    r = np.searchsorted(win_off, np.maximum(wid, 0), side="right") - 1
-    r = np.clip(r, 0, len(win_off) - 2)
-    pos = base_off[r] + (wid - win_off[r]) * stride
+    r, loc = record_of(ids >> 1, win_off)
+    pos = base_off[r] + loc * stride
     return np.where(ids >= 0, (pos << 1) | (ids & 1), ids)
 
 

@@ -53,7 +53,17 @@ def format_sam_records(
     record), global window ids resolve to per-chromosome RNAME and 1-based
     record-local POS; otherwise the reference's single-ref convention
     (POS = id//2 + 1) is emitted."""
-    cand_ids = list(cand_ids)
+    cand_ids = np.asarray(list(cand_ids), dtype=np.int64)
+    if record_names is not None:
+        # one vectorized lookup for every line (not one searchsorted per
+        # candidate inside the loop)
+        from deepreadmapper_tpu.io.fasta import record_of
+
+        rec, loc = record_of(cand_ids >> 1, dense_off)
+        all_pos = loc + 1
+    else:
+        rec = None
+        all_pos = (cand_ids >> 1) + 1
     for i, qseq in enumerate(query_seqs):
         clean = _clean_query(qseq)
         gq = query_offset + i
@@ -65,18 +75,11 @@ def format_sam_records(
         cigar = f"{len(clean)}M"
         for j in range(k):
             idx = i * k + j
-            if idx >= len(cand_ids):
+            if idx >= cand_ids.size:
                 break
             seq_id = int(cand_ids[idx])
-            wid = seq_id // 2
-            if record_names is not None:
-                r = int(np.searchsorted(dense_off, wid, side="right")) - 1
-                r = min(max(r, 0), len(record_names) - 1)
-                rname = record_names[r]
-                pos = wid - int(dense_off[r]) + 1
-            else:
-                rname = ref_name
-                pos = wid + 1
+            rname = record_names[rec[idx]] if rec is not None else ref_name
+            pos = int(all_pos[idx])
             flag = (0 if j == 0 else 256) | (16 if seq_id % 2 == 1 else 0)
             yield (
                 f"{qname}\t{flag}\t{rname}\t{pos}\t60\t{cigar}\t*\t0\t0\t"

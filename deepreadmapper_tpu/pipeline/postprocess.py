@@ -75,11 +75,11 @@ def expand_candidates(
         cand = np.where(valid, cand, -1)
         return cand.reshape(q, -1), valid.reshape(q, -1)
 
-    wid = sparse >> 1
+    from deepreadmapper_tpu.io.fasta import record_of
+
     st = sparse & 1
-    r = np.searchsorted(sparse_off, np.maximum(wid, 0), side="right") - 1
-    r = np.clip(r, 0, len(sparse_off) - 2)
-    sparse_loc = 2 * (wid - sparse_off[r]) + st
+    r, w_loc = record_of(sparse >> 1, sparse_off)
+    sparse_loc = 2 * w_loc + st
     ap = sparse_loc * s
     bound_r = 2 * (dense_off[r + 1] - dense_off[r])  # [Q, kc]
     cand_loc = ap[:, :, None] + offs[None, None, :]

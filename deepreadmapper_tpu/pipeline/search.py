@@ -129,6 +129,11 @@ def run_pipeline(
     if have_seqs:
         records = fasta_io.parse_fasta_records(ref_file)
         multi = len(records) > 1
+        if multi and use_dynamic:
+            print(
+                "[MAIN] WARNING: use_dynamic has no separate meaning for "
+                "multi-record references; using record-aware static handling"
+            )
         if multi:
             # Multi-chromosome reference: window ids are per-record
             # cumulative WINDOW counts while fetches address the
@@ -148,7 +153,14 @@ def run_pipeline(
             rec_names = fasta_io.parse_fasta_names(ref_file)
             rec_lens = [int(len(r)) for r in records]
         else:
-            genome = fasta_io.extract_fasta_sequence(ref_file)
+            # single record: its cleaned bytes ARE the reference stream (no
+            # second file parse); headerless/.txt refs keep the reference's
+            # skip-first-line loader
+            genome = (
+                records[0]
+                if len(records) == 1
+                else fasta_io.extract_fasta_sequence(ref_file)
+            )
             dense_off = sparse_off = base_off = None
             rec_names = rec_lens = None
             if use_dynamic:
@@ -233,21 +245,22 @@ def run_pipeline(
                     sparse_off=sparse_off,
                     dense_off=dense_off,
                 )
-                sam_io.write_sam(
-                    query_seqs[start:end],
-                    query_ids,
-                    ids_b.ravel(),
-                    "ref",
-                    ref_len,
-                    k,
-                    sam_file,
-                    append=start > 0,
-                    write_header=start == 0,
-                    query_offset=start,
-                    record_names=rec_names,
-                    record_lens=rec_lens,
-                    dense_off=dense_off,
-                )
+                if write_sam:
+                    sam_io.write_sam(
+                        query_seqs[start:end],
+                        query_ids,
+                        ids_b.ravel(),
+                        "ref",
+                        ref_len,
+                        k,
+                        sam_file,
+                        append=start > 0,
+                        write_header=start == 0,
+                        query_offset=start,
+                        record_names=rec_names,
+                        record_lens=rec_lens,
+                        dense_off=dense_off,
+                    )
         else:
             final_ids, final_d = pp.post_process_l2(
                 neighbors,
