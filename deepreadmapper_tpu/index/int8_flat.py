@@ -197,13 +197,7 @@ class Int8FlatIndex:
         k_eff = min(k, n)
         c, rn = self._device()  # already padded to a chunk multiple
         np_ = int(c.shape[0])
-        use_fused = (
-            not exact
-            and sk.use_fused_scan()
-            and n >= sk.MIN_FUSED_N
-            and np_ % sk._PAD_BASE == 0
-            and k_eff <= sk._PAD_BASE // sk.W
-        )
+        use_fused = not exact and sk.can_fuse(n, np_, k_eff)
         # numpy quantize: jnp would round-trip the queries device-side
         # (~4 MB up + 1 MB down per batch over the host tunnel).  Queries
         # exceeding the code scale get their own scale (no clipping).

@@ -126,6 +126,7 @@ class PQFlatIndex:
         self.rot = None if rot is None else np.asarray(rot, np.float32)
         self.cb8 = pq_ops.quantize_codebook(codebook)
         self._dev = None
+        self._dev_oracle = None
 
     @classmethod
     def build(cls, embeddings: np.ndarray, cfg: BuildConfig | None = None):
@@ -146,33 +147,46 @@ class PQFlatIndex:
         codes = pq_ops.encode_pq(embeddings, cb)
         return cls(codes, cb, embeddings.shape[0])
 
+    def _padded_codes(self) -> np.ndarray:
+        codes = self.codes
+        n = codes.shape[0]
+        base = sk._PAD_BASE if n >= sk._PAD_BASE else sk.CT
+        pad = (-n) % min(base, max(n, 1))
+        if pad:
+            codes = np.concatenate(
+                [codes, np.zeros((pad, codes.shape[1]), np.uint8)], axis=0
+            )
+        return codes
+
     def _device(self):
-        """Codes, row norms and the bf16 decoders on device, padded ONCE to
-        a chunk multiple (per-search padding would re-copy + re-upload).
-        Codes upload TRANSPOSED as int32 [m, Np] (dense under the (8,128)
-        tiling; both scan paths consume this layout).  rn is int32 with NO
-        pad mask — both paths mask by ntotal themselves."""
+        """Codes + the int8 codebook on device, padded ONCE to a chunk
+        multiple (per-search padding would re-copy + re-upload).  Codes
+        upload TRANSPOSED as int32 [m, Np] (dense under the (8,128) tiling;
+        both scan paths consume this layout)."""
         if self._dev is None:
-            codes = self.codes
-            n = codes.shape[0]
-            base = sk._PAD_BASE if n >= sk._PAD_BASE else sk.CT
-            pad = (-n) % min(base, max(n, 1))
-            if pad:
-                codes = np.concatenate(
-                    [codes, np.zeros((pad, codes.shape[1]), np.uint8)], axis=0
-                )
-            rn = pq_ops.recon_norms(codes, self.cb8.cent_norms)
-            cent_flat = pq_ops.cent8_block_diag(self.cb8.cent8)
+            codes = self._padded_codes()
             cent2d = self.cb8.cent8.reshape(-1, self.cb8.cent8.shape[-1])
             # codes upload TRANSPOSED [m, Np]: TPU arrays tile as (8, 128),
             # so a [Np, m] array would lane-pad to 128/m times its size
             self._dev = (
                 jnp.asarray(codes.T.astype(np.int32)),
-                jnp.asarray(rn),
-                jnp.asarray(cent_flat, jnp.bfloat16),
                 jnp.asarray(cent2d.astype(np.float32), jnp.bfloat16),
             )
         return self._dev
+
+    def _device_oracle(self):
+        """Row norms + block-diagonal decoder for the non-fused scan only —
+        computed lazily (an 8-pass host gather over all rows plus a 4 B/row
+        upload the fused TPU path never reads)."""
+        if self._dev_oracle is None:
+            codes = self._padded_codes()
+            rn = pq_ops.recon_norms(codes, self.cb8.cent_norms)
+            cent_flat = pq_ops.cent8_block_diag(self.cb8.cent8)
+            self._dev_oracle = (
+                jnp.asarray(rn),
+                jnp.asarray(cent_flat, jnp.bfloat16),
+            )
+        return self._dev_oracle
 
     def search(self, queries: np.ndarray, k: int, ef: int = 0,
                chunk: int | None = None, exact: bool = False):
@@ -191,27 +205,22 @@ class PQFlatIndex:
                 np.full((queries.shape[0], k), np.inf, np.float32),
             )
         k_eff = min(k, n)
-        codes_t, rn_j, cent_flat, cent2d = self._device()
+        codes_t, cent2d = self._device()
         np_ = int(codes_t.shape[1])
-        from deepreadmapper_tpu.index.int8_flat import quantize_host
+        from deepreadmapper_tpu.index.int8_flat import (
+            quantize_host,
+            query_scale_ratio,
+        )
 
         # Queries quantize with their OWN scale when the batch exceeds the
         # codebook range (clipping at the codebook scale would bias every
         # out-of-range dim); the sq/sc ratio folds into the score instead.
         sc = np.float32(self.cb8.scale)
-        qmax = np.float32(np.max(np.abs(queries))) if queries.size else sc
-        sq = max(sc, qmax / np.float32(127.0))
-        ratio = np.float32(sq / sc)
+        sq, ratio = query_scale_ratio(queries, sc)
         q8_all = quantize_host(queries, sq)
         nq = queries.shape[0]
         q_batch = 8192  # bound the [q_batch, chunk] score tensor
-        use_fused = (
-            not exact
-            and sk.use_fused_scan()
-            and n >= sk.MIN_FUSED_N
-            and np_ % sk._PAD_BASE == 0
-            and k_eff <= sk._PAD_BASE // sk.W
-        )
+        use_fused = not exact and sk.can_fuse(n, np_, k_eff)
         pending = []
         qn_all = None
         if use_fused:
@@ -230,6 +239,7 @@ class PQFlatIndex:
                                         "pq", cent2d=cent2d, ratio=ratio))
                 )
         else:
+            rn_j, cent_flat = self._device_oracle()
             eff_chunk = min(chunk or self._CHUNK, np_)
             if np_ % eff_chunk:  # padding granularity (2048) < _CHUNK
                 eff_chunk = np_

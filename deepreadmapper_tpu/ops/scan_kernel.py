@@ -63,6 +63,28 @@ def use_fused_scan() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def can_fuse(n: int, n_padded: int, k: int) -> bool:
+    """The single fused-scan eligibility predicate: TPU backend, enough
+    rows for the window reduction to make sense (and NW >= k), padding laid
+    out on the fused grid, and k within one chunk's window count."""
+    return (
+        use_fused_scan()
+        and n >= MIN_FUSED_N
+        and n_padded % _PAD_BASE == 0
+        and k <= _PAD_BASE // W
+    )
+
+
+def query_scale_ratio_jnp(q, code_scale):
+    """Device twin of index.int8_flat.query_scale_ratio: clip-free query
+    quantization scale + the sq/sc ratio folded into the scan score
+    (shared by every sharded body)."""
+    import jax.numpy as jnp
+
+    sq = jnp.maximum(code_scale, jnp.max(jnp.abs(q)) / 127.0)
+    return sq, sq / code_scale
+
+
 def choose_chunk(np_: int) -> int:
     """Largest chunk that divides np_ (a _PAD_BASE multiple), is a multiple
     of _PAD_BASE, and stays <= 2^21 rows (bounds the [chunk/W, Q] output at

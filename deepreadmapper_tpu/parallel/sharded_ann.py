@@ -181,25 +181,11 @@ class ShardedANNIndex:
                 jnp.asarray(np.swapaxes(stack, 1, 2).astype(np.int32)),
                 sh("shard", None, None),
             )
-            # Reconstruct-then-int8-scan per shard: each shard carries its own
-            # codebook, so stack per-shard bf16 decoders, int32 row norms and
-            # dequant scales; shards merge in fp32 squared-L2 (d * scale^2).
-            rn_np = np.stack(
-                [
-                    pq_ops.recon_norms(c, s.cb8.cent_norms)
-                    for c, s in zip(stack, self.subs)
-                ]
-            )
-            rn = jax.device_put(jnp.asarray(rn_np), sh("shard", None))
-            cent_flats = jax.device_put(
-                jnp.asarray(
-                    np.stack(
-                        [pq_ops.cent8_block_diag(s.cb8.cent8) for s in self.subs]
-                    ),
-                    jnp.bfloat16,
-                ),
-                sh("shard", None, None),
-            )
+            # Reconstruct-then-int8-scan per shard: each shard carries its
+            # own codebook; shards merge in fp32 squared-L2 (d * scale^2).
+            # Row norms + block-diag decoders (non-fused scan only) build
+            # lazily in _pq_oracle_dev — the fused kernel never reads them.
+            self._pq_pad_stack = stack
             cent2ds = jax.device_put(
                 jnp.asarray(
                     np.stack(
@@ -231,7 +217,7 @@ class ShardedANNIndex:
             )
             self._dev = (
                 None, (), None, codes,
-                (rn, cent_flats, scales, cent2ds, rots),
+                (None, None, scales, cent2ds, rots),
             )
             return self._dev
         if self.kind == "int8flat":
@@ -289,6 +275,32 @@ class ShardedANNIndex:
             cents = None
         self._dev = (neigh0, levels, entries, storage, cents)
         return self._dev
+
+    def _pq_oracle_dev(self):
+        """Per-shard row norms + block-diag decoders for the NON-fused PQ
+        scan, built on first use (host 8-pass gathers + a 4 B/row upload the
+        fused path never needs)."""
+        if getattr(self, "_pq_oracle", None) is None:
+            sh = lambda *spec: NamedSharding(self.mesh, P(*spec))
+            stack = self._pq_pad_stack
+            rn_np = np.stack(
+                [
+                    pq_ops.recon_norms(c, s.cb8.cent_norms)
+                    for c, s in zip(stack, self.subs)
+                ]
+            )
+            rn = jax.device_put(jnp.asarray(rn_np), sh("shard", None))
+            cent_flats = jax.device_put(
+                jnp.asarray(
+                    np.stack(
+                        [pq_ops.cent8_block_diag(s.cb8.cent8) for s in self.subs]
+                    ),
+                    jnp.bfloat16,
+                ),
+                sh("shard", None, None),
+            )
+            self._pq_oracle = (rn, cent_flats)
+        return self._pq_oracle
 
     # -------------------------------------------------------------- search
 
@@ -356,12 +368,7 @@ class ShardedANNIndex:
             fn = jax.jit(lambda q, dev: body(q, dev[3]))
         elif self.kind == "pqflat":
             n_pad = int(self._device()[3].shape[2])  # codes are [S, m, Np]
-            fused = (
-                sk.use_fused_scan()
-                and n_pad % sk._PAD_BASE == 0
-                and n_local >= sk.MIN_FUSED_N
-                and k_local <= sk._PAD_BASE // sk.W
-            )
+            fused = sk.can_fuse(n_local, n_pad, k_local)
             if fused:
                 chunk = sk.choose_chunk(n_pad)
 
@@ -383,8 +390,7 @@ class ShardedANNIndex:
                     s = scale_s[0]
                     # clip-free query scale; the sq/sc ratio folds into the
                     # score (query dims may exceed the codebook range)
-                    sq = jnp.maximum(s, jnp.max(jnp.abs(q)) / 127.0)
-                    rat = sq / s
+                    sq, rat = sk.query_scale_ratio_jnp(q, s)
                     q8f = jnp.round(q / sq)
                     qt_b = q8f.T.astype(jnp.bfloat16)  # exact int8 values
                     qn = jnp.sum(q8f * q8f, axis=-1)
@@ -423,8 +429,7 @@ class ShardedANNIndex:
 
                     q = q @ rot_s[0]  # per-shard OPQ rotation (or identity)
                     s = scale_s[0]
-                    sq = jnp.maximum(s, jnp.max(jnp.abs(q)) / 127.0)
-                    rat = sq / s
+                    sq, rat = sk.query_scale_ratio_jnp(q, s)
                     q8 = jnp.round(q / sq).astype(jnp.int8)
                     chunk = min(_PQ_CHUNK, codes_s.shape[2])
                     if chunk and codes_s.shape[2] % chunk:  # sub-chunk pads
@@ -442,19 +447,15 @@ class ShardedANNIndex:
                     d = d * (s * s)
                     return merge(d, i)
 
+                rn_dev, cf_dev = self._pq_oracle_dev()
                 fn = jax.jit(
                     lambda q, dev: body(
-                        q, dev[3], dev[4][0], dev[4][1], dev[4][2], dev[4][4]
+                        q, dev[3], rn_dev, cf_dev, dev[4][2], dev[4][4]
                     )
                 )
         elif self.kind == "int8flat":
             n_pad = int(self._device()[3].shape[1])
-            fused = (
-                sk.use_fused_scan()
-                and n_pad % sk._PAD_BASE == 0
-                and n_local >= sk.MIN_FUSED_N
-                and k_local <= sk._PAD_BASE // sk.W
-            )
+            fused = sk.can_fuse(n_local, n_pad, k_local)
             if fused:
                 chunk = sk.choose_chunk(n_pad)
 
@@ -471,8 +472,7 @@ class ShardedANNIndex:
                 )
                 def body(q, codes_s, scale_s):
                     s = scale_s[0]
-                    sq = jnp.maximum(s, jnp.max(jnp.abs(q)) / 127.0)
-                    rat = sq / s
+                    sq, rat = sk.query_scale_ratio_jnp(q, s)
                     q8f = jnp.round(q / sq)
                     qt_b = q8f.T.astype(jnp.bfloat16)  # exact int8 values
                     qn = jnp.sum(q8f * q8f, axis=-1)
@@ -506,8 +506,7 @@ class ShardedANNIndex:
                     )
 
                     s = scale_s[0]
-                    sq = jnp.maximum(s, jnp.max(jnp.abs(q)) / 127.0)
-                    rat = sq / s
+                    sq, rat = sk.query_scale_ratio_jnp(q, s)
                     q8 = jnp.round(q / sq).astype(jnp.int8)
                     chunk = min(_INT8_CHUNK, codes_s.shape[1])
                     if codes_s.shape[1] % chunk:  # sub-chunk pads

@@ -119,6 +119,14 @@ def run_pipeline(
     t0 = time.time()
     final_ids = None
     final_d = None
+    if use_streaming and not write_sam:
+        # streaming exists to bound SAM memory; without SAM it would rerank
+        # per batch and emit nothing at all
+        print(
+            "[MAIN] WARNING: use_streaming without SAM output has nothing to "
+            "stream; falling back to the non-streaming path"
+        )
+        use_streaming = False
     if dense_rerank and stride == 1 and (not have_seqs or rerank == "sw"):
         print(
             "[MAIN] WARNING: --dense-rerank ignored ("

@@ -112,3 +112,35 @@ def test_choose_chunk():
     assert sk.choose_chunk(9 * base) == 3 * base   # largest divisor <= 8
     assert sk.choose_chunk(41 * base) == base      # prime unit count
     assert sk.choose_chunk(12 * base) == 6 * base
+
+
+def test_fused_ratio_path_matches_mixed_scale_oracle(int8_case):
+    """ratio != 1 (clip-free query scale): the fused kernel's score
+    r^2*qn + rn - 2r*dot must rank exactly like the mixed-scale oracle.
+    (Every other kernel test runs at ratio == 1.)"""
+    r8, q8 = int8_case
+    n = r8.shape[0]
+    qf = q8.astype(np.float32) * 3.0  # out-of-range queries
+    sc = np.float32(1.0)
+    sq = np.float32(np.abs(qf).max() / 127.0)
+    ratio = np.float32(sq / sc)
+    q8q = np.clip(np.round(qf / sq), -127, 127).astype(np.float32)
+    qt_b = jnp.asarray(q8q.T, jnp.bfloat16)
+    d, i = sk.fused_scan_topk(
+        qt_b, jnp.asarray(r8), n, 8, sk.CT, "int8", ratio=ratio,
+        exact=True, interpret=True,
+    )
+    rn = (r8.astype(np.int64) ** 2).sum(1).astype(np.float32)
+    s = (ratio * ratio * (q8q**2).sum(1)[:, None]
+         + rn[None, :]
+         - 2 * ratio * (q8q @ r8.astype(np.float32).T))
+    # the kernel omits the constant qn term; compare AFTER adding it back
+    d_full = np.asarray(d) + (ratio * ratio) * (q8q**2).sum(1)[:, None]
+    sw = s.reshape(s.shape[0], n // sk.W, sk.W).min(-1)
+    order = np.argsort(sw, axis=1, kind="stable")[:, :8]
+    np.testing.assert_allclose(
+        d_full, np.take_along_axis(sw, order, 1), rtol=1e-5
+    )
+    # argmin row ids land in the winning windows
+    oi = np.asarray(i) // sk.W
+    np.testing.assert_array_equal(np.sort(oi, 1), np.sort(order, 1))
