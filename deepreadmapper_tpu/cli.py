@@ -30,6 +30,10 @@ def _add_pipeline(sub):
     p.add_argument("use_streaming", nargs="?", type=int, default=0)
     p.add_argument("--no-sam", action="store_true")
     p.add_argument("--rerank", default="l2", choices=["l2", "sw"])
+    p.add_argument("--cigar", action="store_true",
+                   help="emit real SW-traceback CIGARs (soft clips + M/I/D) "
+                        "and alignment-exact POS for primary SAM lines "
+                        "(the reference writes a pseudo <len>M)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="write a jax profiler trace of the search stage "
                         "(view with tensorboard/xprof)")
@@ -138,6 +142,7 @@ def main(argv=None) -> int:
             rerank=args.rerank,
             dense_rerank=args.dense_rerank,
             write_sam=not args.no_sam,
+            cigar=args.cigar,
             profile_dir=args.profile,
         )
         print(

@@ -45,6 +45,8 @@ def format_sam_records(
     query_offset: int = 0,
     record_names: list[str] | None = None,
     dense_off: np.ndarray | None = None,
+    primary_cigars: list[str] | None = None,
+    primary_pos_off: np.ndarray | None = None,
 ) -> Iterable[str]:
     """Yield SAM lines for queries [query_offset, query_offset+len(query_seqs))
     whose flattened candidate ids are ``cand_ids`` ([nq * k], row-major).
@@ -52,7 +54,11 @@ def format_sam_records(
     With record_names + dense_off (cumulative stride-1 window counts per
     record), global window ids resolve to per-chromosome RNAME and 1-based
     record-local POS; otherwise the reference's single-ref convention
-    (POS = id//2 + 1) is emitted."""
+    (POS = id//2 + 1) is emitted.
+
+    primary_cigars/primary_pos_off (per query, already in REFERENCE
+    orientation): real SW-traceback CIGARs + alignment-start offsets for
+    each query's PRIMARY line; secondaries keep the pseudo <len>M."""
     cand_ids = np.asarray(list(cand_ids), dtype=np.int64)
     if record_names is not None:
         # one vectorized lookup for every line (not one searchsorted per
@@ -72,7 +78,7 @@ def format_sam_records(
             if gq < len(query_ids) and query_ids[gq]
             else f"S1/{gq + 1}/0"
         )
-        cigar = f"{len(clean)}M"
+        pseudo = f"{len(clean)}M"
         for j in range(k):
             idx = i * k + j
             if idx >= cand_ids.size:
@@ -80,6 +86,10 @@ def format_sam_records(
             seq_id = int(cand_ids[idx])
             rname = record_names[rec[idx]] if rec is not None else ref_name
             pos = int(all_pos[idx])
+            cigar = pseudo
+            if j == 0 and primary_cigars is not None and primary_cigars[gq]:
+                cigar = primary_cigars[gq]
+                pos += int(primary_pos_off[gq])
             flag = (0 if j == 0 else 256) | (16 if seq_id % 2 == 1 else 0)
             yield (
                 f"{qname}\t{flag}\t{rname}\t{pos}\t60\t{cigar}\t*\t0\t0\t"
@@ -101,6 +111,8 @@ def write_sam(
     record_names: list[str] | None = None,
     record_lens: list[int] | None = None,
     dense_off: np.ndarray | None = None,
+    primary_cigars: list[str] | None = None,
+    primary_pos_off: np.ndarray | None = None,
 ) -> None:
     mode = "a" if append else "w"
     with open(output_file, mode) as f:
@@ -111,6 +123,6 @@ def write_sam(
                 f.write(sam_header(ref_name, ref_len))
         for line in format_sam_records(
             query_seqs, query_ids, cand_ids, k, ref_name, query_offset,
-            record_names, dense_off,
+            record_names, dense_off, primary_cigars, primary_pos_off,
         ):
             f.write(line)

@@ -53,6 +53,61 @@ def _load_queries(path: str, vectorizer: Vectorizer):
     raise ValueError(f"Unsupported query input: {path}")
 
 
+def _primary_alignment_cigars(
+    query_seqs, primary_ids, genome, ref_len, multi, dense_off, base_off
+):
+    """Real SW-traceback CIGARs (native) for each query's primary hit, in
+    REFERENCE orientation: reverse-strand alignments reverse their op runs
+    and swap soft clips, and the returned pos_off shifts the SAM POS to the
+    alignment's leftmost reference base.  Returns (cigars [Q], pos_off [Q])
+    or (None, None) when the native library is unavailable."""
+    import re
+
+    from deepreadmapper_tpu import native
+    from deepreadmapper_tpu.tokenizer import strings_to_bytes
+
+    if not native.available():
+        print("[MAIN] WARNING: --cigar needs the native library; skipping")
+        return None, None
+    ids = np.asarray(primary_ids, np.int64)
+    fetch_ids = (
+        fasta_io.translate_window_ids(ids, dense_off, base_off)
+        if multi
+        else ids
+    )
+    w_mat, w_lens = fasta_io.fetch_windows_by_id(
+        genome, np.maximum(fetch_ids, 0), ref_len, max_len=ref_len, wrap=False
+    )
+    reads = [
+        q[1:-1] if q.startswith("<") and q.endswith(">") else q
+        for q in query_seqs
+    ]
+    a_mat, a_lens = strings_to_bytes(reads)
+    _, a_span, b_span, cigs = native.sw_cigar(a_mat, a_lens, w_mat, w_lens)
+    cigars: list[str] = []
+    pos_off = np.zeros(len(reads), np.int64)
+    run_re = re.compile(r"(\d+)([MID])")
+    for i in range(len(reads)):
+        body = cigs[i]
+        if not body or ids[i] < 0:
+            cigars.append("")  # overflow / invalid -> pseudo CIGAR
+            continue
+        alen = int(a_lens[i])
+        a0, a1 = int(a_span[i, 0]), int(a_span[i, 1])
+        b0, b1 = int(b_span[i, 0]), int(b_span[i, 1])
+        if ids[i] & 1:  # reverse strand: reference orientation reverses ops
+            runs = run_re.findall(body)
+            body = "".join(f"{n}{op}" for n, op in reversed(runs))
+            left, right = alen - a1, a0
+            pos_off[i] = ref_len - b1
+        else:
+            left, right = a0, alen - a1
+            pos_off[i] = b0
+        cig = (f"{left}S" if left else "") + body + (f"{right}S" if right else "")
+        cigars.append(cig)
+    return cigars, pos_off
+
+
 def run_pipeline(
     index_prefix: str,
     query_file: str,
@@ -66,6 +121,7 @@ def run_pipeline(
     rerank: str = "l2",
     dense_rerank: bool = False,
     write_sam: bool = True,
+    cigar: bool = False,
     profile_dir: str | None = None,
     vectorizer: Vectorizer | None = None,
     search_cfg: SearchConfig | None = None,
@@ -284,6 +340,12 @@ def run_pipeline(
                 dense_off=dense_off,
             )
             if write_sam:
+                pc = po = None
+                if cigar:
+                    pc, po = _primary_alignment_cigars(
+                        query_seqs, final_ids[:, 0], genome, ref_len, multi,
+                        dense_off, base_off,
+                    )
                 sam_io.write_sam(
                     query_seqs,
                     query_ids,
@@ -295,6 +357,8 @@ def run_pipeline(
                     record_names=rec_names,
                     record_lens=rec_lens,
                     dense_off=dense_off,
+                    primary_cigars=pc,
+                    primary_pos_off=po,
                 )
     t_post = time.time() - t0
 

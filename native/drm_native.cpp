@@ -324,6 +324,91 @@ void drm_unpack_ids(const uint8_t* packed, int64_t n, int64_t nbytes,
     }
 }
 
-int32_t drm_version() { return 3; }
+// Batched local Smith-Waterman WITH traceback for CIGAR emission
+// (match +1 / mismatch -1 / gap -1 linear — the reference's scoring,
+// src/utils/metrics.cpp:10-45, which computes scores only; the traceback
+// is beyond-reference, used for real SAM CIGARs).
+//
+// a = read (as sequenced), b = candidate window.  Outputs per pair: best
+// score, aligned half-open spans [a_start, a_end) / [b_start, b_end), and
+// a run-length CIGAR over the aligned region (op 0 = M, 1 = I consumes
+// read only, 2 = D consumes window only).  n_ops = 0 signals overflow
+// (caller falls back to the pseudo CIGAR).
+void drm_sw_cigar(const uint8_t* a_mat, const int64_t* a_lens, int64_t a_width,
+                  const uint8_t* b_mat, const int64_t* b_lens, int64_t b_width,
+                  int64_t n, int32_t* scores, int32_t* a_start,
+                  int32_t* a_end, int32_t* b_start, int32_t* b_end,
+                  uint8_t* cigar_ops, int32_t* cigar_lens, int32_t* n_ops,
+                  int64_t max_ops) {
+#if defined(_OPENMP)
+#pragma omp parallel
+#endif
+    {
+        // per-thread scratch sized for the largest pair
+        int64_t max_a = a_width, max_b = b_width;
+        int32_t* h_prev = new int32_t[max_b + 1];
+        int32_t* h_cur = new int32_t[max_b + 1];
+        uint8_t* dir = new uint8_t[(max_a + 1) * (max_b + 1)];
+        uint8_t* rev_ops = new uint8_t[max_a + max_b + 2];
+#if defined(_OPENMP)
+#pragma omp for schedule(dynamic, 16)
+#endif
+        for (int64_t i = 0; i < n; ++i) {
+            const uint8_t* a = a_mat + i * a_width;
+            const uint8_t* b = b_mat + i * b_width;
+            int la = (int)std::min<int64_t>(a_lens[i], a_width);
+            int lb = (int)std::min<int64_t>(b_lens[i], b_width);
+            for (int j = 0; j <= lb; ++j) h_prev[j] = 0;
+            std::memset(dir, 0, (size_t)(la + 1) * (lb + 1));
+            int best = 0, bi = 0, bj = 0;
+            for (int r = 1; r <= la; ++r) {
+                h_cur[0] = 0;
+                uint8_t ac = a[r - 1];
+                uint8_t* drow = dir + (int64_t)r * (lb + 1);
+                for (int c = 1; c <= lb; ++c) {
+                    int sub = h_prev[c - 1] + (ac == b[c - 1] ? 1 : -1);
+                    int up = h_prev[c] - 1;    // consume read only (I)
+                    int left = h_cur[c - 1] - 1;  // consume window only (D)
+                    int v = sub, d = 1;
+                    if (up > v) { v = up; d = 2; }
+                    if (left > v) { v = left; d = 3; }
+                    if (v <= 0) { v = 0; d = 0; }
+                    h_cur[c] = v;
+                    drow[c] = (uint8_t)d;
+                    if (v > best) { best = v; bi = r; bj = c; }
+                }
+                std::swap(h_prev, h_cur);
+            }
+            scores[i] = best;
+            // traceback from the best cell to the first zero
+            int r = bi, c = bj, m = 0;
+            while (r > 0 && c > 0) {
+                uint8_t d = dir[(int64_t)r * (lb + 1) + c];
+                if (d == 0) break;
+                if (d == 1) { rev_ops[m++] = 0; --r; --c; }
+                else if (d == 2) { rev_ops[m++] = 1; --r; }
+                else { rev_ops[m++] = 2; --c; }
+            }
+            a_start[i] = r; a_end[i] = bi;
+            b_start[i] = c; b_end[i] = bj;
+            // run-length encode (reversed ops are in reverse alignment order)
+            uint8_t* ops = cigar_ops + i * max_ops;
+            int32_t* lens = cigar_lens + i * max_ops;
+            int k = 0;
+            bool overflow = false;
+            for (int t = m - 1; t >= 0;) {
+                uint8_t op = rev_ops[t];
+                int run = 0;
+                while (t >= 0 && rev_ops[t] == op) { ++run; --t; }
+                if (k >= max_ops) { overflow = true; break; }
+                ops[k] = op; lens[k] = run; ++k;
+            }
+            n_ops[i] = overflow ? 0 : k;
+        }
+        delete[] h_prev; delete[] h_cur; delete[] dir; delete[] rev_ops;
+    }
+}
+
+int32_t drm_version() { return 4; }
 
 }  // extern "C"
