@@ -310,6 +310,19 @@ def run_pipeline(
                     dense_off=dense_off,
                 )
                 if write_sam:
+                    pc = po = None
+                    if cigar:
+                        pc_b, po_b = _primary_alignment_cigars(
+                            query_seqs[start:end], ids_b[:, 0], genome,
+                            ref_len, multi, dense_off, base_off,
+                        )
+                        if pc_b is not None:
+                            # per-batch lists are indexed by the GLOBAL query
+                            # number inside format_sam_records
+                            pc = [""] * start + pc_b
+                            po = np.concatenate(
+                                [np.zeros(start, np.int64), po_b]
+                            )
                     sam_io.write_sam(
                         query_seqs[start:end],
                         query_ids,
@@ -324,6 +337,8 @@ def run_pipeline(
                         record_names=rec_names,
                         record_lens=rec_lens,
                         dense_off=dense_off,
+                        primary_cigars=pc,
+                        primary_pos_off=po,
                     )
         else:
             final_ids, final_d = pp.post_process_l2(
