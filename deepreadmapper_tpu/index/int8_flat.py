@@ -179,9 +179,18 @@ class Int8FlatIndex:
             pad = (-n) % min(base, max(n, 1))
             if pad:
                 codes = np.pad(codes, ((0, pad), (0, 0)))
-            c = jnp.asarray(codes)
-            self._dev = (c, _row_norms(c))
+            self._dev = jnp.asarray(codes)
         return self._dev
+
+    def _device_norms(self):
+        """Row norms for the NON-fused scan path, computed lazily on first
+        use — the fused Pallas path (the production path at genome scale)
+        recomputes norms in-kernel and never reads them, so eager norms
+        would pin ~4 B/row of HBM (390 MB at 97M rows) plus a full scan at
+        upload for nothing (mirrors PQFlatIndex._device_oracle)."""
+        if self._rn is None:
+            self._rn = _row_norms(self._device())
+        return self._rn
 
     def search(self, queries: np.ndarray, k: int, ef: int = 0,
                exact: bool = False):
@@ -195,7 +204,7 @@ class Int8FlatIndex:
                 np.full((queries.shape[0], k), np.inf, np.float32),
             )
         k_eff = min(k, n)
-        c, rn = self._device()  # already padded to a chunk multiple
+        c = self._device()  # already padded to a chunk multiple
         np_ = int(c.shape[0])
         use_fused = not exact and sk.can_fuse(n, np_, k_eff)
         # numpy quantize: jnp would round-trip the queries device-side
@@ -226,6 +235,7 @@ class Int8FlatIndex:
                                         ratio=ratio))
                 )
         else:
+            rn = self._device_norms()
             eff_chunk = min(self._CHUNK, np_)
             for s in range(0, nq, q_batch):
                 e = min(s + q_batch, nq)

@@ -16,11 +16,17 @@ import numpy as np
 PREFIX_LEN = 1
 POSTFIX_LEN = 1
 
+_COMP = str.maketrans("ACGTNacgtn", "TGCANtgcan")
+
 
 def _clean_query(q: str) -> str:
     if len(q) > PREFIX_LEN + POSTFIX_LEN:
         return q[PREFIX_LEN : len(q) - POSTFIX_LEN]
     return q
+
+
+def _revcomp(seq: str) -> str:
+    return seq.translate(_COMP)[::-1]
 
 
 def sam_header(ref_name: str, ref_len: int) -> str:
@@ -58,7 +64,19 @@ def format_sam_records(
 
     primary_cigars/primary_pos_off (per query, already in REFERENCE
     orientation): real SW-traceback CIGARs + alignment-start offsets for
-    each query's PRIMARY line; secondaries keep the pseudo <len>M."""
+    each query's PRIMARY line; secondaries keep the pseudo <len>M.
+
+    Invalid candidate ids (-1, from padded/starved candidate lists): the
+    reference throws on them (reranker.cpp:26-29); here a -1 primary emits a
+    proper FLAG-4 unmapped record (RNAME *, POS 0, MAPQ 0, CIGAR *) and -1
+    secondaries are dropped — the SAM stays consumable instead of carrying
+    POS-0 garbage lines.
+
+    SEQ orientation: pseudo-CIGAR lines keep SEQ as sequenced even under
+    FLAG 16 (reference-parity quirk, utils.cpp:336-404).  When a REAL CIGAR
+    is attached to a reverse-strand primary, SEQ is reverse-complemented so
+    the reference-orientation CIGAR describes the emitted sequence base by
+    base (what samtools expects)."""
     cand_ids = np.asarray(list(cand_ids), dtype=np.int64)
     if record_names is not None:
         # one vectorized lookup for every line (not one searchsorted per
@@ -84,16 +102,25 @@ def format_sam_records(
             if idx >= cand_ids.size:
                 break
             seq_id = int(cand_ids[idx])
+            if seq_id < 0:
+                if j == 0:
+                    yield (
+                        f"{qname}\t4\t*\t0\t0\t*\t*\t0\t0\t{clean}\t*\n"
+                    )
+                continue  # drop -1 secondaries
             rname = record_names[rec[idx]] if rec is not None else ref_name
             pos = int(all_pos[idx])
             cigar = pseudo
+            seq_out = clean
             if j == 0 and primary_cigars is not None and primary_cigars[gq]:
                 cigar = primary_cigars[gq]
                 pos += int(primary_pos_off[gq])
+                if seq_id % 2 == 1:
+                    seq_out = _revcomp(clean)
             flag = (0 if j == 0 else 256) | (16 if seq_id % 2 == 1 else 0)
             yield (
                 f"{qname}\t{flag}\t{rname}\t{pos}\t60\t{cigar}\t*\t0\t0\t"
-                f"{clean}\t*\n"
+                f"{seq_out}\t*\n"
             )
 
 

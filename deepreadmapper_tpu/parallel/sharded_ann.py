@@ -184,8 +184,10 @@ class ShardedANNIndex:
             # Reconstruct-then-int8-scan per shard: each shard carries its
             # own codebook; shards merge in fp32 squared-L2 (d * scale^2).
             # Row norms + block-diag decoders (non-fused scan only) build
-            # lazily in _pq_oracle_dev — the fused kernel never reads them.
-            self._pq_pad_stack = stack
+            # lazily in _pq_oracle_dev — the fused kernel never reads them,
+            # and the padded host stack is NOT cached (it would double host
+            # RAM for the code store at genome scale; the subs keep their
+            # own codes and the oracle path rebuilds it on first use).
             cent2ds = jax.device_put(
                 jnp.asarray(
                     np.stack(
@@ -282,7 +284,13 @@ class ShardedANNIndex:
         fused path never needs)."""
         if getattr(self, "_pq_oracle", None) is None:
             sh = lambda *spec: NamedSharding(self.mesh, P(*spec))
-            stack = self._pq_pad_stack
+            # Rebuild the padded stack from the subs (transient — dropped
+            # when this frame exits) instead of caching it in _device().
+            stack = np.stack([s.codes for s in self.subs])
+            base = sk._PAD_BASE if self.n_local >= sk._PAD_BASE else sk.CT
+            pad = (-self.n_local) % min(base, max(self.n_local, 1))
+            if pad:
+                stack = np.pad(stack, ((0, 0), (0, pad), (0, 0)))
             rn_np = np.stack(
                 [
                     pq_ops.recon_norms(c, s.cb8.cent_norms)

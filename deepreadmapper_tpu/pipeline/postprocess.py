@@ -123,11 +123,20 @@ def _rerank_l2_device(query_emb, pool_emb, pool_idx, cand_ids, k: int):
 
 
 def check_invariant(k: int, k_clusters: int, stride: int) -> None:
-    if stride > 1 and k > k_clusters * 2 * stride:
-        raise ValueError(
-            "Final k too large. Ensure k < k_clusters * 2 * stride to have "
-            "enough candidates."
-        )
+    """The reference checks ``k <= k_clusters * 2 * stride``
+    (post_processor.cpp:567-570) but expansion yields only
+    ``k_clusters * (2*stride - 1)`` candidate slots, so ks in the gap crash
+    downstream (top_k with k > C / shape mismatch in the SW path).  Validate
+    against the REAL candidate count with a clear error instead."""
+    if stride > 1:
+        n_cands = k_clusters * (2 * stride - 1)
+        if k > n_cands:
+            raise ValueError(
+                f"Final k={k} too large: sparse expansion yields only "
+                f"k_clusters*(2*stride-1) = {k_clusters}*{2 * stride - 1} = "
+                f"{n_cands} candidates per query. Reduce k or raise "
+                "k_clusters."
+            )
 
 
 def post_process_sw(
@@ -160,6 +169,11 @@ def post_process_sw(
 
     check_invariant(k, k_clusters, stride)
     if stride == 1:
+        if k > k_clusters:
+            raise ValueError(
+                f"Final k={k} > k_clusters={k_clusters}: the dense SW rerank "
+                "has only k_clusters candidates per query."
+            )
         # Identity "expansion" (find_sequences dense short-circuit) but the
         # SW rerank still runs over the k_clusters hits.
         cand_ids = neighbors[:, :k_clusters].astype(np.int64)
@@ -229,6 +243,11 @@ def post_process_l2(
 
     if stride == 1:
         # Dense rerank: the candidate set IS the ANN list (no expansion).
+        if k > neighbors.shape[1]:
+            raise ValueError(
+                f"Final k={k} > ANN candidate count {neighbors.shape[1]} "
+                "for the dense rerank."
+            )
         cand_ids = neighbors.astype(np.int64)
     else:
         cand_ids, _ = expand_candidates(

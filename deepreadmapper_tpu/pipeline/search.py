@@ -183,6 +183,12 @@ def run_pipeline(
             "stream; falling back to the non-streaming path"
         )
         use_streaming = False
+    if cigar and not have_seqs:
+        print(
+            "[MAIN] WARNING: --cigar ignored (precomputed query embeddings "
+            "carry no sequences to align)"
+        )
+        cigar = False
     if dense_rerank and stride == 1 and (not have_seqs or rerank == "sw"):
         print(
             "[MAIN] WARNING: --dense-rerank ignored ("

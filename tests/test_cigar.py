@@ -93,3 +93,60 @@ def test_pipeline_cigar_indel_read(tmp_path):
     rev = sam[4]
     assert int(rev[1]) & 16
     assert rev[5] == "150M" and int(rev[3]) == 301
+    # FLAG-16 + real CIGAR -> SEQ is reverse-complemented (the
+    # reference-orientation CIGAR must describe the emitted bases)
+    assert rev[9] == genome[300 : 300 + 150]
+
+
+def test_pipeline_cigar_reverse_indel_consistency(tmp_path):
+    """A reverse-strand read with planted indels round-trips: the emitted
+    (SEQ, CIGAR, POS) triple reconstructs the genome exactly — every M base
+    matches, walking SEQ and the reference in SAM (forward) orientation."""
+    import re
+
+    from deepreadmapper_tpu.io import fasta as fasta_io
+    from deepreadmapper_tpu.models.encoder import Vectorizer
+    from deepreadmapper_tpu.pipeline.build import build_index
+    from deepreadmapper_tpu.pipeline.search import run_pipeline
+
+    ref = "tests/data/ecoli_150.fna"
+    genome = fasta_io.extract_fasta_sequence(ref).tobytes().decode()
+    src = genome[300:451]
+    # forward-sense alignment: 40M 1I 40M 1D 69M consuming genome[300:450)
+    fwd = src[:40] + "A" + src[40:80] + src[81:150]
+    assert len(fwd) == 150
+    comp = str.maketrans("ACGT", "TGCA")
+    read = fwd.translate(comp)[::-1]  # as-sequenced reverse read
+    fq = str(tmp_path / "r.fastq")
+    with open(fq, "w") as f:
+        f.write(f"@rev_indel\n{read}\n+\n{'I' * 150}\n")
+
+    vec = Vectorizer(device_batch=2048)
+    prefix = str(tmp_path / "idx")
+    build_index(ref, prefix, 150, stride=1, index_type="FLAT", vectorizer=vec)
+    out = str(tmp_path / "out")
+    run_pipeline(prefix, fq, ref, k=4, output_dir=out, vectorizer=vec,
+                 cigar=True)
+    prim = [
+        l.split("\t") for l in open(f"{out}/results.sam")
+        if not l.startswith("@")
+    ][0]
+    flag, pos, cigar, seq = int(prim[1]), int(prim[3]), prim[5], prim[9]
+    assert flag & 16
+    assert "1I" in cigar and "1D" in cigar
+    # SEQ must be the reference-orientation read for the CIGAR to apply
+    assert seq == fwd
+    # walk the CIGAR: every M base of SEQ must equal the genome base
+    gi = pos - 1
+    si = 0
+    for n, op in re.findall(r"(\d+)([MIDS])", cigar):
+        n = int(n)
+        if op == "M":
+            assert seq[si : si + n] == genome[gi : gi + n]
+            si += n
+            gi += n
+        elif op in ("I", "S"):
+            si += n
+        else:  # D
+            gi += n
+    assert si == len(seq)

@@ -132,3 +132,61 @@ def test_sam_output(tmp_path):
     # id 7 -> pos 4, reverse (16) + secondary (256) = 272.
     assert lines[3].split("\t")[1] == "272"
     assert lines[3].split("\t")[3] == "4"
+
+
+def test_sam_invalid_ids_flag4_and_dropped_secondaries(tmp_path):
+    """-1 candidate ids (padded/starved lists): primary -> FLAG 4 unmapped
+    record, -1 secondaries dropped — never POS-0 garbage lines (the
+    reference throws instead, reranker.cpp:26-29)."""
+    from deepreadmapper_tpu.io import sam
+
+    out = str(tmp_path / "out.sam")
+    sam.write_sam(
+        query_seqs=["<ACGT>", "<TTTT>"],
+        query_ids=["starved", "ok"],
+        cand_ids=[-1, -1, 4, -1],  # q0: no hits at all; q1: one real hit
+        ref_name="ref",
+        ref_len=1000,
+        k=2,
+        output_file=out,
+    )
+    lines = [l for l in open(out) if not l.startswith("@")]
+    assert len(lines) == 2  # 2 unmapped-or-real primaries, 0 -1 secondaries
+    f0 = lines[0].split("\t")
+    assert f0[0] == "starved" and f0[1] == "4"
+    assert f0[2] == "*" and f0[3] == "0" and f0[4] == "0" and f0[5] == "*"
+    assert f0[9] == "ACGT"
+    f1 = lines[1].split("\t")
+    assert f1[0] == "ok" and f1[1] == "0" and f1[3] == "3"
+
+
+def test_sam_real_cigar_revcomps_reverse_seq():
+    """A real CIGAR on a FLAG-16 primary reverse-complements SEQ so the
+    reference-orientation CIGAR describes the emitted bases; pseudo-CIGAR
+    lines keep the as-sequenced SEQ (reference-parity quirk)."""
+    from deepreadmapper_tpu.io import sam
+
+    recs = list(
+        sam.format_sam_records(
+            query_seqs=["<ACGTT>"],
+            query_ids=["r"],
+            cand_ids=[7],  # odd id -> reverse strand
+            k=1,
+            ref_name="ref",
+            primary_cigars=["2S3M"],
+            primary_pos_off=np.array([1], np.int64),
+        )
+    )
+    f = recs[0].split("\t")
+    assert int(f[1]) & 16
+    assert f[5] == "2S3M"
+    assert f[9] == "AACGT"  # revcomp(ACGTT)
+    assert f[3] == "5"  # pos = 7//2 + 1 + off 1
+    # pseudo path: SEQ stays as sequenced
+    recs = list(
+        sam.format_sam_records(
+            query_seqs=["<ACGTT>"], query_ids=["r"], cand_ids=[7], k=1,
+            ref_name="ref",
+        )
+    )
+    assert recs[0].split("\t")[9] == "ACGTT"

@@ -47,9 +47,14 @@ def test_unique_pool_mapping():
 
 
 def test_invariant_raises():
-    with pytest.raises(ValueError, match="Final k too large"):
+    with pytest.raises(ValueError, match="Final k"):
         pp.check_invariant(k=128, k_clusters=5, stride=2)
-    pp.check_invariant(k=128, k_clusters=5, stride=13)  # 5*2*13=130 >= 128
+    # The REAL candidate count is k_clusters*(2s-1): the reference's
+    # k <= kc*2s bound admits ks that crash downstream; stride=13 gives
+    # 5*25=125 < 128 and must now raise, stride=14 gives 135 and passes.
+    with pytest.raises(ValueError, match="Final k"):
+        pp.check_invariant(k=128, k_clusters=5, stride=13)
+    pp.check_invariant(k=128, k_clusters=5, stride=14)
     pp.check_invariant(k=128, k_clusters=5, stride=1)  # dense: no check
 
 
