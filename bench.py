@@ -86,6 +86,25 @@ def main() -> None:
         best = min(best, time.time() - t0)
     qps = nq / best
 
+    # --- device-time metric: same fused compute, wire pre-uploaded, sync on
+    # a small output slice (a full fetch would measure the tunnel: 8 MB at
+    # ~35 MB/s = 230 ms).  Kernel regressions show here even when tunnel
+    # variance moves the e2e number by 2x.
+    fused_nodonate = jax.jit(
+        lambda params, wire, ref: pack_ids_device(
+            l2_topk(encode_packed(params, wire), ref, k)[1], nbits
+        ).reshape(-1)
+    )
+    wire_dev = jax.device_put(jnp.asarray(pack_wrapped(mat, lengths)))
+    np.asarray(fused_nodonate(vec.params, wire_dev, ref_dev)[:256])  # warmup
+    best_dev = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        out = fused_nodonate(vec.params, wire_dev, ref_dev)
+        np.asarray(out[:256])  # sync point: completion, not the download
+        best_dev = min(best_dev, time.time() - t0)
+    device_qps = nq / best_dev
+
     print(
         json.dumps(
             {
@@ -93,6 +112,7 @@ def main() -> None:
                 "value": round(qps, 1),
                 "unit": "queries/s",
                 "vs_baseline": round(qps / NOMINAL_BASELINE_QPS, 3),
+                "device_qps": round(device_qps, 1),
             }
         )
     )

@@ -1,4 +1,4 @@
-"""Multi-host initialization and index sharding plan.
+"""Multi-host initialization and per-host index-shard orchestration.
 
 The reference is single-process (SURVEY.md §2.7); scale-out is this
 framework's addition.  The deployment model:
@@ -7,18 +7,33 @@ framework's addition.  The deployment model:
     afterwards jax.devices() spans the pod slice and `make_mesh` builds a
     ('data','shard') mesh whose collectives ride ICI within a slice and DCN
     across slices.
-  * The genome's PQ codes / vectors are sharded row-wise over 'shard' (each
-    host embeds and encodes only its window range — `plan_shards` computes the
-    ranges), reads stream data-parallel over 'data', and per-shard top-k
-    merges with all_gather + lax.top_k (sharded_search.py).
+  * The genome's PQ codes / vectors are sharded row-wise over 'shard'.  Each
+    host owns a contiguous block of shards (`own_shards`), embeds/encodes ONLY
+    its window ranges (`plan_shards` computes them), and persists them with
+    `build_own_shards`; process 0 writes the manifest.  `load_own_shards`
+    restores just the host-local sub-indexes.  Reads stream data-parallel over
+    'data' and per-shard top-k merges with all_gather + lax.top_k
+    (sharded_ann.py / sharded_search.py).
   * Checkpoint story: each host persists its own shard (index_prefix/shard_i),
-    the config.txt records the shard plan, and any host count that divides the
+    sharded.txt records the plan, and any process count that divides the
     shard count can reload.
+
+The shard files written here are byte-compatible with the single-process
+`ShardedANNIndex.build(...).save(...)` path: both pad the tail shard by
+repeating the final row so every shard holds the same padded row count, and
+both mask pad rows at merge time via the manifest's ntotal.
 """
 
 from __future__ import annotations
 
+import os
+
+import numpy as np
+
 import jax
+
+from deepreadmapper_tpu.config import BuildConfig
+from deepreadmapper_tpu.index.registry import _REGISTRY
 
 
 def init_distributed(
@@ -47,3 +62,101 @@ def plan_shards(n_vectors: int, n_shards: int) -> list[tuple[int, int]]:
     """
     per = -(-n_vectors // n_shards)
     return [(s * per, min((s + 1) * per, n_vectors)) for s in range(n_shards)]
+
+
+def own_shards(
+    n_shards: int,
+    process_id: int | None = None,
+    num_processes: int | None = None,
+) -> list[int]:
+    """Shard indices THIS process owns: contiguous blocks, so a host's
+    shards cover a contiguous window range of the genome (streaming embed
+    reads each byte once).  Any process count that divides n_shards works —
+    1 process owns everything, n_shards processes own one each."""
+    pid = jax.process_index() if process_id is None else process_id
+    nproc = jax.process_count() if num_processes is None else num_processes
+    if n_shards % nproc:
+        raise ValueError(
+            f"n_shards={n_shards} must be divisible by the process count "
+            f"{nproc} so every host owns whole shards"
+        )
+    per = n_shards // nproc
+    return list(range(pid * per, (pid + 1) * per))
+
+
+def build_own_shards(
+    embed_rows,
+    n_vectors: int,
+    n_shards: int,
+    index_prefix: str,
+    cfg: BuildConfig | None = None,
+    index_type: str = "INT8FLAT",
+    process_id: int | None = None,
+    num_processes: int | None = None,
+) -> list[int]:
+    """Per-host build-own-shard: encode and persist ONLY this host's shards.
+
+    embed_rows(start, end) -> [end-start, D] fp32 produces the embeddings for
+    a global row range (the caller wires it to its windowed-FASTA embedder so
+    a host never touches another host's genome slice).  Every shard directory
+    is self-contained (codes + codebook/scale), so hosts need no collective
+    during the build — process 0 additionally writes sharded.txt.
+
+    Returns the shard ids this process built.
+    """
+    cfg = cfg or BuildConfig()
+    ranges = plan_shards(n_vectors, n_shards)
+    per = ranges[0][1] - ranges[0][0]
+    if per >= 2**31:
+        raise NotImplementedError(
+            f"{per} rows/shard exceeds the int32 local-id space; use more "
+            "shards"
+        )
+    eng = _REGISTRY[index_type]
+    mine = own_shards(n_shards, process_id, num_processes)
+    os.makedirs(index_prefix, exist_ok=True)
+    for si in mine:
+        start, end = ranges[si]
+        emb = np.asarray(embed_rows(start, end), np.float32)
+        if emb.shape[0] != end - start:
+            raise ValueError(
+                f"embed_rows({start},{end}) returned {emb.shape[0]} rows"
+            )
+        if emb.shape[0] < per:  # tail shard: repeat the last real row
+            emb = np.concatenate(
+                [emb, np.repeat(emb[-1:], per - emb.shape[0], axis=0)]
+            )
+        sub = eng.build(emb, cfg) if hasattr(eng, "build") else eng(emb)
+        sub_dir = os.path.join(index_prefix, f"shard_{si}")
+        os.makedirs(sub_dir, exist_ok=True)
+        sub.save(sub_dir)
+    pid = jax.process_index() if process_id is None else process_id
+    if pid == 0:
+        with open(os.path.join(index_prefix, "sharded.txt"), "w") as f:
+            f.write(f"n_shard:{n_shards}\n")
+            f.write(f"ntotal:{n_vectors}\n")
+            f.write(f"inner:{index_type}\n")
+    return mine
+
+
+def load_own_shards(
+    index_prefix: str,
+    process_id: int | None = None,
+    num_processes: int | None = None,
+):
+    """Load ONLY this host's sub-indexes from a sharded index directory.
+
+    Returns (subs, shard_ids, manifest).  A host restoring a 16-shard index
+    with 4 processes loads 4 sub-indexes — it never reads (or pages in)
+    another host's codes.  Single-process callers get every shard, which is
+    exactly `ShardedANNIndex.load`'s input."""
+    from deepreadmapper_tpu.parallel.sharded_ann import read_manifest
+
+    meta = read_manifest(index_prefix)
+    n_shard = int(meta["n_shard"])
+    mine = own_shards(n_shard, process_id, num_processes)
+    eng = _REGISTRY[meta["inner"]]
+    subs = [
+        eng.load(os.path.join(index_prefix, f"shard_{si}")) for si in mine
+    ]
+    return subs, mine, meta

@@ -1,0 +1,134 @@
+"""2-process jax.distributed CPU test: init, cross-process collectives, and
+the per-host build-own-shard / load-own-shard orchestration
+(parallel/distributed.py).
+
+The reference has no distributed code (SURVEY.md §2.7); this is the
+framework's multi-host story, exercised for real across two OS processes
+with the Gloo-backed CPU collective client: each process builds and
+persists ONLY its own shard, then process 0 reloads the full manifest and
+verifies a merged search against ground truth.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+_CHILD = r"""
+import os
+import sys
+
+sys.path.insert(0, os.getcwd())  # repo root (PYTHONPATH would break the
+                                 # container's TPU plugin registration)
+port, pid, prefix = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=f"127.0.0.1:{port}", num_processes=2, process_id=pid
+)
+assert jax.process_count() == 2
+assert jax.process_index() == pid
+assert len(jax.devices()) == 2 and len(jax.local_devices()) == 1
+
+import numpy as np
+import jax.numpy as jnp
+from jax.experimental import multihost_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# --- cross-process collective: psum over a process-spanning mesh ---
+mesh = Mesh(np.asarray(jax.devices()).reshape(2), ("d",))
+local = jnp.full((1, 4), float(pid + 1))
+garr = jax.make_array_from_single_device_arrays(
+    (2, 4), NamedSharding(mesh, P("d", None)),
+    [jax.device_put(local, jax.local_devices()[0])],
+)
+out = jax.jit(
+    jax.shard_map(lambda x: jax.lax.psum(x, "d"), mesh=mesh,
+                  in_specs=P("d", None), out_specs=P("d", None))
+)(garr)
+assert np.all(np.asarray(out.addressable_shards[0].data) == 3.0)
+
+# --- per-host shard orchestration ---
+from deepreadmapper_tpu.parallel import distributed as dist
+
+n, d = 100, 32
+X = np.random.default_rng(7).standard_normal((n, d)).astype(np.float32)
+mine = dist.build_own_shards(
+    lambda s, e: X[s:e], n, n_shards=2, index_prefix=prefix,
+    index_type="INT8FLAT",
+)
+assert mine == [pid], mine
+multihost_utils.sync_global_devices("shards-built")
+
+if pid == 0:
+    # full restore (single-process view over every shard dir the two
+    # processes wrote) + host-side merged search vs ground truth
+    subs, ids, meta = dist.load_own_shards(
+        prefix, process_id=0, num_processes=1
+    )
+    assert ids == [0, 1] and int(meta["ntotal"]) == n
+    assert meta["inner"] == "INT8FLAT"
+    per = 50
+    q = X[::10]  # rows 0,10,...,90 span both shards
+    d_all, i_all = [], []
+    for si, sub in enumerate(subs):
+        i_loc, d_loc = sub.search(q, 3)
+        i_all.append(np.where(i_loc >= 0, i_loc + si * per, -1))
+        d_all.append(d_loc)
+    dm = np.concatenate(d_all, 1)
+    im = np.concatenate(i_all, 1)
+    top1 = np.take_along_axis(im, np.argsort(dm, 1)[:, :1], 1)[:, 0]
+    assert np.array_equal(top1, np.arange(0, n, 10)), top1
+    # partial restore: "host 1 of 2" must load only shard_1
+    subs1, ids1, _ = dist.load_own_shards(
+        prefix, process_id=1, num_processes=2
+    )
+    assert ids1 == [1] and len(subs1) == 1
+multihost_utils.sync_global_devices("verified")
+print(f"CHILD{pid}-OK", flush=True)
+"""
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_distributed_build_and_reload(tmp_path):
+    child = tmp_path / "child.py"
+    child.write_text(_CHILD)
+    prefix = str(tmp_path / "sharded_idx")
+    port = _free_port()
+    env = dict(os.environ)
+    # one CPU device per process (the parent conftest's 8-device XLA flag
+    # would leak in); children select CPU via jax.config, not env
+    env.pop("XLA_FLAGS", None)
+    env.pop("PYTHONPATH", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(child), str(port), str(pid), prefix],
+            cwd=os.getcwd(), env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for pid, p in enumerate(procs):
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+        assert p.returncode == 0, f"child {pid} failed:\n{out}"
+    assert "CHILD0-OK" in outs[0]
+    assert "CHILD1-OK" in outs[1]
+    # both shard dirs + the manifest written by process 0 exist on disk
+    assert os.path.exists(os.path.join(prefix, "sharded.txt"))
+    assert os.path.exists(os.path.join(prefix, "shard_0", "int8.npz"))
+    assert os.path.exists(os.path.join(prefix, "shard_1", "int8.npz"))
