@@ -56,8 +56,12 @@ def _add_build(sub):
     p.add_argument("EFC", nargs="?", type=int, default=200)
     p.add_argument("--index-type", default="HNSWPQ",
                    help="FLAT | INT8FLAT (production: int8 MXU scan, "
-                        "near-exact) | PQFLAT | HNSWPQ (reference-parity "
+                        "near-exact) | IVFINT8 (cluster-pruned int8 scan, "
+                        "sub-linear — the >100M-row tier; EF acts as "
+                        "nprobe) | PQFLAT | HNSWPQ (reference-parity "
                         "default) | HNSWFLAT")
+    p.add_argument("--nlist", type=int, default=0,
+                   help="IVFINT8 coarse clusters (0 = auto ~sqrt(N))")
     p.add_argument("--build-mode", default="insert", choices=["insert", "knn"],
                    help="HNSW construction: incremental insert (default) or "
                         "the MXU kNN-graph builder")
@@ -163,6 +167,7 @@ def main(argv=None) -> int:
             efc=args.EFC,
             build_mode=args.build_mode,
             opq=args.opq,
+            nlist=args.nlist,
         )
         config = build_index(
             args.ref_file,

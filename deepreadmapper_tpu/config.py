@@ -45,6 +45,7 @@ class BuildConfig:
     seed: int = 1234            # deterministic codebook init
     opq: bool = False           # learn an orthogonal rotation before PQ
     opq_iters: int = 10         # OPQ alternation rounds
+    nlist: int = 0              # IVF coarse clusters (0 = auto ~sqrt(N))
 
 
 @dataclasses.dataclass(frozen=True)

@@ -176,7 +176,9 @@ def build_index(
 
     # Quantizing engines consume embeddings on device (only the 8-128 B/window
     # codes ever download); graph builds need host vectors anyway.
-    device_out = index_type in ("PQFLAT", "INT8FLAT") and n_shards == 1
+    device_out = (
+        index_type in ("PQFLAT", "INT8FLAT", "IVFINT8") and n_shards == 1
+    )
     ext = os.path.splitext(ref_file)[1].lower()
     if ext in FASTA_EXTS:
         # Pre-build memory estimate (reference prints one before every build,
@@ -191,6 +193,9 @@ def build_index(
         if index_type == "INT8FLAT":
             total = nv * dim  # 1 B/dim, no graph
             detail = f"int8 codes {total/1e6:.1f}"
+        elif index_type == "IVFINT8":
+            total = int(nv * dim / 0.8)  # slab fill measured ~0.8 (ivf_int8)
+            detail = f"int8 slabs {total/1e6:.1f}"
         elif index_type == "FLAT":
             total = nv * dim * 4
             detail = f"fp32 vectors {total/1e6:.1f}"
@@ -267,7 +272,7 @@ def build_index(
             records, ref_len, stride, vectorizer, chunk_transform=encode
         )
         embeddings = codes  # row count for config below
-    int8_stream = index_type == "INT8FLAT" and ext in FASTA_EXTS
+    int8_stream = index_type in ("INT8FLAT", "IVFINT8") and ext in FASTA_EXTS
     if int8_stream:
         # Stream-quantize: every embedding chunk becomes int8 ON DEVICE before
         # collection — fp32 for a genome-scale index would not fit HBM (40M
@@ -341,6 +346,17 @@ def build_index(
 
         codes = np.asarray(embeddings)  # int8 download, 128 B/window
         n = codes.shape[0]
+        if index_type == "IVFINT8":
+            if n_shards > 1:
+                raise NotImplementedError(
+                    "IVFINT8 sharding: shard with INT8FLAT (the fused "
+                    "sharded scan) or build one IVFINT8 index per host"
+                )
+            from deepreadmapper_tpu.index.ivf_int8 import IVFInt8Index
+
+            engine = IVFInt8Index.build_from_codes(codes, int8_scale, cfg)
+            engine.save(index_prefix)
+            return config
         if n_shards > 1:
             from deepreadmapper_tpu.parallel.mesh import make_mesh
             from deepreadmapper_tpu.parallel.sharded_ann import ShardedANNIndex
