@@ -62,6 +62,10 @@ def _add_build(sub):
                         "default) | HNSWFLAT")
     p.add_argument("--nlist", type=int, default=0,
                    help="IVFINT8 coarse clusters (0 = auto ~sqrt(N))")
+    p.add_argument("--level-mode", default="rng", choices=["rng", "centroid"],
+                   help="HNSW level assignment: seeded exponential RNG "
+                        "(default) or hnswm's deterministic centroid-"
+                        "partition medoids")
     p.add_argument("--build-mode", default="insert", choices=["insert", "knn"],
                    help="HNSW construction: incremental insert (default) or "
                         "the MXU kNN-graph builder")
@@ -168,6 +172,7 @@ def main(argv=None) -> int:
             build_mode=args.build_mode,
             opq=args.opq,
             nlist=args.nlist,
+            level_mode=args.level_mode,
         )
         config = build_index(
             args.ref_file,

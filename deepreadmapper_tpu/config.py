@@ -40,6 +40,8 @@ class BuildConfig:
     m_hnsw: int = 16            # HNSW graph degree
     efc: int = 200              # HNSW efConstruction
     build_mode: str = "insert"  # "insert" (incremental) | "knn" (MXU kNN graph)
+    level_mode: str = "rng"     # "rng" | "centroid" (hnswm's deterministic
+                                # partition-medoid levels, hnsw.cpp:701-796)
     sample_rate: float = 0.5    # fraction of vectors used to train PQ
     kmeans_iters: int = 25      # PQ k-means iterations (FAISS default)
     seed: int = 1234            # deterministic codebook init

@@ -180,9 +180,14 @@ class HNSWPQIndex:
         if cfg.build_mode == "knn":
             from deepreadmapper_tpu.index.knn_build import build_hnsw_knn
 
-            graph = build_hnsw_knn(embeddings, m=cfg.m_hnsw, seed=cfg.seed)
+            graph = build_hnsw_knn(
+                embeddings, m=cfg.m_hnsw, seed=cfg.seed, level_mode=cfg.level_mode
+            )
         else:
-            graph = build_hnsw(embeddings, m=cfg.m_hnsw, efc=cfg.efc, seed=cfg.seed)
+            graph = build_hnsw(
+                embeddings, m=cfg.m_hnsw, efc=cfg.efc, seed=cfg.seed,
+                level_mode=cfg.level_mode,
+            )
         if cls.storage_mode == "pq":
             train = pq_ops.sample_training_set(embeddings, cfg.sample_rate)
             cb = pq_ops.train_pq(

@@ -44,6 +44,91 @@ def assign_levels(n: int, m: int, seed: int = 5489) -> np.ndarray:
     return np.floor(-np.log(u) * mult).astype(np.int32)
 
 
+def _layer_sizes(n: int, m: int) -> list[int]:
+    """Expected node count per level from the exponential CDF — the
+    reference's deterministic replacement for per-node RNG draws
+    (src/hnswm/hnsw.cpp:331-349 calculateNumNodesInLayers_): size[k] =
+    round((cdf(k+1)-cdf(k))*n) with mean 1/ln(M), zeros dropped, last entry
+    adjusted so the sizes sum exactly to n."""
+    ml = 1.0 / np.log(m)
+    cdf = lambda x: 1.0 - np.exp(-x / ml)  # noqa: E731
+    k = np.arange(64, dtype=np.float64)
+    sizes = np.round((cdf(k + 1) - cdf(k)) * n).astype(np.int64)
+    sizes = sizes[sizes > 0]
+    if sizes.size == 0:
+        return [n]
+    sizes[-1] = n - int(sizes[:-1].sum())
+    if sizes[-1] <= 0:  # tiny n rounding: fold the tail into level 0
+        sizes = sizes[:-1]
+        sizes[-1] = n - int(sizes[:-1].sum())
+    return [int(s) for s in sizes]
+
+
+def _segment_medoids(v: np.ndarray, starts: np.ndarray, ends: np.ndarray):
+    """Index (into v) of the point closest to each segment's mean.  Segments
+    are contiguous [start, end) ranges; vectorized over all segments."""
+    starts = np.asarray(starts, dtype=np.int64)
+    ends = np.asarray(ends, dtype=np.int64)
+    lens = ends - starts
+    sums = np.add.reduceat(v, starts, axis=0)
+    # reduceat quirk: if starts[i] >= starts[i+1] it returns v[starts[i]]
+    # alone; our segments are strictly increasing and non-empty, so fine.
+    mu = sums / lens[:, None]
+    seg = np.repeat(np.arange(starts.size), lens)
+    pts = v[starts[0] : ends[-1]]  # segments are contiguous and adjacent
+    d2 = ((pts - mu[seg]) ** 2).sum(axis=1)
+    seg_min = np.minimum.reduceat(d2, starts - starts[0])
+    hit = np.flatnonzero(d2 == seg_min[seg])
+    # first hit per segment (ties -> lowest index, matching min_element)
+    _, first = np.unique(seg[hit], return_index=True)
+    return hit[first] + starts[0]
+
+
+def assign_levels_centroid(vectors: np.ndarray, m: int) -> np.ndarray:
+    """hnswm's deterministic centroid-partition level assignment
+    (src/hnswm/hnsw.cpp:701-796 buildIndex), adapted to nested HNSW levels.
+
+    Per-level counts come from the exponential CDF (no RNG at all); the
+    nodes RAISED to each upper level are the medoids of equal contiguous
+    sub-partitions of the insertion order, chosen top-down, with every
+    selected node becoming a partition endpoint for the next level below
+    (so upper-level nodes spread evenly through the data order — for genome
+    windows, evenly along the genome).  The reference inserts each selection
+    into one layer of a non-nested structure; here a node selected at layer
+    L gets level() = L in the standard nested builder, which reproduces the
+    same per-layer membership counts.
+    """
+    v = np.ascontiguousarray(vectors, dtype=np.float32)
+    n = v.shape[0]
+    sizes = _layer_sizes(n, m)
+    levels = np.zeros(n, dtype=np.int32)
+    # partition endpoints (exclusive), as in the reference: (-1, n) to start
+    parts = np.array([-1, n], dtype=np.int64)
+    for layer in range(len(sizes) - 1, 0, -1):
+        n_points = sizes[layer]
+        n_parts = parts.size - 1
+        per_part = max(1, int(round(n_points / n_parts)))
+        new_parts = []
+        for i in range(n_parts):
+            a, b = int(parts[i]), int(parts[i + 1])
+            new_parts.append(np.array([a], dtype=np.int64))
+            size = b - a - 1
+            if size <= 0:
+                continue
+            if size < per_part:
+                sel = np.arange(a + 1, b, dtype=np.int64)
+            else:
+                sub = size // per_part
+                bounds = a + 1 + sub * np.arange(per_part + 1, dtype=np.int64)
+                bounds[-1] = b  # last sub-partition absorbs the remainder
+                sel = _segment_medoids(v, bounds[:-1], bounds[1:])
+            levels[sel] = layer
+            new_parts.append(sel)
+        new_parts.append(np.array([n], dtype=np.int64))
+        parts = np.concatenate(new_parts)
+    return levels
+
+
 def _select_neighbors_heuristic(
     vectors: np.ndarray, q_idx: int, cand: list[tuple[float, int]], m: int
 ) -> list[int]:
@@ -64,14 +149,31 @@ def _select_neighbors_heuristic(
     return selected
 
 
+def _levels_for(
+    vectors: np.ndarray, m: int, seed: int, level_mode: str
+) -> np.ndarray:
+    if level_mode == "rng":
+        return assign_levels(vectors.shape[0], m, seed)
+    if level_mode == "centroid":
+        return assign_levels_centroid(vectors, m)
+    raise ValueError(f"level_mode must be 'rng' or 'centroid', got {level_mode!r}")
+
+
 class _Builder:
-    def __init__(self, vectors: np.ndarray, m: int, efc: int, seed: int):
+    def __init__(
+        self,
+        vectors: np.ndarray,
+        m: int,
+        efc: int,
+        seed: int,
+        level_mode: str = "rng",
+    ):
         self.v = vectors.astype(np.float32)
         n = vectors.shape[0]
         self.m = m
         self.m0 = 2 * m
         self.efc = efc
-        self.levels = assign_levels(n, m, seed)
+        self.levels = _levels_for(self.v, m, seed, level_mode)
         self.max_level = int(self.levels.max(initial=0))
         # adjacency per level: arrays [N, cap] with counts
         self.nbrs = []
@@ -178,10 +280,14 @@ class _Builder:
 
 
 def build_hnsw_python(
-    vectors: np.ndarray, m: int = 16, efc: int = 200, seed: int = 5489
+    vectors: np.ndarray,
+    m: int = 16,
+    efc: int = 200,
+    seed: int = 5489,
+    level_mode: str = "rng",
 ) -> HNSWGraphData:
     """Pure-Python builder — the readable specification and fallback."""
-    b = _Builder(vectors, m, efc, seed)
+    b = _Builder(vectors, m, efc, seed, level_mode)
     for i in range(vectors.shape[0]):
         b.add(i)
     return b.finish()
@@ -193,19 +299,23 @@ def build_hnsw(
     efc: int = 200,
     seed: int = 5489,
     use_native: bool | None = None,
+    level_mode: str = "rng",
 ) -> HNSWGraphData:
     """HNSW construction: native C++ builder (native/drm_hnsw.cpp, ~1000x
     faster) when available, Python fallback.  Both run the same algorithm on
-    the same deterministic level assignment."""
+    the same deterministic level assignment (level_mode 'rng' = seeded
+    exponential draws; 'centroid' = hnswm's deterministic centroid-partition
+    scheme, src/hnswm/hnsw.cpp:701-796 — measured A/B in
+    scripts/exp_centroid_levels.py, results in BASELINE.md)."""
     from deepreadmapper_tpu import native
 
     if use_native is None:
         use_native = native.available()
     if not use_native:
-        return build_hnsw_python(vectors, m, efc, seed)
+        return build_hnsw_python(vectors, m, efc, seed, level_mode)
 
     n = vectors.shape[0]
-    levels = assign_levels(n, m, seed)
+    levels = _levels_for(np.asarray(vectors, dtype=np.float32), m, seed, level_mode)
     max_level = int(levels.max(initial=0))
     neighbors0, upper, entry = native.hnsw_build(vectors, levels, m, efc)
     level_gids: list[np.ndarray] = []

@@ -308,6 +308,7 @@ def build_hnsw_knn(
     m: int = 16,
     seed: int = 5489,
     k_cand: int | None = None,
+    level_mode: str = "rng",
 ) -> HNSWGraphData:
     """MXU kNN-graph HNSW construction (GANN-equivalent, TPU-first).
 
@@ -321,7 +322,12 @@ def build_hnsw_knn(
     n = vd.shape[0]
     if k_cand is None:
         k_cand = 3 * m
-    levels = assign_levels(n, m, seed)
+    if level_mode == "rng":
+        levels = assign_levels(n, m, seed)
+    else:
+        from deepreadmapper_tpu.index.hnsw_build import _levels_for
+
+        levels = _levels_for(np.asarray(vectors, np.float32), m, seed, level_mode)
     max_level = int(levels.max(initial=0))
 
     neighbors0 = _knn_layer(vd, m, 2 * m, k_cand)

@@ -23,6 +23,41 @@ def test_level_assignment_deterministic():
     assert a.max() <= 6
 
 
+def test_centroid_levels(small_data):
+    """hnswm's deterministic centroid-partition levels (hnsw.cpp:701-796):
+    per-level counts follow the exponential CDF exactly, the assignment is
+    RNG-free (same input -> same levels), and recall through the standard
+    builder matches the RNG mode."""
+    from deepreadmapper_tpu.config import BuildConfig
+    from deepreadmapper_tpu.index.hnsw_build import (
+        _layer_sizes,
+        assign_levels_centroid,
+    )
+
+    x = small_data
+    lv = assign_levels_centroid(x, m=16)
+    np.testing.assert_array_equal(lv, assign_levels_centroid(x, m=16))
+    sizes = _layer_sizes(x.shape[0], 16)
+    assert sum(sizes) == x.shape[0]
+    counts = np.bincount(lv, minlength=len(sizes))
+    # level L in the nested scheme contains every node with level() >= L
+    for layer in range(1, len(sizes)):
+        assert counts[layer:].sum() == sum(sizes[layer:]), (
+            f"layer {layer}: {counts} vs {sizes}"
+        )
+    # upper-level nodes are spread through the data order, not clustered
+    upper = np.flatnonzero(lv >= 1)
+    gaps = np.diff(upper)
+    assert gaps.max() < 10 * (x.shape[0] / len(upper))
+
+    q = x[:100] + np.float32(0.05)
+    ids_o, _ = FlatIndex(x).search(q, 10)
+    idx = HNSWFlatIndex.build(x, BuildConfig(level_mode="centroid"))
+    ids_h, _ = idx.search(q, 10, ef=64)
+    recall = np.mean([len(set(ids_o[i]) & set(ids_h[i])) / 10 for i in range(100)])
+    assert recall > 0.9, f"centroid-levels recall@10 {recall:.2f}"
+
+
 def test_graph_structure(small_data):
     g = build_hnsw(small_data[:500], m=8, efc=60)
     assert g.neighbors0.shape == (500, 16)
