@@ -164,6 +164,82 @@ def _scan_proj_impl(x, w, bzr, r_mat, rbh, reverse: bool, last_only: bool):
     return hs.astype(in_dt)  # per-step outputs match input dtype
 
 
+# ------------------------------------------------------- manual backward
+#
+# The round-1 backward re-ran the whole forward as a lax.scan under jax.vjp —
+# a sequential forward recompute plus XLA's autodiff scan, both carrying the
+# full gate state through HBM every step.  The manual VJP below restructures
+# the math so the ONLY sequential work is the cotangent recurrence
+# (one [B,192]x[192,64] matmul + VPU elementwise per step); everything heavy
+# is hoisted into big parallel MXU matmuls over all T steps at once:
+#
+#   recompute   gx = x@W, gh = h_prev@R        (z, r, n from saved states)
+#   after scan  dx = dgx@W^T, dW = x^T dgx, dR = h_prev^T dgh
+#
+# gru_proj_seq saves its own output hs as the residual; gru_proj_last
+# recomputes hs with the (fast, non-differentiated) forward kernel.
+# Reverse-direction recurrences are handled by flipping time so one forward
+# derivation serves both; weight grads are flip-invariant, dx flips back.
+
+
+def _bwd_manual(x, w, bzr, r_mat, rbh, reverse, hs, ct_seq):
+    in_dts = (x.dtype, w.dtype, bzr.dtype, r_mat.dtype, rbh.dtype)
+    f32 = jnp.float32
+    xf, wf, bzrf, rf, rbhf, hsf, ct = (
+        a.astype(f32) for a in (x, w, bzr, r_mat, rbh, hs, ct_seq)
+    )
+    if reverse:
+        # reverse recurrence on original time == forward recurrence on
+        # flipped time (hs is stored in original positions by contract)
+        xf, hsf, ct = jnp.flip(xf, 0), jnp.flip(hsf, 0), jnp.flip(ct, 0)
+    t_, b_, din = xf.shape
+
+    # -- parallel gate recompute (exact same op order as the forward step)
+    gx = (xf.reshape(t_ * b_, din) @ wf + bzrf).reshape(t_, b_, G)
+    h_prev = jnp.concatenate([jnp.zeros_like(hsf[:1]), hsf[:-1]], axis=0)
+    gh = h_prev @ rf
+    z = jax.nn.sigmoid(gx[..., :H] + gh[..., :H])
+    r = jax.nn.sigmoid(gx[..., H : 2 * H] + gh[..., H : 2 * H])
+    gnb = gh[..., 2 * H :] + rbhf  # the r-gated recurrent term of n
+    n = jnp.tanh(gx[..., 2 * H :] + r * gnb)
+
+    # -- sequential cotangent recurrence (the only scan)
+    rT = rf.T
+
+    def step(lam, inp):
+        hp, z_, r_, n_, gnb_, ct_ = inp
+        d = lam + ct_  # total cotangent on h_t
+        dz = d * (hp - n_)
+        dn = d * (1.0 - z_)
+        dgn = dn * (1.0 - n_ * n_)
+        dr = dgn * gnb_
+        dghn = dgn * r_
+        dgz = dz * z_ * (1.0 - z_)
+        dgr = dr * r_ * (1.0 - r_)
+        dgh = jnp.concatenate([dgz, dgr, dghn], axis=-1)
+        lam_prev = d * z_ + dgh @ rT
+        dgx = jnp.concatenate([dgz, dgr, dgn], axis=-1)
+        return lam_prev, (dgx, dgh)
+
+    lam0 = jnp.zeros((b_, H), f32)
+    _, (dgx, dgh) = jax.lax.scan(
+        step, lam0, (h_prev, z, r, n, gnb, ct), reverse=True
+    )
+
+    # -- parallel gradient contractions
+    dgx2 = dgx.reshape(t_ * b_, G)
+    dgh2 = dgh.reshape(t_ * b_, G)
+    dx = (dgx2 @ wf.T).reshape(t_, b_, din)
+    if reverse:
+        dx = jnp.flip(dx, 0)
+    dw = xf.reshape(t_ * b_, din).T @ dgx2
+    dbzr = dgx2.sum(0)
+    dr_mat = h_prev.reshape(t_ * b_, H).T @ dgh2
+    drbh = dgh2[:, 2 * H :].sum(0)
+    grads = (dx, dw, dbzr, dr_mat, drbh)
+    return tuple(g.astype(dt) for g, dt in zip(grads, in_dts))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def gru_proj_seq(x, w, bzr, r_mat, rbh, reverse: bool):
     """Fused projection + recurrence, all hidden states.
@@ -174,14 +250,13 @@ def gru_proj_seq(x, w, bzr, r_mat, rbh, reverse: bool):
 
 
 def _gps_fwd(x, w, bzr, r_mat, rbh, reverse):
-    return gru_proj_seq(x, w, bzr, r_mat, rbh, reverse), (x, w, bzr, r_mat, rbh)
+    hs = gru_proj_seq(x, w, bzr, r_mat, rbh, reverse)
+    return hs, (x, w, bzr, r_mat, rbh, hs)
 
 
 def _gps_bwd(reverse, res, ct):
-    _, vjp = jax.vjp(
-        lambda *a: _scan_proj_impl(*a, reverse, last_only=False), *res
-    )
-    return vjp(ct)
+    *primals, hs = res
+    return _bwd_manual(*primals, reverse, hs, ct)
 
 
 gru_proj_seq.defvjp(_gps_fwd, _gps_bwd)
@@ -200,10 +275,16 @@ def _gpl_fwd(x, w, bzr, r_mat, rbh, reverse):
 
 
 def _gpl_bwd(reverse, res, ct):
-    _, vjp = jax.vjp(
-        lambda *a: _scan_proj_impl(*a, reverse, last_only=True), *res
-    )
-    return vjp(ct)
+    x, w, bzr, r_mat, rbh = res
+    # hs was not an output here: recompute with the fast forward primal
+    # (Pallas when available — NOT re-differentiated, just evaluated).
+    hs = gru_proj_seq(x, w, bzr, r_mat, rbh, reverse)
+    # hT cotangent -> a seq cotangent that is zero except at the final step
+    # of the recurrence (original position T-1 fwd, 0 reverse).
+    ct_seq = jnp.zeros(hs.shape, ct.dtype)
+    pos = 0 if reverse else hs.shape[0] - 1
+    ct_seq = ct_seq.at[pos].set(ct)
+    return _bwd_manual(x, w, bzr, r_mat, rbh, reverse, hs, ct_seq)
 
 
 gru_proj_last.defvjp(_gpl_fwd, _gpl_bwd)

@@ -117,3 +117,42 @@ def test_bfloat16_mode_close_to_fp32():
     # bf16 (max err ~0.14); the TPU Pallas kernel keeps fp32 gates/carry and
     # measures ~0.004.  Either is far below typical inter-window distances.
     assert np.abs(e32 - eb).max() < 0.3
+
+
+def test_manual_gru_vjp_matches_autodiff():
+    """The hand-written backward (gru_pallas._bwd_manual: parallel gate
+    recompute + light cotangent scan + hoisted weight contractions) must
+    reproduce jax.vjp of the differentiable scan reference exactly, for both
+    directions and both entry points."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deepreadmapper_tpu.models import gru_pallas as gp
+
+    rng = np.random.default_rng(0)
+    T, B, DIN = 9, 6, 64
+    x = jnp.asarray(rng.standard_normal((T, B, DIN)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((DIN, gp.G)) * 0.2, jnp.float32)
+    bzr = jnp.asarray(rng.standard_normal(gp.G) * 0.1, jnp.float32)
+    r_mat = jnp.asarray(rng.standard_normal((gp.H, gp.G)) * 0.2, jnp.float32)
+    rbh = jnp.asarray(rng.standard_normal(gp.H) * 0.1, jnp.float32)
+
+    for reverse in (False, True):
+        for last in (False, True):
+            ref_fn = lambda *a: gp._scan_proj_impl(*a, reverse, last_only=last)
+            out, vjp = jax.vjp(ref_fn, x, w, bzr, r_mat, rbh)
+            ct = jnp.asarray(rng.standard_normal(out.shape), jnp.float32)
+            ref_grads = vjp(ct)
+            fn = gp.gru_proj_last if last else gp.gru_proj_seq
+            out2, vjp2 = jax.vjp(lambda *a: fn(*a, reverse), x, w, bzr, r_mat, rbh)
+            got = vjp2(ct)
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(out2), rtol=2e-6, atol=2e-6
+            )
+            for g_ref, g_man in zip(ref_grads, got):
+                ref = np.asarray(g_ref)
+                rel = np.max(np.abs(ref - np.asarray(g_man))) / (
+                    np.max(np.abs(ref)) + 1e-9
+                )
+                assert rel < 3e-6, (reverse, last, rel)
