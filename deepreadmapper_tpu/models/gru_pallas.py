@@ -182,6 +182,76 @@ def _scan_proj_impl(x, w, bzr, r_mat, rbh, reverse: bool, last_only: bool):
 # derivation serves both; weight grads are flip-invariant, dx flips back.
 
 
+def _bwd_scan_kernel(hp_ref, z_ref, r_ref, n_ref, gnb_ref, ct_ref, rT_ref,
+                     dgx_ref, dgh_ref, lam_ref, *, t_steps):
+    """One backward time-step: cotangent recurrence with lam resident in
+    VMEM (mirror of _gru_proj_kernel's forward carry).  The grid's minor
+    dimension walks time REVERSED via the index map; per step one
+    [bt,192]x[192,64] MXU matmul + VPU elementwise."""
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        lam_ref[:] = jnp.zeros_like(lam_ref)
+
+    hp = hp_ref[0]
+    z = z_ref[0]
+    r = r_ref[0]
+    n = n_ref[0]
+    gnb = gnb_ref[0]
+    d = lam_ref[:] + ct_ref[0]
+    dz = d * (hp - n)
+    dn = d * (1.0 - z)
+    dgn = dn * (1.0 - n * n)
+    dr = dgn * gnb
+    dghn = dgn * r
+    dgz = dz * z * (1.0 - z)
+    dgr = dr * r * (1.0 - r)
+    dgh = jnp.concatenate([dgz, dgr, dghn], axis=-1)
+    dgx_ref[0] = jnp.concatenate([dgz, dgr, dgn], axis=-1)
+    dgh_ref[0] = dgh
+    lam_ref[:] = d * z + jnp.dot(dgh, rT_ref[:],
+                                 preferred_element_type=jnp.float32)
+
+
+def _pallas_bwd_scan(rT, h_prev, z, r, n, gnb, ct, bt: int = _DEF_BT,
+                     interpret: bool = False):
+    """Pallas cotangent recurrence: (h_prev, z, r, n, gnb, ct) [T,B,64] fp32
+    -> (dgx, dgh) [T,B,192] fp32, iterating t = T-1 .. 0."""
+    t_steps, b, _ = z.shape
+    bt = min(bt, max(8, b))
+    pad = (-b) % bt
+    if pad:
+        padded = []
+        for a in (h_prev, z, r, n, gnb, ct):
+            padded.append(jnp.pad(a, ((0, 0), (0, pad), (0, 0))))
+        h_prev, z, r, n, gnb, ct = padded
+    bp = b + pad
+    tmap = lambda i, t: (t_steps - 1 - t, i, 0)  # reversed time walk
+    fixed = lambda i, t: (0, 0)
+    step_spec = pl.BlockSpec((1, bt, H), tmap, memory_space=pltpu.VMEM)
+    dgx, dgh = pl.pallas_call(
+        functools.partial(_bwd_scan_kernel, t_steps=t_steps),
+        grid=(bp // bt, t_steps),
+        in_specs=[step_spec] * 6 + [
+            pl.BlockSpec((G, H), fixed, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bt, G), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bt, G), tmap, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((t_steps, bp, G), jnp.float32),
+            jax.ShapeDtypeStruct((t_steps, bp, G), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((bt, H), jnp.float32)],
+        interpret=interpret,
+    )(h_prev, z, r, n, gnb, ct, rT)
+    if pad:
+        dgx, dgh = dgx[:, :b], dgh[:, :b]
+    return dgx, dgh
+
+
 def _bwd_manual(x, w, bzr, r_mat, rbh, reverse, hs, ct_seq):
     in_dts = (x.dtype, w.dtype, bzr.dtype, r_mat.dtype, rbh.dtype)
     f32 = jnp.float32
@@ -205,26 +275,29 @@ def _bwd_manual(x, w, bzr, r_mat, rbh, reverse, hs, ct_seq):
 
     # -- sequential cotangent recurrence (the only scan)
     rT = rf.T
+    if use_pallas():
+        dgx, dgh = _pallas_bwd_scan(rT, h_prev, z, r, n, gnb, ct)
+    else:
 
-    def step(lam, inp):
-        hp, z_, r_, n_, gnb_, ct_ = inp
-        d = lam + ct_  # total cotangent on h_t
-        dz = d * (hp - n_)
-        dn = d * (1.0 - z_)
-        dgn = dn * (1.0 - n_ * n_)
-        dr = dgn * gnb_
-        dghn = dgn * r_
-        dgz = dz * z_ * (1.0 - z_)
-        dgr = dr * r_ * (1.0 - r_)
-        dgh = jnp.concatenate([dgz, dgr, dghn], axis=-1)
-        lam_prev = d * z_ + dgh @ rT
-        dgx = jnp.concatenate([dgz, dgr, dgn], axis=-1)
-        return lam_prev, (dgx, dgh)
+        def step(lam, inp):
+            hp, z_, r_, n_, gnb_, ct_ = inp
+            d = lam + ct_  # total cotangent on h_t
+            dz = d * (hp - n_)
+            dn = d * (1.0 - z_)
+            dgn = dn * (1.0 - n_ * n_)
+            dr = dgn * gnb_
+            dghn = dgn * r_
+            dgz = dz * z_ * (1.0 - z_)
+            dgr = dr * r_ * (1.0 - r_)
+            dgh = jnp.concatenate([dgz, dgr, dghn], axis=-1)
+            lam_prev = d * z_ + dgh @ rT
+            dgx = jnp.concatenate([dgz, dgr, dgn], axis=-1)
+            return lam_prev, (dgx, dgh)
 
-    lam0 = jnp.zeros((b_, H), f32)
-    _, (dgx, dgh) = jax.lax.scan(
-        step, lam0, (h_prev, z, r, n, gnb, ct), reverse=True
-    )
+        lam0 = jnp.zeros((b_, H), f32)
+        _, (dgx, dgh) = jax.lax.scan(
+            step, lam0, (h_prev, z, r, n, gnb, ct), reverse=True
+        )
 
     # -- parallel gradient contractions
     dgx2 = dgx.reshape(t_ * b_, G)

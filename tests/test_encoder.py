@@ -156,3 +156,48 @@ def test_manual_gru_vjp_matches_autodiff():
                     np.max(np.abs(ref)) + 1e-9
                 )
                 assert rel < 3e-6, (reverse, last, rel)
+
+
+def test_pallas_bwd_scan_interpret_matches():
+    """The Pallas cotangent-recurrence kernel (VMEM-resident lambda, reversed
+    time walk) must equal the lax.scan formulation — interpret mode here;
+    real-Mosaic validation happens on TPU."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deepreadmapper_tpu.models import gru_pallas as gp
+
+    rng = np.random.default_rng(3)
+    T, B = 11, 20  # B % 8 != 0 exercises the pad path
+    hp, z, r, n, gnb, ct = (
+        jnp.asarray(rng.standard_normal((T, B, gp.H)), jnp.float32)
+        for _ in range(6)
+    )
+    z, r, n = jax.nn.sigmoid(z), jax.nn.sigmoid(r), jnp.tanh(n)
+    rT = jnp.asarray(rng.standard_normal((gp.G, gp.H)) * 0.2, jnp.float32)
+
+    def step(lam, inp):
+        hp_, z_, r_, n_, gnb_, ct_ = inp
+        d = lam + ct_
+        dz = d * (hp_ - n_)
+        dn = d * (1.0 - z_)
+        dgn = dn * (1.0 - n_ * n_)
+        dr = dgn * gnb_
+        dghn = dgn * r_
+        dgz = dz * z_ * (1.0 - z_)
+        dgr = dr * r_ * (1.0 - r_)
+        dgh = jnp.concatenate([dgz, dgr, dghn], axis=-1)
+        return d * z_ + dgh @ rT, (
+            jnp.concatenate([dgz, dgr, dgn], axis=-1), dgh
+        )
+
+    _, (dgx_ref, dgh_ref) = jax.lax.scan(
+        step, jnp.zeros((B, gp.H)), (hp, z, r, n, gnb, ct), reverse=True
+    )
+    dgx_k, dgh_k = gp._pallas_bwd_scan(rT, hp, z, r, n, gnb, ct, bt=16,
+                                       interpret=True)
+    np.testing.assert_allclose(np.asarray(dgx_ref), np.asarray(dgx_k),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dgh_ref), np.asarray(dgh_k),
+                               rtol=1e-5, atol=1e-5)
