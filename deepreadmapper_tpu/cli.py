@@ -54,12 +54,15 @@ def _add_build(sub):
     p.add_argument("nbits", nargs="?", type=int, default=8)
     p.add_argument("M_hnsw", nargs="?", type=int, default=16)
     p.add_argument("EFC", nargs="?", type=int, default=200)
-    p.add_argument("--index-type", default="HNSWPQ",
-                   help="FLAT | INT8FLAT (production: int8 MXU scan, "
-                        "near-exact) | IVFINT8 (cluster-pruned int8 scan, "
-                        "sub-linear — the >100M-row tier; EF acts as "
-                        "nprobe) | PQFLAT | HNSWPQ (reference-parity "
-                        "default) | HNSWFLAT")
+    p.add_argument("--index-type", default="INT8FLAT",
+                   help="INT8FLAT (production default: int8 MXU scan, "
+                        "near-exact — recall@10 0.995 vs HNSWPQ's PQ8-"
+                        "capped 0.72-0.82, and 17x faster on TPU; see "
+                        "scripts/eval_hnswpq.py) | FLAT | IVFINT8 "
+                        "(cluster-pruned int8 scan, sub-linear — the "
+                        ">100M-row tier; EF acts as nprobe) | PQFLAT "
+                        "(16x less HBM) | HNSWPQ (reference-parity "
+                        "engine) | HNSWFLAT")
     p.add_argument("--nlist", type=int, default=0,
                    help="IVFINT8 coarse clusters (0 = auto ~sqrt(N))")
     p.add_argument("--level-mode", default="rng", choices=["rng", "centroid"],

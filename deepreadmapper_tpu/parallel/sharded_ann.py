@@ -127,7 +127,7 @@ class ShardedANNIndex:
         embeddings: np.ndarray,
         mesh: Mesh,
         cfg: BuildConfig | None = None,
-        index_type: str = "HNSWPQ",
+        index_type: str = "INT8FLAT",
     ):
         cfg = cfg or BuildConfig()
         n_shard = mesh.shape["shard"]

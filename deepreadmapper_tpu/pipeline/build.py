@@ -160,7 +160,7 @@ def build_index(
     index_prefix: str,
     ref_len: int,
     stride: int = 1,
-    index_type: str = "HNSWPQ",
+    index_type: str = "INT8FLAT",
     build_cfg: BuildConfig | None = None,
     vectorizer: Vectorizer | None = None,
     n_shards: int = 1,

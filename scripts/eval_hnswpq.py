@@ -95,7 +95,7 @@ def eval_dataset(name: str, x: np.ndarray, q: np.ndarray):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n-bp", type=int, default=200_000)
+    ap.add_argument("--n-bp", type=int, default=50_000)
     args = ap.parse_args()
 
     vec = Vectorizer(device_batch=512)

@@ -87,16 +87,32 @@ def test_hnswflat_recall(small_data):
 
 
 def test_hnswpq_recall_on_real_embeddings(ecoli_embeddings):
+    """Measured floors from scripts/eval_hnswpq.py: recall@10 vs the exact
+    oracle is PQ8-capped at ~0.718 on this fixture (ADC ceiling 0.715); the
+    graph itself must reproduce the same-codebook exhaustive-ADC candidate
+    set — the FAISS-IndexHNSWPQ-equivalence measure."""
+    from deepreadmapper_tpu.index.pq_flat import PQFlatIndex
+
     ref, q = ecoli_embeddings
     oracle = FlatIndex(ref)
     ids_o, _ = oracle.search(q, 10)
     idx = HNSWPQIndex.build(ref)
     ids_h, d_h = idx.search(q, 10, ef=128)
     recall = np.mean([len(set(ids_o[i]) & set(ids_h[i])) / 10 for i in range(len(q))])
-    # ADC quantization bounds recall (compare PQFLAT ~0.81); the graph should
-    # cost almost nothing extra.
-    assert recall > 0.7, f"HNSWPQ recall@10 {recall:.2f}"
+    # ADC quantization bounds recall (measured 0.718; ceiling 0.715) — the
+    # graph costs nothing.  0.68 allows build nondeterminism headroom.
+    assert recall > 0.68, f"HNSWPQ recall@10 {recall:.2f}"
     assert np.all(np.diff(d_h, axis=1) >= -1e-3)
+    # Candidate-set overlap vs the exhaustive ADC scan over the SAME
+    # codes/codebook (measured 0.976 at ef=128, k=128).
+    adc = PQFlatIndex(idx.codes, idx.codebook, idx.ntotal)
+    ids_a, _ = adc.search(q, 64, exact=True)
+    ids_g, _ = idx.search(q, 64, ef=128)
+    overlap = np.mean(
+        [len(set(ids_a[i].tolist()) & set(ids_g[i].tolist())) / 64
+         for i in range(len(q))]
+    )
+    assert overlap > 0.9, f"HNSWPQ vs ADC-ceiling overlap@64 {overlap:.3f}"
 
 
 def test_hnsw_save_load_roundtrip(small_data, tmp_path):
