@@ -36,7 +36,7 @@ from deepreadmapper_tpu.index.hnsw_build import HNSWGraphData, build_hnsw
 from deepreadmapper_tpu.index.registry import register_index
 from deepreadmapper_tpu.ops import pq as pq_ops
 
-_INF = jnp.float32(np.inf)
+_INF = np.float32(np.inf)  # np scalar: a module-level jnp call would init the backend at import
 
 
 def _make_dist_fn(mode: str, storage, qdata):

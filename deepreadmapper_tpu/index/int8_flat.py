@@ -29,7 +29,7 @@ from deepreadmapper_tpu.config import BuildConfig
 from deepreadmapper_tpu.index.registry import register_index
 from deepreadmapper_tpu.ops import scan_kernel as sk
 
-_BIGF = jnp.float32(3.4e38)
+_BIGF = np.float32(3.4e38)  # np scalar: a module-level jnp call would init the backend at import
 
 
 @jax.jit

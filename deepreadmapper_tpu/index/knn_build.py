@@ -34,7 +34,7 @@ import numpy as np
 from deepreadmapper_tpu.index.hnsw_build import HNSWGraphData, assign_levels
 from deepreadmapper_tpu.ops.topk import l2_topk
 
-_BIG = jnp.float32(3.4e38)
+_BIG = np.float32(3.4e38)  # np scalar: a module-level jnp call would init the backend at import
 
 
 def exact_knn(

@@ -35,7 +35,7 @@ from deepreadmapper_tpu.index.registry import register_index
 from deepreadmapper_tpu.ops import pq as pq_ops
 from deepreadmapper_tpu.ops import scan_kernel as sk
 
-_BIG = jnp.float32(3.4e38)
+_BIG = np.float32(3.4e38)  # np scalar: a module-level jnp call would init the backend at import
 
 
 @functools.partial(jax.jit, static_argnames=("k", "chunk", "exact"))

@@ -16,8 +16,9 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-_BIG = jnp.float32(3.4e38)
+_BIG = np.float32(3.4e38)  # np scalar: a module-level jnp call would init the backend at import
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
