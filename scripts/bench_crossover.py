@@ -4,8 +4,21 @@ On TPU the brute-force top-k is pure MXU work while graph traversal is
 gather-bound, so — unlike CPU FAISS — exhaustive search stays competitive to
 surprisingly large N.  This script documents the crossover that motivates the
 index_type choice (FLAT/PQFLAT for small-to-mid N, HNSW* beyond).
+
+--ivf mode: the >100M-row-tier crossover.  Builds one genome's int8 codes,
+serves them through both the full fused scan (INT8FLAT) and the
+cluster-pruned engine (IVFINT8) at a ladder of nprobe values, and reports
+q/s + relative recall@128 (IVF top-128 overlap vs the full scan's top-128
+over the SAME codes — the probe set is the only approximation).  Target
+(VERDICT r1 #3): >=3x q/s at 40M rows with >=0.99 relative recall.
+
+    python scripts/bench_crossover.py --ivf --n-bp 20000000   # ~40M rows
 """
 
+import argparse
+import json
+import os
+import tempfile
 import time
 
 import numpy as np
@@ -14,6 +27,88 @@ import jax
 from deepreadmapper_tpu.config import BuildConfig
 from deepreadmapper_tpu.index.hnsw import HNSWFlatIndex, HNSWPQIndex
 from deepreadmapper_tpu.ops.topk import l2_topk
+
+
+def ivf_mode(args):
+    import sys
+
+    # scripts run via `python - [args] < scripts/bench_crossover.py` from
+    # the repo root (PYTHONPATH breaks the axon plugin; __file__ is unset)
+    sys.path.insert(0, os.path.join(os.getcwd(), "scripts"))
+    from demo_genome_scale import make_genome, simulate_reads
+
+    from deepreadmapper_tpu.index.ivf_int8 import IVFInt8Index
+    from deepreadmapper_tpu.index.registry import load_index
+    from deepreadmapper_tpu.io.fastq import parse_fastq_bytes
+    from deepreadmapper_tpu.models.encoder import Vectorizer
+    from deepreadmapper_tpu.pipeline.build import build_index
+
+    k = 128
+    genome = make_genome(args.n_bp)
+    reads, _names, _starts, _strands = simulate_reads(
+        genome, args.n_queries, 150, err=0.01
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        ref = os.path.join(tmp, "ref.fna")
+        fq = os.path.join(tmp, "reads.fastq")
+        with open(ref, "w") as f:
+            f.write("> synthetic\n")
+            for i in range(0, args.n_bp, 80):
+                f.write(genome[i:i + 80] + "\n")
+        with open(fq, "w") as f:
+            for i, r in enumerate(reads):
+                f.write(f"@r{i}\n{r}\n+\n{'I' * 150}\n")
+
+        vec = Vectorizer()
+        prefix = os.path.join(tmp, "idx")
+        t0 = time.time()
+        # one embedding pass: the INT8FLAT stream-quantize build produces
+        # the int8 codes both engines serve
+        build_index(ref, prefix, 150, index_type="INT8FLAT", vectorizer=vec)
+        print(f"[IVF] codes built in {time.time()-t0:.0f}s", flush=True)
+
+        flat, _cfg = load_index(prefix)
+        n = flat.ntotal
+        mat, lengths, _ = parse_fastq_bytes(fq)
+        emb = np.asarray(vec.vectorize_wrapped_bytes(mat, lengths))
+
+        ids_f, _ = flat.search(emb, k)  # warm: index upload + compile
+        t0 = time.time()
+        ids_f, _ = flat.search(emb, k)
+        dt_flat = time.time() - t0
+        print(json.dumps({
+            "engine": "INT8FLAT", "n_rows": n,
+            "qps": round(args.n_queries / dt_flat, 0),
+        }), flush=True)
+        truth = [set(row.tolist()) for row in ids_f]
+        del flat  # drop device residency before the IVF copy uploads
+
+        codes = np.load(os.path.join(prefix, "int8.npz"))
+        t0 = time.time()
+        ivf = IVFInt8Index.build_from_codes(
+            codes["codes"], float(codes["scale"]),
+            BuildConfig(nlist=args.nlist),
+        )
+        print(f"[IVF] coarse build {time.time()-t0:.0f}s "
+              f"(nlist={ivf.nlist} slabs={ivf.n_slabs} cap={ivf.cap})",
+              flush=True)
+
+        for nprobe in args.nprobe:
+            ids_v, _ = ivf.search(emb, k, ef=nprobe)  # warm this plan shape
+            t0 = time.time()
+            ids_v, _ = ivf.search(emb, k, ef=nprobe)
+            dt = time.time() - t0
+            rr = float(np.mean([
+                len(truth[i] & set(ids_v[i].tolist())) / len(truth[i])
+                for i in range(args.n_queries)
+            ]))
+            print(json.dumps({
+                "engine": "IVFINT8", "nprobe": nprobe,
+                "qps": round(args.n_queries / dt, 0),
+                "rel_recall_at_128": round(rr, 4),
+                "speedup_vs_flat": round(dt_flat / dt, 2),
+            }), flush=True)
+    print("DONE", flush=True)
 
 
 def main():
@@ -66,4 +161,21 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ivf", action="store_true",
+                    help="IVFINT8 vs full fused scan crossover")
+    ap.add_argument("--n-bp", type=int, default=20_000_000,
+                    help="--ivf genome size (20 Mbp -> ~40M windows)")
+    ap.add_argument("--n-queries", type=int, default=8192)
+    ap.add_argument("--nlist", type=int, default=0, help="0 = auto ~sqrt(N)")
+    ap.add_argument("--nprobe", type=int, nargs="+",
+                    default=[8, 16, 32, 64, 128])
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the host CPU backend (smoke tests)")
+    cli = ap.parse_args()
+    if cli.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if cli.ivf:
+        ivf_mode(cli)
+    else:
+        main()
