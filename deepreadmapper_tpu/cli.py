@@ -4,7 +4,7 @@ Four subcommands mirror the reference's four binaries:
 
   pipeline     <index_prefix> <query> <ref> [...]   (reference src/main.cpp)
   build-index  <ref> <index_prefix> <ref_len> [...] (src/hnswpq/index.cpp)
-  inference    <seqs> <ref_len> [out.npy]           (src/inference/test_inference.cpp)
+  inference    <seqs> <ref_len> [out.npy] [batch]   (src/inference/test_inference.cpp)
   gen-ref      -i input -l ref_len -s stride -o out (src/gen_ref.cpp)
 """
 
@@ -86,6 +86,9 @@ def _add_inference(sub):
     p.add_argument("input_file")
     p.add_argument("ref_len", type=int)
     p.add_argument("output", nargs="?", default="embeddings.npy")
+    p.add_argument("batch_size", nargs="?", type=int, default=65536,
+                   help="windows embedded per streamed chunk (the reference "
+                        "test_inference.cpp:49 [batch_size] argv slot)")
     p.add_argument("--stride", type=int, default=1)
 
 
@@ -201,7 +204,8 @@ def main(argv=None) -> int:
         if ext in FASTA_EXTS:
             # Streamed: bounded memory for genome-scale inputs.
             n = stream_embed_fasta_to_npy(
-                args.input_file, args.output, args.ref_len, args.stride, Vectorizer()
+                args.input_file, args.output, args.ref_len, args.stride,
+                Vectorizer(), window_chunk=args.batch_size,
             )
             print(f"[INFERENCE] streamed ({n}, 128) to {args.output}")
             return 0
