@@ -196,6 +196,38 @@ def _split_and_pack(codes: np.ndarray, assign: np.ndarray, cent0: np.ndarray,
     return clusters, slab_of, hi
 
 
+def scan_probed_slabs(q8, codes_cm, rn_cm, step_cluster, step_qidx, ratio,
+                      cap: int, d: int, kp: int):
+    """The IVF hot loop: one lax.scan over (slab, query-tile) steps.
+
+    Per-step per-cluster top-kp, STACKED (no carry scatter — the TPU
+    sorted-scatter emitter aborts on a [Q, k] carry update; the host-known
+    slot map makes the downstream merge pure gathers instead).  Returns
+    (ds [n_steps*QTILE, kp] quantized scores, rs [.., kp] codes_cm row ids).
+    Shared by the single-chip engine and the sharded per-shard scan
+    (parallel/sharded_ann.py) — trace-level, callers jit/shard_map it.
+    """
+
+    def step(_, xs):
+        cid, qi = xs
+        qs = q8[qi]  # [QTILE, D] int8 gather
+        start = cid * cap
+        slab = jax.lax.dynamic_slice(codes_cm, (start, 0), (cap, d))
+        rns = jax.lax.dynamic_slice(rn_cm, (start,), (cap,))
+        dot = jax.lax.dot_general(
+            qs, slab,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        scores = rns[None, :] - (2.0 * ratio) * dot.astype(jnp.float32)
+        nd, pos = jax.lax.approx_max_k(-scores, kp, recall_target=0.99)
+        rows = start + pos.astype(jnp.int32)
+        return 0, (-nd, rows)
+
+    _, (ds, rs) = jax.lax.scan(step, 0, (step_cluster, step_qidx))
+    return ds.reshape(-1, kp), rs.reshape(-1, kp)
+
+
 @register_index("IVFINT8")
 class IVFInt8Index:
     """Cluster-pruned int8 scan (sub-linear; `ef` acts as nprobe)."""
@@ -320,39 +352,12 @@ class IVFInt8Index:
             @jax.jit
             def scan(q8, codes_cm, rn_cm, step_cluster, step_qidx, slot_of,
                      ratio):
-                # Per-step per-cluster top-kp, STACKED (no carry scatter —
-                # the TPU sorted-scatter emitter aborts on a [Q, k] carry
-                # update; the host-known slot map makes the merge pure
-                # gathers instead).
-                def step(_, xs):
-                    cid, qi = xs
-                    qs = q8[qi]  # [QTILE, D] int8 gather
-                    start = cid * cap
-                    slab = jax.lax.dynamic_slice(
-                        codes_cm, (start, 0), (cap, d)
-                    )
-                    rns = jax.lax.dynamic_slice(rn_cm, (start,), (cap,))
-                    dot = jax.lax.dot_general(
-                        qs, slab,
-                        dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.int32,
-                    )
-                    scores = rns[None, :] - (2.0 * ratio) * dot.astype(
-                        jnp.float32
-                    )
-                    nd, pos = jax.lax.approx_max_k(
-                        -scores, kp, recall_target=0.99
-                    )
-                    rows = start + pos.astype(jnp.int32)
-                    return 0, (-nd, rows)
-
-                _, (ds, rs) = jax.lax.scan(
-                    step, 0, (step_cluster, step_qidx)
+                ds, rs = scan_probed_slabs(
+                    q8, codes_cm, rn_cm, step_cluster, step_qidx, ratio,
+                    cap, d, kp,
                 )
                 # each (query, probe) pair owns exactly one slot in the
                 # [S*QTILE, kp] stack; gather nprobe slots per query, merge
-                ds = ds.reshape(-1, kp)
-                rs = rs.reshape(-1, kp)
                 q = slot_of.shape[0]
                 cat_d = ds[slot_of].reshape(q, nprobe * kp)
                 cat_i = rs[slot_of].reshape(q, nprobe * kp)

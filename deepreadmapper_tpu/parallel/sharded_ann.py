@@ -28,6 +28,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from deepreadmapper_tpu.config import BuildConfig
 from deepreadmapper_tpu.index.hnsw import hnsw_search_device
+from deepreadmapper_tpu.index.ivf_int8 import (
+    _BIGF as _IVF_BIGF,
+    QTILE as _IVF_QTILE,
+    scan_probed_slabs,
+)
 from deepreadmapper_tpu.index.registry import _REGISTRY
 from deepreadmapper_tpu.ops import pq as pq_ops
 from deepreadmapper_tpu.ops import scan_kernel as sk
@@ -113,6 +118,12 @@ class ShardedANNIndex:
         elif index_type == "PQFLAT":
             self.kind = "pqflat"
             self.n_local = subs[0].codes.shape[0]
+            self.mode = None
+        elif index_type == "IVFINT8":
+            self.kind = "ivfint8"
+            # real rows per shard (the slab layout is bigger and per-shard;
+            # merge validity + global-id composition live in row space)
+            self.n_local = subs[0].ntotal
             self.mode = None
         else:
             self.kind = "graph"
@@ -222,6 +233,59 @@ class ShardedANNIndex:
                 (None, None, scales, cent2ds, rots),
             )
             return self._dev
+        if self.kind == "ivfint8":
+            # Shards must run ONE program, so per-shard slab layouts pad to
+            # a common slab count (extra slabs are all-empty: zero codes,
+            # row_ids -1, +inf norms — exactly how the engine marks empty
+            # slots, so correctness is untouched).  Slab CAPACITY must match
+            # across shards; it does by construction (equal per-shard row
+            # counts -> equal auto nlist -> equal cap), asserted here.
+            caps = {s.cap for s in self.subs}
+            if len(caps) != 1:
+                raise ValueError(
+                    "sharded IVFINT8 needs one slab capacity across shards "
+                    f"(equal shard sizes / nlist); got {sorted(caps)}"
+                )
+            cap = caps.pop()
+            d = self.subs[0].codes_cm.shape[1]
+            s_cnt = len(self.subs)
+            max_slabs = max(s.n_slabs for s in self.subs)
+            space = (max_slabs + 1) * cap
+            codes_np = np.zeros((s_cnt, space, d), np.int8)
+            rowid_np = np.full((s_cnt, space), -1, np.int32)
+            cmax = max(s.centroids.shape[0] for s in self.subs)
+            cent_np = np.zeros((s_cnt, cmax, d), np.float32)
+            cn_np = np.full((s_cnt, cmax), _IVF_BIGF, np.float32)
+            for si, sub in enumerate(self.subs):
+                rows = sub.codes_cm.shape[0]
+                codes_np[si, :rows] = sub.codes_cm
+                # local row ids fit int32 (per-shard row count is int32-
+                # bounded by build()); -1 marks empty slots
+                rowid_np[si, :rows] = sub.row_ids.astype(np.int32)
+                c = sub.centroids.shape[0]
+                cent_np[si, :c] = sub.centroids
+                cn_np[si, :c] = np.sum(
+                    sub.centroids.astype(np.float64) ** 2, axis=-1
+                ).astype(np.float32)
+            codes = jax.device_put(jnp.asarray(codes_np),
+                                   sh("shard", None, None))
+            rowid = jax.device_put(jnp.asarray(rowid_np), sh("shard", None))
+            from deepreadmapper_tpu.index.int8_flat import _row_norms
+
+            rn = jnp.where(rowid >= 0,
+                           jax.vmap(_row_norms)(codes), _IVF_BIGF)
+            rn = jax.device_put(rn, sh("shard", None))
+            cent = jax.device_put(jnp.asarray(cent_np),
+                                  sh("shard", None, None))
+            cn = jax.device_put(jnp.asarray(cn_np), sh("shard", None))
+            scales = jax.device_put(
+                jnp.asarray(np.array([s.scale for s in self.subs],
+                                     np.float32)),
+                sh("shard"),
+            )
+            self._dev = (None, (), None, codes,
+                         (rn, rowid, cent, cn, scales))
+            return self._dev
         if self.kind == "int8flat":
             # Pad n_local to a chunk multiple so the per-shard scan can bound
             # its [Q, chunk] score tensor (pad rows -> ids >= n_local, masked
@@ -309,6 +373,214 @@ class ShardedANNIndex:
             )
             self._pq_oracle = (rn, cent_flats)
         return self._pq_oracle
+
+    # ----------------------------------------------------------- ivf search
+
+    def _ivf_probe_fn(self, nprobe: int):
+        """Coarse-quantizer probe on every shard: [Q, D] fp32 queries ->
+        [Q, nprobe, S] int32 per-shard cluster ids.  Queries quantize to each
+        shard's own scale (shards train independent coarse codebooks, like
+        the per-shard PQ codebooks); the scale is computed on HOST over the
+        FULL batch (qscale [S]) so every data position — and the single-chip
+        engine — quantizes identically."""
+        key = ("ivf_probe", nprobe)
+        fn = self._fns.get(key)
+        if fn is not None:
+            return fn
+        mesh = self.mesh
+
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(
+                P("data", None),
+                P("shard", None, None),
+                P("shard", None),
+                P("shard"),
+                P("shard"),
+            ),
+            out_specs=P("data", None, "shard"),
+            check_vma=False,
+        )
+        def body(q, cent_s, cn_s, qscale_s, ratio_s):
+            q8f = jnp.round(q / qscale_s[0])
+            # qn is constant per row; padded dummy centroids carry +inf
+            # norms so top_k never selects them (nprobe <= real clusters)
+            d2 = cn_s[0][None, :] - 2.0 * ratio_s[0] * (q8f @ cent_s[0].T)
+            _, ids = jax.lax.top_k(-d2, nprobe)
+            return ids.astype(jnp.int32)[:, :, None]
+
+        fn = jax.jit(
+            lambda q, dev, qscale, ratio: body(
+                q, dev[4][2], dev[4][3], qscale, ratio
+            )
+        )
+        self._fns[key] = fn
+        return fn
+
+    def _ivf_scan_fn(self, k: int, k_local: int, kp: int, nprobe: int,
+                     s_pad: int, qb_local: int):
+        """Per-shard probed-slab scan + slot->row mapping + global merge.
+
+        The host-built plan arrays are sharded over BOTH mesh axes — every
+        (data position, shard) pair scans its own (slab, query-tile) steps —
+        and the merge is the same two-int32 all_gather used by every other
+        engine kind (local ROW ids, not slot ids, cross the collective)."""
+        key = ("ivf_scan", k, k_local, kp, nprobe, s_pad, qb_local)
+        fn = self._fns.get(key)
+        if fn is not None:
+            return fn
+        mesh = self.mesh
+        cap = self.subs[0].cap
+        d_dim = self.subs[0].codes_cm.shape[1]
+        merge = self._merge_fn(k)
+
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(
+                P("data", None),
+                P("shard", None, None),    # codes_cm stack
+                P("shard", None),          # slab-space row norms
+                P("shard", None),          # slab-space -> local row ids
+                P("shard"),                # int8 scales
+                P("shard"),                # host-computed query scales
+                P("shard"),                # sq/sc ratios
+                P("data", "shard", None),          # step_cluster
+                P("data", "shard", None, None),    # step query tiles
+                P("data", "shard", None, None),    # (query, probe) -> slot
+            ),
+            out_specs=(P("data", None), P("data", None), P("data", None)),
+            check_vma=False,
+        )
+        def body(q, codes_s, rn_s, rowid_s, scale_s, qscale_s, ratio_s,
+                 stepc_s, qidx_s, slot_s):
+            s = scale_s[0]
+            rat = ratio_s[0]
+            q8f = jnp.round(q / qscale_s[0])
+            qn = jnp.sum(q8f * q8f, axis=-1)
+            # dump row (plan index qb_local) gathers zeros
+            q8 = jnp.concatenate(
+                [q8f.astype(jnp.int8),
+                 jnp.zeros((1, q.shape[1]), jnp.int8)]
+            )
+            ds, rs = scan_probed_slabs(
+                q8, codes_s[0], rn_s[0], stepc_s[0, 0], qidx_s[0, 0], rat,
+                cap, d_dim, kp,
+            )
+            cat_d = ds[slot_s[0, 0]].reshape(qb_local, nprobe * kp)
+            cat_i = rs[slot_s[0, 0]].reshape(qb_local, nprobe * kp)
+            neg, sel = jax.lax.top_k(-cat_d, k_local)
+            slots = jnp.take_along_axis(cat_i, sel, axis=1)
+            rows = rowid_s[0][slots]  # -1 for empty slots -> merge-masked
+            # quantized int-score -> fp32 squared L2 so shards with
+            # different scales merge in one metric space
+            d_loc = (-neg + rat * rat * qn[:, None]) * (s * s)
+            return merge(d_loc, rows)
+
+        fn = jax.jit(
+            lambda q, dev, qscale, ratio, stepc, qidx, slot: body(
+                q, dev[3], dev[4][0], dev[4][1], dev[4][4], qscale, ratio,
+                stepc, qidx, slot,
+            )
+        )
+        self._fns[key] = fn
+        return fn
+
+    def _search_ivf(self, queries: np.ndarray, k: int, ef: int):
+        """IVF sharded search: probe (device) -> plan inversion (host, per
+        (data position, shard) pair — the same cheap integer work the
+        single-chip engine does) -> slab scan + merge (device)."""
+        queries = np.asarray(queries, np.float32)
+        nq = queries.shape[0]
+        n_data = self.mesh.shape["data"]
+        n_shard = self.mesh.shape["shard"]
+        dev = self._device()
+        min_nlist = min(s.centroids.shape[0] for s in self.subs)
+        nprobe = int(np.clip(ef if ef else 32, 1, min_nlist))
+        cap = self.subs[0].cap
+        k_eff = min(k, self.ntotal)
+        kp = min(k_eff, cap)
+        k_local = min(k_eff, nprobe * kp, self.n_local)
+        k_merge = min(k, n_shard * k_local)
+        probe_fn = self._ivf_probe_fn(nprobe)
+        sh = lambda *spec: NamedSharding(self.mesh, P(*spec))
+        # Host-side per-shard query quantization scales over the FULL batch
+        # — every data position (and the single-chip engine, bit-for-bit)
+        # quantizes queries identically.  Zero pad rows don't move the max.
+        from deepreadmapper_tpu.index.int8_flat import query_scale_ratio
+
+        sr = [query_scale_ratio(queries, sub.scale) for sub in self.subs]
+        qscale = jax.device_put(
+            jnp.asarray(np.array([x[0] for x in sr], np.float32)),
+            sh("shard"),
+        )
+        ratio = jax.device_put(
+            jnp.asarray(np.array([x[1] for x in sr], np.float32)),
+            sh("shard"),
+        )
+        q_super = _Q_SUPER_PER_DATA * n_data
+        out_i = np.full((nq, k), -1, np.int64)
+        out_d = np.full((nq, k), np.inf, np.float32)
+        for s in range(0, nq, q_super):
+            e = min(s + q_super, nq)
+            qb = queries[s:e]
+            width = q_super if nq > q_super else (
+                e - s + (-(e - s)) % n_data
+            )
+            if qb.shape[0] < width:
+                qb = np.pad(qb, ((0, width - qb.shape[0]), (0, 0)))
+            qj = jax.device_put(jnp.asarray(qb), sh("data", None))
+            probe = np.asarray(
+                probe_fn(qj, dev, qscale, ratio)
+            )  # [width, nprobe, S]
+            qb_local = width // n_data
+            # host plan inversion per (data position, shard); pad every
+            # plan to one step count so all devices run one program
+            plans = [
+                [
+                    self.subs[si]._build_plan(
+                        probe[db * qb_local:(db + 1) * qb_local, :, si]
+                    )
+                    for si in range(n_shard)
+                ]
+                for db in range(n_data)
+            ]
+            s_pad = max(
+                p[0].shape[0] for row in plans for p in row
+            )
+            stepc = np.zeros((n_data, n_shard, s_pad), np.int32)
+            qidx = np.full(
+                (n_data, n_shard, s_pad, _IVF_QTILE), qb_local, np.int32
+            )
+            slot = np.zeros(
+                (n_data, n_shard, qb_local, nprobe), np.int32
+            )
+            for db in range(n_data):
+                for si in range(n_shard):
+                    sc, qi, so = plans[db][si]
+                    stepc[db, si, : sc.shape[0]] = sc
+                    qidx[db, si, : qi.shape[0]] = qi
+                    slot[db, si] = so
+            fn = self._ivf_scan_fn(
+                k_merge, k_local, kp, nprobe, s_pad, qb_local
+            )
+            d, i, shd = fn(
+                qj, dev, qscale, ratio,
+                jax.device_put(jnp.asarray(stepc), sh("data", "shard", None)),
+                jax.device_put(
+                    jnp.asarray(qidx), sh("data", "shard", None, None)
+                ),
+                jax.device_put(
+                    jnp.asarray(slot), sh("data", "shard", None, None)
+                ),
+            )
+            out_i[s:e, :k_merge] = compose_global_ids(
+                np.asarray(i)[: e - s], np.asarray(shd)[: e - s],
+                self.n_local,
+            )
+            out_d[s:e, :k_merge] = np.asarray(d, np.float32)[: e - s]
+        return out_i, out_d
 
     # -------------------------------------------------------------- search
 
@@ -583,6 +855,9 @@ class ShardedANNIndex:
         Queries are data-parallel over the 'data' axis and replicated over
         'shard'; Q is padded up to a multiple of the 'data' axis."""
         queries = np.asarray(queries, np.float32)
+        if self.kind == "ivfint8":
+            # ef acts as nprobe (engine convention, index/ivf_int8.py)
+            return self._search_ivf(queries, k, ef)
         nq = queries.shape[0]
         n_data = self.mesh.shape["data"]
         dev = self._device()

@@ -38,6 +38,7 @@ def embed_fasta_windows(
     index would not fit HBM all at once (40M windows = 20 GB fp32 vs 5 GB
     int8)."""
     from deepreadmapper_tpu import native
+    from deepreadmapper_tpu.utils.progress import Progress
 
     use_native = native.available()
     outs = []
@@ -47,6 +48,10 @@ def embed_fasta_windows(
             emb = chunk_transform(jnp_asarray(emb))
         outs.append(emb if device_out else np.asarray(emb))
 
+    total = 2 * sum(
+        fasta_io.num_windows(len(r), ref_len, stride) for r in records
+    )
+    prog = Progress(total, "[BUILD] embed windows")
     for rec in records:
         nw = fasta_io.num_windows(len(rec), ref_len, stride)
         if nw == 0:
@@ -59,6 +64,7 @@ def embed_fasta_windows(
                 # upload instead of 246 B of uint16 tokens).
                 wire = native.pack_windows(rec, ref_len, stride, start, n)
                 collect(vectorizer.vectorize_wire(wire, device_out=True))
+                prog.update(2 * n)
                 continue
             if use_native:
                 tokens = native.tokenize_windows(
@@ -71,6 +77,8 @@ def embed_fasta_windows(
                 )
                 tokens = tok.tokenize_bytes(mat, lengths, vectorizer.max_len)
             collect(vectorizer.vectorize_tokens(tokens, device_out=True))
+            prog.update(2 * n)
+    prog.close()
     if not outs:
         z = np.zeros((0, 128), dtype=np.float32)
         if chunk_transform is not None:
@@ -112,7 +120,10 @@ def stream_embed_fasta_to_npy(
         2 * fasta_io.num_windows(len(r), ref_len, stride) for r in records
     )
     use_native = native.available()
-    with NpyStreamWriter(out_path, total, 128) as w:
+    from deepreadmapper_tpu.utils.progress import Progress
+
+    with NpyStreamWriter(out_path, total, 128) as w, \
+            Progress(total, "[INFERENCE] embed windows") as prog:
         for rec in records:
             nw = fasta_io.num_windows(len(rec), ref_len, stride)
             for start in range(0, nw, window_chunk):
@@ -128,6 +139,7 @@ def stream_embed_fasta_to_npy(
                     )
                     tokens = tok.tokenize_bytes(mat, lengths, vectorizer.max_len)
                 w.append(vectorizer.vectorize_tokens(tokens))
+                prog.update(2 * n)
     return total
 
 
@@ -347,14 +359,30 @@ def build_index(
         codes = np.asarray(embeddings)  # int8 download, 128 B/window
         n = codes.shape[0]
         if index_type == "IVFINT8":
-            if n_shards > 1:
-                raise NotImplementedError(
-                    "IVFINT8 sharding: shard with INT8FLAT (the fused "
-                    "sharded scan) or build one IVFINT8 index per host"
-                )
             from deepreadmapper_tpu.index.ivf_int8 import IVFInt8Index
 
-            engine = IVFInt8Index.build_from_codes(codes, int8_scale, cfg)
+            if n_shards > 1:
+                from deepreadmapper_tpu.parallel.mesh import make_mesh
+                from deepreadmapper_tpu.parallel.sharded_ann import (
+                    ShardedANNIndex,
+                )
+
+                pad = (-n) % n_shards
+                if pad:
+                    codes = np.concatenate(
+                        [codes, np.repeat(codes[-1:], pad, 0)]
+                    )
+                subs = [
+                    IVFInt8Index.build_from_codes(c, int8_scale, cfg)
+                    for c in np.split(codes, n_shards)
+                ]
+                engine = ShardedANNIndex(
+                    subs, make_mesh(n_shard=n_shards), n, "IVFINT8"
+                )
+            else:
+                engine = IVFInt8Index.build_from_codes(
+                    codes, int8_scale, cfg
+                )
             engine.save(index_prefix)
             return config
         if n_shards > 1:
