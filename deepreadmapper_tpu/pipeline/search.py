@@ -298,8 +298,11 @@ def run_pipeline(
                     record_lens=rec_lens, dense_off=dense_off,
                 )
         elif use_streaming:
+            from deepreadmapper_tpu.utils.progress import Progress
+
             bs = scfg.query_batch_size
             nq = query_emb.shape[0]
+            sprog = Progress(nq, "[MAIN] rerank+SAM reads")
             for start in range(0, nq, bs):
                 end = min(start + bs, nq)
                 ids_b, _d_b = pp.post_process_l2(
@@ -346,6 +349,8 @@ def run_pipeline(
                         primary_cigars=pc,
                         primary_pos_off=po,
                     )
+                sprog.update(end - start)
+            sprog.close()
         else:
             final_ids, final_d = pp.post_process_l2(
                 neighbors,

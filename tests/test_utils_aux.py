@@ -81,3 +81,25 @@ def test_inference_cli_streams_fasta(tmp_path, data_dir):
 
     want = embed_input_file(str(data_dir / "ecoli_150.fna"), 150, 1, Vectorizer(device_batch=2048))
     np.testing.assert_allclose(arr, want, rtol=1e-5, atol=1e-6)
+
+
+def test_progress_renders_and_closes(capsys):
+    """utils/progress.Progress: the reference's progressbar.h affordance —
+    renders count/percent/rate, terminates the line on close, and stays
+    completely silent when disabled."""
+    from deepreadmapper_tpu.utils.progress import Progress
+
+    p = Progress(100, "embed", enabled=True, min_interval=0.0)
+    p.update(40)
+    p.update(60)
+    p.close()
+    err = capsys.readouterr().err
+    assert "100/100" in err and "100%" in err and err.endswith("\n")
+
+    p2 = Progress(10, enabled=False)
+    p2.update(10)
+    p2.close()
+    assert capsys.readouterr().err == ""
+
+    with Progress(0, "empty", enabled=True, min_interval=0.0) as p3:
+        p3.update(0)  # zero-total inputs must not divide by zero
