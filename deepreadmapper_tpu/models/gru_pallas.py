@@ -17,12 +17,15 @@ shapes satisfy the (8,128) tiling rule):
                    zero-copy — no jnp flips)
   hT   [B, 64]     final carry (== hs[-1] fwd, hs[0] bwd)
 
-Both entry points carry a custom_vjp whose backward re-runs the
-differentiable lax.scan reference implementation, so fine-tuning
-(parallel/train.py) can differentiate straight through the kernel.
-fp32 numerics are bit-identical to the scan (same op order per step);
-bf16 inputs keep fp32 gates/carry in BOTH the kernel and the scan
-reference, so forward and gradient share one precision model.
+Both entry points carry a custom_vjp with a MANUAL backward
+(_bwd_manual): gates are recomputed in parallel from the saved hidden
+states (three batched matmuls — no sequential forward re-run), and the
+only sequential work is the light cotangent recurrence, itself a Pallas
+kernel on TPU (_pallas_bwd_scan: lam carried in VMEM across the reversed
+time walk) with a lax.scan fallback elsewhere.  fp32 numerics are
+bit-identical to the scan reference (same op order per step); bf16
+inputs keep fp32 gates/carry in BOTH the kernel and the scan reference,
+so forward and gradient share one precision model.
 """
 
 from __future__ import annotations
