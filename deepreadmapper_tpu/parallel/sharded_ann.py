@@ -251,6 +251,11 @@ class ShardedANNIndex:
             s_cnt = len(self.subs)
             max_slabs = max(s.n_slabs for s in self.subs)
             space = (max_slabs + 1) * cap
+            if space >= _INT8_CHUNK:
+                # round up to _row_norms' chunk so the norm pass stays
+                # chunked (whole-matrix int32 cast = 8x transient HBM at
+                # genome scale); the extra rows are plain empty slots
+                space += (-space) % _INT8_CHUNK
             codes_np = np.zeros((s_cnt, space, d), np.int8)
             rowid_np = np.full((s_cnt, space), -1, np.int32)
             cmax = max(s.centroids.shape[0] for s in self.subs)
