@@ -193,11 +193,12 @@ def main(argv=None) -> int:
         return 0
 
     if args.cmd == "inference":
-        from deepreadmapper_tpu.io.readers import FASTA_EXTS
+        from deepreadmapper_tpu.io.readers import FASTA_EXTS, FASTQ_EXTS
         from deepreadmapper_tpu.models.encoder import Vectorizer
         from deepreadmapper_tpu.pipeline.build import (
             embed_input_file,
             stream_embed_fasta_to_npy,
+            stream_embed_seqs_to_npy,
         )
 
         ext = os.path.splitext(args.input_file)[1].lower()
@@ -206,6 +207,15 @@ def main(argv=None) -> int:
             n = stream_embed_fasta_to_npy(
                 args.input_file, args.output, args.ref_len, args.stride,
                 Vectorizer(), window_chunk=args.batch_size,
+            )
+            print(f"[INFERENCE] streamed ({n}, 128) to {args.output}")
+            return 0
+        if ext in FASTQ_EXTS or ext == ".txt":
+            # Read files honor [batch_size] too (test_inference.cpp:49):
+            # embedding temporaries + npy write cadence stay bounded.
+            n = stream_embed_seqs_to_npy(
+                args.input_file, args.output, Vectorizer(),
+                batch=args.batch_size,
             )
             print(f"[INFERENCE] streamed ({n}, 128) to {args.output}")
             return 0

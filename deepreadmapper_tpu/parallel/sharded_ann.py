@@ -260,7 +260,7 @@ class ShardedANNIndex:
             rowid_np = np.full((s_cnt, space), -1, np.int32)
             cmax = max(s.centroids.shape[0] for s in self.subs)
             cent_np = np.zeros((s_cnt, cmax, d), np.float32)
-            cn_np = np.full((s_cnt, cmax), _IVF_BIGF, np.float32)
+            cmask_np = np.zeros((s_cnt, cmax), bool)
             for si, sub in enumerate(self.subs):
                 rows = sub.codes_cm.shape[0]
                 codes_np[si, :rows] = sub.codes_cm
@@ -269,9 +269,7 @@ class ShardedANNIndex:
                 rowid_np[si, :rows] = sub.row_ids.astype(np.int32)
                 c = sub.centroids.shape[0]
                 cent_np[si, :c] = sub.centroids
-                cn_np[si, :c] = np.sum(
-                    sub.centroids.astype(np.float64) ** 2, axis=-1
-                ).astype(np.float32)
+                cmask_np[si, :c] = True
             codes = jax.device_put(jnp.asarray(codes_np),
                                    sh("shard", None, None))
             rowid = jax.device_put(jnp.asarray(rowid_np), sh("shard", None))
@@ -282,7 +280,12 @@ class ShardedANNIndex:
             rn = jax.device_put(rn, sh("shard", None))
             cent = jax.device_put(jnp.asarray(cent_np),
                                   sh("shard", None, None))
-            cn = jax.device_put(jnp.asarray(cn_np), sh("shard", None))
+            # centroid norms on DEVICE in fp32 — the same op the single-chip
+            # engine runs, so probe ordering cannot diverge at rounding
+            # level; padded dummy rows get +inf so top_k never selects them
+            cn = jnp.where(jnp.asarray(cmask_np),
+                           jnp.sum(cent * cent, axis=-1), _IVF_BIGF)
+            cn = jax.device_put(cn, sh("shard", None))
             scales = jax.device_put(
                 jnp.asarray(np.array([s.scale for s in self.subs],
                                      np.float32)),
@@ -501,8 +504,12 @@ class ShardedANNIndex:
         n_data = self.mesh.shape["data"]
         n_shard = self.mesh.shape["shard"]
         dev = self._device()
-        min_nlist = min(s.centroids.shape[0] for s in self.subs)
-        nprobe = int(np.clip(ef if ef else 32, 1, min_nlist))
+        # nprobe may reach the LARGEST shard's cluster count so a full probe
+        # is exhaustive on every shard (post-split counts differ per shard);
+        # ids probed past a smaller shard's real clusters are +inf-norm
+        # dummies, clipped below and dup-redirected to the empty slab
+        ccounts = [s.centroids.shape[0] for s in self.subs]
+        nprobe = int(np.clip(ef if ef else 32, 1, max(ccounts)))
         cap = self.subs[0].cap
         k_eff = min(k, self.ntotal)
         kp = min(k_eff, cap)
@@ -527,6 +534,7 @@ class ShardedANNIndex:
         q_super = _Q_SUPER_PER_DATA * n_data
         out_i = np.full((nq, k), -1, np.int64)
         out_d = np.full((nq, k), np.inf, np.float32)
+        pending = []
         for s in range(0, nq, q_super):
             e = min(s + q_super, nq)
             qb = queries[s:e]
@@ -545,7 +553,14 @@ class ShardedANNIndex:
             plans = [
                 [
                     self.subs[si]._build_plan(
-                        probe[db * qb_local:(db + 1) * qb_local, :, si]
+                        # dummy probes (nprobe > this shard's real cluster
+                        # count) clip to the last real cluster; the plan's
+                        # duplicate-slab redirect then sends them to the
+                        # empty slab, so they scan nothing
+                        np.minimum(
+                            probe[db * qb_local:(db + 1) * qb_local, :, si],
+                            ccounts[si] - 1,
+                        )
                     )
                     for si in range(n_shard)
                 ]
@@ -570,7 +585,10 @@ class ShardedANNIndex:
             fn = self._ivf_scan_fn(
                 k_merge, k_local, kp, nprobe, s_pad, qb_local
             )
-            d, i, shd = fn(
+            # dispatch only — results fetch after the loop so batch i+1's
+            # probe overlaps batch i's scan (the probe fetch itself must
+            # block: the plan depends on it)
+            pending.append((s, e, fn(
                 qj, dev, qscale, ratio,
                 jax.device_put(jnp.asarray(stepc), sh("data", "shard", None)),
                 jax.device_put(
@@ -579,7 +597,8 @@ class ShardedANNIndex:
                 jax.device_put(
                     jnp.asarray(slot), sh("data", "shard", None, None)
                 ),
-            )
+            )))
+        for s, e, (d, i, shd) in pending:
             out_i[s:e, :k_merge] = compose_global_ids(
                 np.asarray(i)[: e - s], np.asarray(shd)[: e - s],
                 self.n_local,

@@ -51,34 +51,37 @@ def embed_fasta_windows(
     total = 2 * sum(
         fasta_io.num_windows(len(r), ref_len, stride) for r in records
     )
-    prog = Progress(total, "[BUILD] embed windows")
-    for rec in records:
-        nw = fasta_io.num_windows(len(rec), ref_len, stride)
-        if nw == 0:
-            continue
-        for start in range(0, nw, window_chunk):
-            n = min(window_chunk, nw - start)
-            if use_native and vectorizer.max_len == tok.MAX_LEN:
-                # Fused windowing+revcomp+2-bit packing straight from the
-                # genome bytes; tokenization happens on device (48 B/window
-                # upload instead of 246 B of uint16 tokens).
-                wire = native.pack_windows(rec, ref_len, stride, start, n)
-                collect(vectorizer.vectorize_wire(wire, device_out=True))
-                prog.update(2 * n)
+    with Progress(total, "[BUILD] embed windows") as prog:
+        for rec in records:
+            nw = fasta_io.num_windows(len(rec), ref_len, stride)
+            if nw == 0:
                 continue
-            if use_native:
-                tokens = native.tokenize_windows(
-                    rec, ref_len, stride, start, n, vectorizer.max_len
-                )
-            else:
-                positions = (start + np.arange(n, dtype=np.int64)) * stride
-                mat, lengths = fasta_io.window_byte_matrix(
-                    rec, positions, ref_len, vectorizer.max_len
-                )
-                tokens = tok.tokenize_bytes(mat, lengths, vectorizer.max_len)
-            collect(vectorizer.vectorize_tokens(tokens, device_out=True))
-            prog.update(2 * n)
-    prog.close()
+            for start in range(0, nw, window_chunk):
+                n = min(window_chunk, nw - start)
+                if use_native and vectorizer.max_len == tok.MAX_LEN:
+                    # Fused windowing+revcomp+2-bit packing straight from
+                    # the genome bytes; tokenization happens on device
+                    # (48 B/window upload instead of 246 B uint16 tokens).
+                    wire = native.pack_windows(rec, ref_len, stride, start, n)
+                    collect(vectorizer.vectorize_wire(wire, device_out=True))
+                    prog.update(2 * n)
+                    continue
+                if use_native:
+                    tokens = native.tokenize_windows(
+                        rec, ref_len, stride, start, n, vectorizer.max_len
+                    )
+                else:
+                    positions = (
+                        (start + np.arange(n, dtype=np.int64)) * stride
+                    )
+                    mat, lengths = fasta_io.window_byte_matrix(
+                        rec, positions, ref_len, vectorizer.max_len
+                    )
+                    tokens = tok.tokenize_bytes(
+                        mat, lengths, vectorizer.max_len
+                    )
+                collect(vectorizer.vectorize_tokens(tokens, device_out=True))
+                prog.update(2 * n)
     if not outs:
         z = np.zeros((0, 128), dtype=np.float32)
         if chunk_transform is not None:
@@ -165,6 +168,75 @@ def embed_input_file(
         seqs = read_txt(path)
         return vectorizer.vectorize(seqs)
     raise ValueError(f"Unsupported reference input: {path}")
+
+
+def stream_embed_seqs_to_npy(
+    path: str,
+    out_path: str,
+    vectorizer: Vectorizer,
+    batch: int = 65536,
+) -> int:
+    """Stream-embed a sequence file (txt / FASTQ: one embedding per read) in
+    fixed-size batches straight into a pre-headered npy — the reference
+    `inference` tool's [batch_size] semantics (test_inference.cpp:49,
+    160-227): embedding temporaries and write cadence are bounded by
+    `batch` no matter how many reads the file holds.  Returns rows."""
+    from deepreadmapper_tpu.io.npy_stream import NpyStreamWriter
+    from deepreadmapper_tpu.utils.progress import Progress
+
+    ext = os.path.splitext(path)[1].lower()
+    if ext in FASTQ_EXTS:
+        from deepreadmapper_tpu.io.fastq import parse_fastq_bytes
+
+        mat, lengths, _ = parse_fastq_bytes(path)
+
+        def embed_slice(s, e):
+            tokens = tok.tokenize_bytes_fast(
+                mat[s:e], lengths[s:e], vectorizer.max_len
+            )
+            return vectorizer.vectorize_tokens(tokens)
+
+        total = mat.shape[0]
+    else:
+        seqs = read_txt(path)
+
+        def embed_slice(s, e):
+            return vectorizer.vectorize(seqs[s:e])
+
+        total = len(seqs)
+    with NpyStreamWriter(out_path, total, 128) as w, \
+            Progress(total, "[INFERENCE] embed reads") as prog:
+        for s in range(0, total, batch):
+            e = min(s + batch, total)
+            w.append(embed_slice(s, e))
+            prog.update(e - s)
+    return total
+
+
+def _build_sharded_from_rows(rows: np.ndarray, ntotal: int, n_shards: int,
+                             make_sub, index_type: str):
+    """Shared shard-splitting for pre-encoded rows (codes or embeddings):
+    pad by repeating the last real row (pad rows are masked at merge by the
+    manifest's ntotal), enforce the int32 local-id bound that
+    ShardedANNIndex.build enforces, split evenly, wrap.
+
+    One definition for the PQFLAT / INT8FLAT / IVFINT8 stream branches so
+    the invariants can't drift apart."""
+    from deepreadmapper_tpu.parallel.mesh import make_mesh
+    from deepreadmapper_tpu.parallel.sharded_ann import ShardedANNIndex
+
+    pad = (-ntotal) % n_shards
+    if pad:
+        rows = np.concatenate([rows, np.repeat(rows[-1:], pad, 0)])
+    if rows.shape[0] // n_shards >= 2**31:
+        raise NotImplementedError(
+            f"{rows.shape[0] // n_shards} rows/shard exceeds the int32 "
+            "local-id space; use more shards"
+        )
+    subs = [make_sub(c) for c in np.split(rows, n_shards)]
+    return ShardedANNIndex(
+        subs, make_mesh(n_shard=n_shards), ntotal, index_type
+    )
 
 
 def build_index(
@@ -334,19 +406,10 @@ def build_index(
 
         n = codes.shape[0]
         if n_shards > 1:
-            from deepreadmapper_tpu.parallel.mesh import make_mesh
-            from deepreadmapper_tpu.parallel.sharded_ann import ShardedANNIndex
-
-            pad = (-n) % n_shards
-            if pad:
-                codes = np.concatenate([codes, np.repeat(codes[-1:], pad, 0)])
-            subs = [
-                # shards share one codebook (and OPQ rotation, if any)
-                PQFlatIndex(c, cb, c.shape[0], rot)
-                for c in np.split(codes, n_shards)
-            ]
-            engine = ShardedANNIndex(
-                subs, make_mesh(n_shard=n_shards), n, "PQFLAT"
+            # shards share one codebook (and OPQ rotation, if any)
+            engine = _build_sharded_from_rows(
+                codes, n, n_shards,
+                lambda c: PQFlatIndex(c, cb, c.shape[0], rot), "PQFLAT",
             )
         else:
             engine = PQFlatIndex(codes, cb, n, rot)
@@ -362,22 +425,13 @@ def build_index(
             from deepreadmapper_tpu.index.ivf_int8 import IVFInt8Index
 
             if n_shards > 1:
-                from deepreadmapper_tpu.parallel.mesh import make_mesh
-                from deepreadmapper_tpu.parallel.sharded_ann import (
-                    ShardedANNIndex,
-                )
-
-                pad = (-n) % n_shards
-                if pad:
-                    codes = np.concatenate(
-                        [codes, np.repeat(codes[-1:], pad, 0)]
-                    )
-                subs = [
-                    IVFInt8Index.build_from_codes(c, int8_scale, cfg)
-                    for c in np.split(codes, n_shards)
-                ]
-                engine = ShardedANNIndex(
-                    subs, make_mesh(n_shard=n_shards), n, "IVFINT8"
+                # per-shard coarse quantizers, like per-shard PQ codebooks
+                engine = _build_sharded_from_rows(
+                    codes, n, n_shards,
+                    lambda c: IVFInt8Index.build_from_codes(
+                        c, int8_scale, cfg
+                    ),
+                    "IVFINT8",
                 )
             else:
                 engine = IVFInt8Index.build_from_codes(
@@ -386,18 +440,10 @@ def build_index(
             engine.save(index_prefix)
             return config
         if n_shards > 1:
-            from deepreadmapper_tpu.parallel.mesh import make_mesh
-            from deepreadmapper_tpu.parallel.sharded_ann import ShardedANNIndex
-
-            pad = (-n) % n_shards
-            if pad:
-                codes = np.concatenate([codes, np.repeat(codes[-1:], pad, 0)])
-            subs = [
-                Int8FlatIndex(c, int8_scale, c.shape[0])
-                for c in np.split(codes, n_shards)
-            ]
-            engine = ShardedANNIndex(
-                subs, make_mesh(n_shard=n_shards), n, "INT8FLAT"
+            engine = _build_sharded_from_rows(
+                codes, n, n_shards,
+                lambda c: Int8FlatIndex(c, int8_scale, c.shape[0]),
+                "INT8FLAT",
             )
         else:
             engine = Int8FlatIndex(codes, int8_scale, n)

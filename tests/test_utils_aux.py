@@ -103,3 +103,37 @@ def test_progress_renders_and_closes(capsys):
 
     with Progress(0, "empty", enabled=True, min_interval=0.0) as p3:
         p3.update(0)  # zero-total inputs must not divide by zero
+
+
+def test_inference_cli_streams_reads(tmp_path, data_dir):
+    """FASTQ/txt read files honor the [batch_size] positional: streamed in
+    chunks through the pre-headered npy writer, matching the one-shot
+    embedding path (reference test_inference.cpp:49 batch semantics)."""
+    from deepreadmapper_tpu import cli
+    from deepreadmapper_tpu.models.encoder import Vectorizer
+    from deepreadmapper_tpu.pipeline.build import embed_input_file
+
+    out = str(tmp_path / "emb.npy")
+    rc = cli.main(
+        ["inference", str(data_dir / "test_data.fastq"), "150", out, "64"]
+    )
+    assert rc == 0
+    arr = np.load(out)
+    assert arr.shape == (150, 128)
+    want = embed_input_file(
+        str(data_dir / "test_data.fastq"), 150, 1, Vectorizer()
+    )
+    np.testing.assert_allclose(arr, want, rtol=1e-5, atol=1e-6)
+
+    # txt input (one sequence per line) through the same streamed path;
+    # txt sequences tokenize as-is (no explicit '<seq>' wrap — that's the
+    # FASTQ parser's doing), so the oracle is vectorize() on the same lines
+    txt = tmp_path / "reads.txt"
+    with open(data_dir / "test_data.fastq") as f:
+        seqs = [l.strip() for i, l in enumerate(f) if i % 4 == 1][:10]
+    txt.write_text("\n".join(seqs) + "\n")
+    out2 = str(tmp_path / "emb2.npy")
+    rc = cli.main(["inference", str(txt), "150", out2, "4"])
+    assert rc == 0
+    want2 = Vectorizer().vectorize(seqs)
+    np.testing.assert_allclose(np.load(out2), want2, rtol=1e-5, atol=1e-6)
