@@ -131,6 +131,9 @@ class ShardedANNIndex:
             self.mode = subs[0].storage_mode
         self._dev = None
         self._fns: dict = {}
+        # multi-process mode (load_distributed): self.subs holds ONLY this
+        # process's shards; device arrays are assembled process-locally
+        self._local_only = False
 
     @classmethod
     def build(
@@ -168,6 +171,18 @@ class ShardedANNIndex:
         return cls(subs, mesh, n, index_type)
 
     # -------------------------------------------------------------- device
+
+    def _put(self, arr_np, *spec):
+        """Host array -> sharded device array.  In multi-process mode
+        (load_distributed) arr_np is this PROCESS'S portion — the stack of
+        its own shards — and the global array assembles across processes;
+        single-controller mode device_puts the full host array."""
+        shd = NamedSharding(self.mesh, P(*spec))
+        if self._local_only:
+            return jax.make_array_from_process_local_data(
+                shd, np.asarray(arr_np)
+            )
+        return jax.device_put(jnp.asarray(arr_np), shd)
 
     def _device(self):
         if self._dev is not None:
@@ -297,24 +312,22 @@ class ShardedANNIndex:
         if self.kind == "int8flat":
             # Pad n_local to a chunk multiple so the per-shard scan can bound
             # its [Q, chunk] score tensor (pad rows -> ids >= n_local, masked
-            # inside _int8_topk and again at the merge).
+            # inside _int8_topk and again at the merge).  In multi-process
+            # mode the stack holds only THIS process's shards; _put
+            # assembles the process-spanning global array.
             stack = np.stack([s.codes for s in self.subs])
             pad = (-self.n_local) % min(_INT8_CHUNK, max(self.n_local, 1))
             if pad:
                 stack = np.pad(stack, ((0, 0), (0, pad), (0, 0)))
-            codes = jax.device_put(
-                jnp.asarray(stack),
-                sh("shard", None, None),
-            )
+            codes = self._put(stack, "shard", None, None)
             from deepreadmapper_tpu.index.int8_flat import _row_norms
 
-            rn = jax.device_put(
-                jax.vmap(_row_norms)(codes),  # chunked: no whole-matrix cast
-                sh("shard", None),
-            )
-            scales = jax.device_put(
-                jnp.asarray(np.array([s.scale for s in self.subs], np.float32)),
-                sh("shard"),
+            # chunked (no whole-matrix cast); eager vmap over the sharded
+            # global array runs SPMD on every process and inherits the
+            # P('shard', None) layout
+            rn = jax.vmap(_row_norms)(codes)
+            scales = self._put(
+                np.array([s.scale for s in self.subs], np.float32), "shard"
             )
             self._dev = (None, (), None, codes, (rn, scales))
             return self._dev
@@ -908,9 +921,7 @@ class ShardedANNIndex:
             width = q_super if nq > q_super else (e - s + (-(e - s)) % align)
             if qb.shape[0] < width:
                 qb = np.pad(qb, ((0, width - qb.shape[0]), (0, 0)))
-            qj = jax.device_put(
-                jnp.asarray(qb), NamedSharding(self.mesh, P("data", None))
-            )
+            qj = self._put(qb, "data", None)
             pending.append((s, e, fn(qj, dev)))
         for s, e, (d, i, shd) in pending:
             out_i[s:e] = compose_global_ids(
@@ -954,3 +965,34 @@ class ShardedANNIndex:
             for si in range(n_shard)
         ]
         return cls(subs, mesh, int(meta["ntotal"]), meta["inner"])
+
+    @classmethod
+    def load_distributed(cls, index_prefix: str):
+        """Multi-process load: every process loads ONLY its own shards
+        (distributed.load_own_shards) and contributes them to
+        process-spanning global device arrays; search() then runs the SAME
+        SPMD shard_map program on every process, so the per-shard scans run
+        host-locally and the two-int32 all_gather merge crosses the process
+        boundary on the collective fabric.
+
+        Contract: jax.distributed.initialize() first; every process must
+        call search() with the IDENTICAL query batch (replicated read
+        stream) — the mesh is 1 x n_shard over all devices, so results come
+        back fully replicated and every host sees the complete answer.
+        Falls back to the single-controller load() behavior when run with
+        one process.  INT8FLAT (the production engine) only, for now."""
+        from deepreadmapper_tpu.parallel.distributed import load_own_shards
+        from deepreadmapper_tpu.parallel.mesh import make_mesh
+
+        subs, _mine, meta = load_own_shards(index_prefix)
+        n_shard = int(meta["n_shard"])
+        mesh = make_mesh(n_data=1, n_shard=n_shard)
+        obj = cls(subs, mesh, int(meta["ntotal"]), meta["inner"])
+        obj._local_only = jax.process_count() > 1
+        if obj._local_only and obj.kind != "int8flat":
+            raise NotImplementedError(
+                f"multi-process sharded search supports INT8FLAT; "
+                f"got {meta['inner']} (load per-host and merge on host, "
+                "tests/test_distributed.py pattern)"
+            )
+        return obj

@@ -86,6 +86,21 @@ if pid == 0:
     )
     assert ids1 == [1] and len(subs1) == 1
 multihost_utils.sync_global_devices("verified")
+
+# --- TRUE cross-process sharded search: each process contributes ONLY its
+# own shard to the process-spanning device arrays; the shard_map program and
+# its all_gather merge run across BOTH processes over the collective client
+from deepreadmapper_tpu.parallel.sharded_ann import ShardedANNIndex
+
+idx = ShardedANNIndex.load_distributed(prefix)
+assert idx._local_only and len(idx.subs) == 1 and idx.ntotal == n
+q = X[::10]  # identical replicated query batch on every process
+gids, gd = idx.search(q, 3)
+assert gids.shape == (10, 3)
+# int8 top-1 must be the query row itself (global ids span both shards)
+assert np.array_equal(gids[:, 0], np.arange(0, n, 10)), gids[:, 0]
+assert np.all(np.diff(gd, axis=1) >= -1e-4)
+multihost_utils.sync_global_devices("distributed-search-ok")
 print(f"CHILD{pid}-OK", flush=True)
 """
 
