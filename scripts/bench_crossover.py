@@ -112,9 +112,11 @@ def ivf_mode(args):
               flush=True)
 
         for nprobe in args.nprobe:
-            ids_v, _ = ivf.search(emb, k, ef=nprobe)  # warm this plan shape
+            ids_v, _ = ivf.search(emb, k, ef=nprobe,
+                                  approx_probe=args.approx_probe)  # warm
             t0 = time.time()
-            ids_v, _ = ivf.search(emb, k, ef=nprobe)
+            ids_v, _ = ivf.search(emb, k, ef=nprobe,
+                                  approx_probe=args.approx_probe)
             dt = time.time() - t0
             rr = float(np.mean([
                 len(truth[i] & set(ids_v[i].tolist())) / len(truth[i])
@@ -192,6 +194,9 @@ if __name__ == "__main__":
     ap.add_argument("--nlist", type=int, default=0, help="0 = auto ~sqrt(N)")
     ap.add_argument("--nprobe", type=int, nargs="+",
                     default=[8, 16, 32, 64, 128])
+    ap.add_argument("--approx-probe", action="store_true",
+                    help="probe clusters with approx_max_k (vs full-sort "
+                         "top_k) — A/B the probe cost at large nlist")
     ap.add_argument("--cpu", action="store_true",
                     help="force the host CPU backend (smoke tests)")
     cli = ap.parse_args()

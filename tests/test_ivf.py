@@ -161,3 +161,19 @@ def test_auto_nlist():
     for n in (5000, 123_456, 2_000_000):
         v = auto_nlist(n)
         assert v & (v - 1) == 0
+
+
+def test_approx_probe_matches_exact_probe(clustered):
+    """approx_probe swaps the probe's full-sort top_k for approx_max_k —
+    the probed cluster sets must agree at >=0.99 recall, so the final
+    candidates barely move."""
+    x = clustered
+    q = x[:64] + np.float32(0.01)
+    idx = IVFInt8Index.build(x)
+    nprobe = max(4, idx.nlist // 4)
+    ie, _ = idx.search(q, 10, ef=nprobe)
+    ia, _ = idx.search(q, 10, ef=nprobe, approx_probe=True)
+    overlap = np.mean(
+        [len(set(ie[i]) & set(ia[i])) / 10 for i in range(len(q))]
+    )
+    assert overlap >= 0.95, f"approx-probe overlap {overlap}"
