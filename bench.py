@@ -15,6 +15,8 @@ batch-100 requests, 128 threads).
 """
 
 import json
+import os
+import threading
 
 import jax.numpy as jnp
 import sys
@@ -24,8 +26,34 @@ import numpy as np
 
 NOMINAL_BASELINE_QPS = 1000.0
 
+# The remote TPU tunnel can be down (device enumeration then blocks
+# forever).  The driver needs ONE JSON line either way — emit an error
+# record and exit instead of hanging.  10 min >> the normal ~2-4 min run
+# (first compile ~40 s).
+_WATCHDOG_S = 600
+
+
+def _watchdog():
+    print(
+        json.dumps(
+            {
+                "metric": "ecoli150_dense_e2e_qps",
+                "value": 0.0,
+                "unit": "queries/s",
+                "vs_baseline": 0.0,
+                "error": f"bench exceeded {_WATCHDOG_S}s — TPU tunnel "
+                         "unreachable or degraded",
+            }
+        ),
+        flush=True,
+    )
+    os._exit(2)
+
 
 def main() -> None:
+    t = threading.Timer(_WATCHDOG_S, _watchdog)
+    t.daemon = True
+    t.start()
     from deepreadmapper_tpu.io import fasta as fasta_io
     from deepreadmapper_tpu.io.fastq import parse_fastq_bytes
     from deepreadmapper_tpu.models.encoder import Vectorizer, encode_packed

@@ -391,3 +391,26 @@ def test_sharded_pqflat_with_opq():
     want_i = np.take_along_axis(all_i, order, axis=1)
     for r in range(len(q)):
         assert set(ids[r]) == set(want_i[r]), f"row {r}"
+
+
+def test_load_distributed_single_process_fallback(tmp_path, data, mesh):
+    """load_distributed with one process == plain load (all shards local,
+    single-controller device arrays), so the same entry point serves both
+    deployments."""
+    from deepreadmapper_tpu.parallel.sharded_ann import ShardedANNIndex
+
+    x = np.tanh(data[:1024]).astype(np.float32)
+    q = np.clip(x[:16] + np.float32(0.01), -1, 1)
+    idx = ShardedANNIndex.build(x, mesh, index_type="INT8FLAT")
+    prefix = str(tmp_path / "dsi")
+    idx.save(prefix)
+    got = ShardedANNIndex.load_distributed(prefix)
+    assert not got._local_only and len(got.subs) == 4
+    got_i, got_d = got.search(q, 8)
+    # oracle on the SAME mesh shape (load_distributed pins n_data=1; the
+    # int8 query scale is computed per data block, so distances differ in
+    # the last ulps across mesh shapes)
+    oracle = ShardedANNIndex.load(prefix, make_mesh(n_data=1, n_shard=4))
+    want_i, want_d = oracle.search(q, 8)
+    np.testing.assert_array_equal(got_i, want_i)
+    np.testing.assert_allclose(got_d, want_d, rtol=1e-6)
