@@ -172,6 +172,17 @@ class ShardedANNIndex:
 
     # -------------------------------------------------------------- device
 
+    def _global_max(self, v: int) -> int:
+        """Max of a per-process host scalar across processes (identity in
+        single-controller mode).  Multi-process SPMD needs one shape
+        everywhere; slab/centroid/plan-step counts are data-dependent per
+        shard, so the padded shapes take the global max."""
+        if not self._local_only:
+            return int(v)
+        from jax.experimental import multihost_utils
+
+        return int(np.max(multihost_utils.process_allgather(np.array([v]))))
+
     def _put(self, arr_np, *spec):
         """Host array -> sharded device array.  In multi-process mode
         (load_distributed) arr_np is this PROCESS'S portion — the stack of
@@ -256,7 +267,9 @@ class ShardedANNIndex:
             # across shards; it does by construction (equal per-shard row
             # counts -> equal auto nlist -> equal cap), asserted here.
             caps = {s.cap for s in self.subs}
-            if len(caps) != 1:
+            if len(caps) != 1 or self._global_max(
+                max(caps)
+            ) != -self._global_max(-min(caps)):
                 raise ValueError(
                     "sharded IVFINT8 needs one slab capacity across shards "
                     f"(equal shard sizes / nlist); got {sorted(caps)}"
@@ -264,7 +277,7 @@ class ShardedANNIndex:
             cap = caps.pop()
             d = self.subs[0].codes_cm.shape[1]
             s_cnt = len(self.subs)
-            max_slabs = max(s.n_slabs for s in self.subs)
+            max_slabs = self._global_max(max(s.n_slabs for s in self.subs))
             space = (max_slabs + 1) * cap
             if space >= _INT8_CHUNK:
                 # round up to _row_norms' chunk so the norm pass stays
@@ -273,7 +286,9 @@ class ShardedANNIndex:
                 space += (-space) % _INT8_CHUNK
             codes_np = np.zeros((s_cnt, space, d), np.int8)
             rowid_np = np.full((s_cnt, space), -1, np.int32)
-            cmax = max(s.centroids.shape[0] for s in self.subs)
+            cmax = self._global_max(
+                max(s.centroids.shape[0] for s in self.subs)
+            )
             cent_np = np.zeros((s_cnt, cmax, d), np.float32)
             cmask_np = np.zeros((s_cnt, cmax), bool)
             for si, sub in enumerate(self.subs):
@@ -285,26 +300,21 @@ class ShardedANNIndex:
                 c = sub.centroids.shape[0]
                 cent_np[si, :c] = sub.centroids
                 cmask_np[si, :c] = True
-            codes = jax.device_put(jnp.asarray(codes_np),
-                                   sh("shard", None, None))
-            rowid = jax.device_put(jnp.asarray(rowid_np), sh("shard", None))
+            codes = self._put(codes_np, "shard", None, None)
+            rowid = self._put(rowid_np, "shard", None)
             from deepreadmapper_tpu.index.int8_flat import _row_norms
 
+            # eager SPMD ops over the sharded global arrays; layouts inherit
             rn = jnp.where(rowid >= 0,
                            jax.vmap(_row_norms)(codes), _IVF_BIGF)
-            rn = jax.device_put(rn, sh("shard", None))
-            cent = jax.device_put(jnp.asarray(cent_np),
-                                  sh("shard", None, None))
+            cent = self._put(cent_np, "shard", None, None)
             # centroid norms on DEVICE in fp32 — the same op the single-chip
             # engine runs, so probe ordering cannot diverge at rounding
             # level; padded dummy rows get +inf so top_k never selects them
-            cn = jnp.where(jnp.asarray(cmask_np),
+            cn = jnp.where(self._put(cmask_np, "shard", None),
                            jnp.sum(cent * cent, axis=-1), _IVF_BIGF)
-            cn = jax.device_put(cn, sh("shard", None))
-            scales = jax.device_put(
-                jnp.asarray(np.array([s.scale for s in self.subs],
-                                     np.float32)),
-                sh("shard"),
+            scales = self._put(
+                np.array([s.scale for s in self.subs], np.float32), "shard"
             )
             self._dev = (None, (), None, codes,
                          (rn, rowid, cent, cn, scales))
@@ -508,6 +518,20 @@ class ShardedANNIndex:
         self._fns[key] = fn
         return fn
 
+    def _fetch_probe_local(self, arr):
+        """[Q, nprobe, S] probe output -> host.  Single-controller: the
+        whole array.  Multi-process: only this process's shard columns (in
+        shard-id order — own_shards blocks are contiguous ascending), since
+        plans are built for local shards only."""
+        if not self._local_only:
+            return np.asarray(arr)
+        cols = {}
+        for shard in arr.addressable_shards:
+            c = shard.index[2].start or 0
+            if c not in cols:  # shard-axis replicas carry identical data
+                cols[c] = np.asarray(shard.data)
+        return np.concatenate([cols[c] for c in sorted(cols)], axis=2)
+
     def _search_ivf(self, queries: np.ndarray, k: int, ef: int):
         """IVF sharded search: probe (device) -> plan inversion (host, per
         (data position, shard) pair — the same cheap integer work the
@@ -515,35 +539,32 @@ class ShardedANNIndex:
         queries = np.asarray(queries, np.float32)
         nq = queries.shape[0]
         n_data = self.mesh.shape["data"]
-        n_shard = self.mesh.shape["shard"]
         dev = self._device()
+        # In multi-process mode this process plans only for ITS shards
+        # (self.subs is the local slice, in shard-id order)
+        s_loc = len(self.subs)
         # nprobe may reach the LARGEST shard's cluster count so a full probe
         # is exhaustive on every shard (post-split counts differ per shard);
         # ids probed past a smaller shard's real clusters are +inf-norm
         # dummies, clipped below and dup-redirected to the empty slab
         ccounts = [s.centroids.shape[0] for s in self.subs]
-        nprobe = int(np.clip(ef if ef else 32, 1, max(ccounts)))
+        nprobe = int(
+            np.clip(ef if ef else 32, 1, self._global_max(max(ccounts)))
+        )
         cap = self.subs[0].cap
         k_eff = min(k, self.ntotal)
         kp = min(k_eff, cap)
         k_local = min(k_eff, nprobe * kp, self.n_local)
-        k_merge = min(k, n_shard * k_local)
+        k_merge = min(k, self.mesh.shape["shard"] * k_local)
         probe_fn = self._ivf_probe_fn(nprobe)
-        sh = lambda *spec: NamedSharding(self.mesh, P(*spec))
         # Host-side per-shard query quantization scales over the FULL batch
         # — every data position (and the single-chip engine, bit-for-bit)
         # quantizes queries identically.  Zero pad rows don't move the max.
         from deepreadmapper_tpu.index.int8_flat import query_scale_ratio
 
         sr = [query_scale_ratio(queries, sub.scale) for sub in self.subs]
-        qscale = jax.device_put(
-            jnp.asarray(np.array([x[0] for x in sr], np.float32)),
-            sh("shard"),
-        )
-        ratio = jax.device_put(
-            jnp.asarray(np.array([x[1] for x in sr], np.float32)),
-            sh("shard"),
-        )
+        qscale = self._put(np.array([x[0] for x in sr], np.float32), "shard")
+        ratio = self._put(np.array([x[1] for x in sr], np.float32), "shard")
         q_super = _Q_SUPER_PER_DATA * n_data
         out_i = np.full((nq, k), -1, np.int64)
         out_d = np.full((nq, k), np.inf, np.float32)
@@ -556,45 +577,44 @@ class ShardedANNIndex:
             )
             if qb.shape[0] < width:
                 qb = np.pad(qb, ((0, width - qb.shape[0]), (0, 0)))
-            qj = jax.device_put(jnp.asarray(qb), sh("data", None))
-            probe = np.asarray(
-                probe_fn(qj, dev, qscale, ratio)
-            )  # [width, nprobe, S]
+            qj = self._put(qb, "data", None)
+            # [width, nprobe, S_loc]: this process's probe columns
+            probe = self._fetch_probe_local(probe_fn(qj, dev, qscale, ratio))
             qb_local = width // n_data
-            # host plan inversion per (data position, shard); pad every
-            # plan to one step count so all devices run one program
+            # host plan inversion per (data position, local shard); pad
+            # every plan to one step count so all devices run one program
             plans = [
                 [
-                    self.subs[si]._build_plan(
+                    self.subs[li]._build_plan(
                         # dummy probes (nprobe > this shard's real cluster
                         # count) clip to the last real cluster; the plan's
                         # duplicate-slab redirect then sends them to the
                         # empty slab, so they scan nothing
                         np.minimum(
-                            probe[db * qb_local:(db + 1) * qb_local, :, si],
-                            ccounts[si] - 1,
+                            probe[db * qb_local:(db + 1) * qb_local, :, li],
+                            ccounts[li] - 1,
                         )
                     )
-                    for si in range(n_shard)
+                    for li in range(s_loc)
                 ]
                 for db in range(n_data)
             ]
-            s_pad = max(
-                p[0].shape[0] for row in plans for p in row
+            s_pad = self._global_max(
+                max(p[0].shape[0] for row in plans for p in row)
             )
-            stepc = np.zeros((n_data, n_shard, s_pad), np.int32)
+            stepc = np.zeros((n_data, s_loc, s_pad), np.int32)
             qidx = np.full(
-                (n_data, n_shard, s_pad, _IVF_QTILE), qb_local, np.int32
+                (n_data, s_loc, s_pad, _IVF_QTILE), qb_local, np.int32
             )
             slot = np.zeros(
-                (n_data, n_shard, qb_local, nprobe), np.int32
+                (n_data, s_loc, qb_local, nprobe), np.int32
             )
             for db in range(n_data):
-                for si in range(n_shard):
-                    sc, qi, so = plans[db][si]
-                    stepc[db, si, : sc.shape[0]] = sc
-                    qidx[db, si, : qi.shape[0]] = qi
-                    slot[db, si] = so
+                for li in range(s_loc):
+                    sc, qi, so = plans[db][li]
+                    stepc[db, li, : sc.shape[0]] = sc
+                    qidx[db, li, : qi.shape[0]] = qi
+                    slot[db, li] = so
             fn = self._ivf_scan_fn(
                 k_merge, k_local, kp, nprobe, s_pad, qb_local
             )
@@ -603,13 +623,9 @@ class ShardedANNIndex:
             # block: the plan depends on it)
             pending.append((s, e, fn(
                 qj, dev, qscale, ratio,
-                jax.device_put(jnp.asarray(stepc), sh("data", "shard", None)),
-                jax.device_put(
-                    jnp.asarray(qidx), sh("data", "shard", None, None)
-                ),
-                jax.device_put(
-                    jnp.asarray(slot), sh("data", "shard", None, None)
-                ),
+                self._put(stepc, "data", "shard", None),
+                self._put(qidx, "data", "shard", None, None),
+                self._put(slot, "data", "shard", None, None),
             )))
         for s, e, (d, i, shd) in pending:
             out_i[s:e, :k_merge] = compose_global_ids(
@@ -989,10 +1005,10 @@ class ShardedANNIndex:
         mesh = make_mesh(n_data=1, n_shard=n_shard)
         obj = cls(subs, mesh, int(meta["ntotal"]), meta["inner"])
         obj._local_only = jax.process_count() > 1
-        if obj._local_only and obj.kind != "int8flat":
+        if obj._local_only and obj.kind not in ("int8flat", "ivfint8"):
             raise NotImplementedError(
-                f"multi-process sharded search supports INT8FLAT; "
-                f"got {meta['inner']} (load per-host and merge on host, "
-                "tests/test_distributed.py pattern)"
+                f"multi-process sharded search supports INT8FLAT and "
+                f"IVFINT8; got {meta['inner']} (load per-host and merge on "
+                "host, tests/test_distributed.py pattern)"
             )
         return obj

@@ -101,6 +101,21 @@ assert gids.shape == (10, 3)
 assert np.array_equal(gids[:, 0], np.arange(0, n, 10)), gids[:, 0]
 assert np.all(np.diff(gd, axis=1) >= -1e-4)
 multihost_utils.sync_global_devices("distributed-search-ok")
+
+# --- same flow for the >100M-row engine: per-host IVF builds (independent
+# coarse quantizers), cross-process probe -> per-host plan inversion ->
+# slab scan -> all_gather merge
+ivf_prefix = prefix + "_ivf"
+dist.build_own_shards(
+    lambda s, e: X[s:e], n, n_shards=2, index_prefix=ivf_prefix,
+    index_type="IVFINT8",
+)
+multihost_utils.sync_global_devices("ivf-shards-built")
+ivf = ShardedANNIndex.load_distributed(ivf_prefix)
+assert ivf._local_only and ivf.kind == "ivfint8"
+vids, vd = ivf.search(q, 3, ef=1_000_000)  # full probe = exhaustive
+assert np.array_equal(vids[:, 0], np.arange(0, n, 10)), vids[:, 0]
+multihost_utils.sync_global_devices("distributed-ivf-ok")
 print(f"CHILD{pid}-OK", flush=True)
 """
 
