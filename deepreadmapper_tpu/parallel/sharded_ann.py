@@ -201,9 +201,9 @@ class ShardedANNIndex:
         mesh = self.mesh
         sh = lambda *spec: NamedSharding(mesh, P(*spec))
         if self.kind == "flat":
-            vecs = jax.device_put(
-                jnp.asarray(np.stack([s.embeddings for s in self.subs])),
-                sh("shard", None, None),
+            vecs = self._put(
+                np.stack([s.embeddings for s in self.subs]),
+                "shard", None, None,
             )
             self._dev = (None, (), None, vecs, None)
             return self._dev
@@ -214,9 +214,9 @@ class ShardedANNIndex:
             if pad:  # pad so the per-shard ADC scan can chunk (rows masked)
                 stack = np.pad(stack, ((0, 0), (0, pad), (0, 0)))
             # transposed [S, m, Np]: a [Np, m] device array lane-pads 16x
-            codes = jax.device_put(
-                jnp.asarray(np.swapaxes(stack, 1, 2).astype(np.int32)),
-                sh("shard", None, None),
+            codes = self._put(
+                np.swapaxes(stack, 1, 2).astype(np.int32),
+                "shard", None, None,
             )
             # Reconstruct-then-int8-scan per shard: each shard carries its
             # own codebook; shards merge in fp32 squared-L2 (d * scale^2).
@@ -225,34 +225,30 @@ class ShardedANNIndex:
             # and the padded host stack is NOT cached (it would double host
             # RAM for the code store at genome scale; the subs keep their
             # own codes and the oracle path rebuilds it on first use).
-            cent2ds = jax.device_put(
-                jnp.asarray(
+            cent2ds = jnp.asarray(
+                self._put(
                     np.stack(
                         [
                             s.cb8.cent8.reshape(-1, s.cb8.cent8.shape[-1])
                             for s in self.subs
                         ]
                     ).astype(np.float32),
-                    jnp.bfloat16,
+                    "shard", None, None,
                 ),
-                sh("shard", None, None),
+                jnp.bfloat16,
             )
-            scales = jax.device_put(
-                jnp.asarray(
-                    np.array([s.cb8.scale for s in self.subs], np.float32)
-                ),
-                sh("shard"),
+            scales = self._put(
+                np.array([s.cb8.scale for s in self.subs], np.float32),
+                "shard",
             )
             d = self.subs[0].codes.shape[1] * self.subs[0].cb8.cent8.shape[-1]
-            rots = jax.device_put(
-                jnp.asarray(
-                    np.stack([
-                        s.rot if s.rot is not None
-                        else np.eye(d, dtype=np.float32)
-                        for s in self.subs
-                    ])
-                ),
-                sh("shard", None, None),
+            rots = self._put(
+                np.stack([
+                    s.rot if s.rot is not None
+                    else np.eye(d, dtype=np.float32)
+                    for s in self.subs
+                ]),
+                "shard", None, None,
             )
             self._dev = (
                 None, (), None, codes,
@@ -378,7 +374,6 @@ class ShardedANNIndex:
         scan, built on first use (host 8-pass gathers + a 4 B/row upload the
         fused path never needs)."""
         if getattr(self, "_pq_oracle", None) is None:
-            sh = lambda *spec: NamedSharding(self.mesh, P(*spec))
             # Rebuild the padded stack from the subs (transient — dropped
             # when this frame exits) instead of caching it in _device().
             stack = np.stack([s.codes for s in self.subs])
@@ -392,17 +387,24 @@ class ShardedANNIndex:
                     for c, s in zip(stack, self.subs)
                 ]
             )
-            rn = jax.device_put(jnp.asarray(rn_np), sh("shard", None))
-            cent_flats = jax.device_put(
-                jnp.asarray(
+            rn = self._put(rn_np, "shard", None)
+            cent_flats = jnp.asarray(
+                self._put(
                     np.stack(
-                        [pq_ops.cent8_block_diag(s.cb8.cent8) for s in self.subs]
+                        [pq_ops.cent8_block_diag(s.cb8.cent8)
+                         for s in self.subs]
                     ),
-                    jnp.bfloat16,
+                    "shard", None, None,
                 ),
-                sh("shard", None, None),
+                jnp.bfloat16,
             )
             self._pq_oracle = (rn, cent_flats)
+            # fill the dev tuple's placeholder slots so search fns can take
+            # the oracle as ARGUMENTS (closing over process-spanning arrays
+            # is illegal in multi-process mode)
+            dev = self._device()
+            _, _, scales, cent2ds, rots = dev[4]
+            self._dev = dev[:4] + ((rn, cent_flats, scales, cent2ds, rots),)
         return self._pq_oracle
 
     # ----------------------------------------------------------- ivf search
@@ -780,10 +782,10 @@ class ShardedANNIndex:
                     d = d * (s * s)
                     return merge(d, i)
 
-                rn_dev, cf_dev = self._pq_oracle_dev()
+                self._pq_oracle_dev()  # fills dev[4][0]/dev[4][1]
                 fn = jax.jit(
                     lambda q, dev: body(
-                        q, dev[3], rn_dev, cf_dev, dev[4][2], dev[4][4]
+                        q, dev[3], dev[4][0], dev[4][1], dev[4][2], dev[4][4]
                     )
                 )
         elif self.kind == "int8flat":
@@ -913,10 +915,12 @@ class ShardedANNIndex:
             return self._search_ivf(queries, k, ef)
         nq = queries.shape[0]
         n_data = self.mesh.shape["data"]
-        dev = self._device()
+        self._device()
         ef_eff = max(ef, k)
         k_local = min(ef_eff, self.n_local)
         fn = self._get_search_fn(k, ef_eff, k_local)
+        # AFTER fn creation: the pqflat oracle path fills dev[4][0:2]
+        dev = self._device()
         # Bound per-call queries (8192/data position) so the per-shard score
         # tensors stay in HBM; pad every batch to the same shape so all
         # batches share one compiled program.
@@ -1005,10 +1009,11 @@ class ShardedANNIndex:
         mesh = make_mesh(n_data=1, n_shard=n_shard)
         obj = cls(subs, mesh, int(meta["ntotal"]), meta["inner"])
         obj._local_only = jax.process_count() > 1
-        if obj._local_only and obj.kind not in ("int8flat", "ivfint8"):
+        if obj._local_only and obj.kind == "graph":
             raise NotImplementedError(
-                f"multi-process sharded search supports INT8FLAT and "
-                f"IVFINT8; got {meta['inner']} (load per-host and merge on "
-                "host, tests/test_distributed.py pattern)"
+                "multi-process sharded search supports the scan engines "
+                f"(FLAT/INT8FLAT/IVFINT8/PQFLAT); got {meta['inner']} — "
+                "load per-host and merge on host (tests/test_distributed.py "
+                "pattern)"
             )
         return obj

@@ -116,6 +116,36 @@ assert ivf._local_only and ivf.kind == "ivfint8"
 vids, vd = ivf.search(q, 3, ef=1_000_000)  # full probe = exhaustive
 assert np.array_equal(vids[:, 0], np.arange(0, n, 10)), vids[:, 0]
 multihost_utils.sync_global_devices("distributed-ivf-ok")
+
+# --- PQFLAT across processes (per-shard codebooks, bf16 ADC fused merge)
+from deepreadmapper_tpu.config import BuildConfig
+
+pq_prefix = prefix + "_pq"
+dist.build_own_shards(
+    lambda s, e: X[s:e], n, n_shards=2, index_prefix=pq_prefix,
+    cfg=BuildConfig(nbits=4, kmeans_iters=5), index_type="PQFLAT",
+)
+multihost_utils.sync_global_devices("pq-shards-built")
+pq = ShardedANNIndex.load_distributed(pq_prefix)
+assert pq._local_only and pq.kind == "pqflat"
+pids_, pd_ = pq.search(q, 3)
+assert pids_.shape == (10, 3) and pids_.min() >= 0 and pids_.max() < n
+top1_pq = float(np.mean(pids_[:, 0] == np.arange(0, n, 10)))
+assert top1_pq >= 0.8, top1_pq  # PQ4 quantization noise allowance
+multihost_utils.sync_global_devices("distributed-pq-ok")
+
+# --- FLAT across processes (exact): must equal ground truth bit-for-bit
+fl_prefix = prefix + "_flat"
+dist.build_own_shards(
+    lambda s, e: X[s:e], n, n_shards=2, index_prefix=fl_prefix,
+    index_type="FLAT",
+)
+multihost_utils.sync_global_devices("flat-shards-built")
+fl = ShardedANNIndex.load_distributed(fl_prefix)
+fids_, fd_ = fl.search(q, 3)
+assert np.array_equal(fids_[:, 0], np.arange(0, n, 10)), fids_[:, 0]
+assert np.allclose(fd_[:, 0], 0.0, atol=1e-4)
+multihost_utils.sync_global_devices("distributed-flat-ok")
 print(f"CHILD{pid}-OK", flush=True)
 """
 
