@@ -35,13 +35,18 @@ def load_index(index_prefix: str):
     if os.path.exists(os.path.join(index_prefix, "sharded.txt")):
         # Mesh-sharded index (parallel/sharded_ann.py): one sub-index per
         # shard axis position; builds a ('data','shard') mesh over the
-        # available devices.
+        # available devices.  Under jax.distributed (multiple processes)
+        # each host loads ONLY its own shards and search runs the same
+        # SPMD program everywhere (load_distributed).
         from deepreadmapper_tpu.parallel.mesh import make_mesh
         from deepreadmapper_tpu.parallel.sharded_ann import (
             ShardedANNIndex,
             read_manifest,
         )
+        import jax
 
+        if jax.process_count() > 1:
+            return ShardedANNIndex.load_distributed(index_prefix), config
         n_shard = int(read_manifest(index_prefix)["n_shard"])
         mesh = make_mesh(n_shard=n_shard)
         return ShardedANNIndex.load(index_prefix, mesh), config

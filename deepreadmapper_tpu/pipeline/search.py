@@ -168,6 +168,13 @@ def run_pipeline(
         neighbors, distances = engine.search(query_emb, k_clusters, ef)
     t_search = time.time() - t0
 
+    # Under jax.distributed every process runs the identical pipeline
+    # (replicated reads, SPMD sharded search); only process 0 touches the
+    # output files so hosts on a shared filesystem don't race.
+    import jax as _jax
+
+    is_main = _jax.process_index() == 0
+    write_sam = write_sam and is_main
     os.makedirs(output_dir, exist_ok=True)
     sam_file = os.path.join(output_dir, "results.sam")
     have_seqs = query_seqs is not None
@@ -388,7 +395,7 @@ def run_pipeline(
                 )
     t_post = time.time() - t0
 
-    if not use_streaming:
+    if not use_streaming and is_main:
         if dense_rerank and stride == 1 and final_d is not None:
             # Extension path: surface the exactly-reranked results (the
             # reference always saves raw ANN output, main.cpp:371-384, and

@@ -192,3 +192,88 @@ def test_two_process_distributed_build_and_reload(tmp_path):
     assert os.path.exists(os.path.join(prefix, "sharded.txt"))
     assert os.path.exists(os.path.join(prefix, "shard_0", "int8.npz"))
     assert os.path.exists(os.path.join(prefix, "shard_1", "int8.npz"))
+
+_CHILD_PIPELINE = r"""
+import os
+import sys
+
+sys.path.insert(0, os.getcwd())
+port, pid, prefix, outdir = (
+    sys.argv[1], int(sys.argv[2]), sys.argv[3], sys.argv[4]
+)
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=f"127.0.0.1:{port}", num_processes=2, process_id=pid
+)
+import numpy as np
+from jax.experimental import multihost_utils
+
+from deepreadmapper_tpu.pipeline.search import run_pipeline
+
+# registry auto-selects load_distributed under 2 processes: each host loads
+# only its shard; the pipeline embeds the (replicated) reads locally, the
+# sharded search merges across processes, process 0 writes npy + SAM
+res = run_pipeline(
+    prefix, "tests/data/test_data.fastq", "tests/data/ecoli_150.fna",
+    ef=128, k=16, output_dir=outdir,
+)
+ids = res["neighbors"]
+assert ids.shape == (150, 16), ids.shape
+names = [l[1:] for l in open("tests/data/test_data.fastq").read().splitlines()[0::4]]
+hits = sum(
+    bool(np.any(np.abs((ids[r] // 2).astype(np.int64)
+                       - (int(nm.split("_")[1]) - 1)) <= 2))
+    for r, nm in enumerate(names)
+)
+assert hits >= 135, f"{hits}/150"
+multihost_utils.sync_global_devices("pipeline-done")
+print(f"CHILD{pid}-OK", flush=True)
+"""
+
+
+def test_two_process_pipeline_fastq_to_sam(tmp_path):
+    """Full multi-host pipeline: parent builds the 2-shard INT8FLAT index,
+    two jax.distributed processes each load ONLY their shard and run the
+    FASTQ pipeline; the sharded search merges across processes and exactly
+    one host writes the outputs."""
+    from deepreadmapper_tpu.pipeline.build import build_index
+
+    prefix = str(tmp_path / "dp_idx")
+    outdir = str(tmp_path / "dp_out")
+    build_index("tests/data/ecoli_150.fna", prefix, 150,
+                index_type="INT8FLAT", n_shards=2)
+
+    child = tmp_path / "child_pipeline.py"
+    child.write_text(_CHILD_PIPELINE)
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.pop("PYTHONPATH", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(child), str(port), str(pid), prefix, outdir],
+            cwd=os.getcwd(), env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for pid, p in enumerate(procs):
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+        assert p.returncode == 0, f"child {pid} failed:\n{out}"
+    assert "CHILD0-OK" in outs[0] and "CHILD1-OK" in outs[1]
+    # process 0 wrote the outputs exactly once
+    import numpy as np
+
+    ids = np.load(os.path.join(outdir, "indices.npy"))
+    assert ids.shape == (150, 16)
+    sam = open(os.path.join(outdir, "results.sam")).read().splitlines()
+    assert sum(1 for l in sam if not l.startswith("@")) == 150 * 16
