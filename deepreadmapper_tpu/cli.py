@@ -75,6 +75,11 @@ def _add_build(sub):
     p.add_argument("--shards", type=int, default=1,
                    help="shard the index over N mesh positions "
                         "(multi-chip/multi-host serving)")
+    p.add_argument("--distributed", action="store_true",
+                   help="per-host sharded build under jax.distributed: "
+                        "every process embeds + persists ONLY its own "
+                        "shards (its genome slice); run the same command "
+                        "on every host")
     p.add_argument("--opq", action="store_true",
                    help="learn an orthogonal rotation before PQ (FAISS "
                         "OPQMatrix analog; improves PQFLAT recall at the "
@@ -180,15 +185,34 @@ def main(argv=None) -> int:
             nlist=args.nlist,
             level_mode=args.level_mode,
         )
-        config = build_index(
-            args.ref_file,
-            args.index_prefix,
-            args.ref_len,
-            stride=args.stride,
-            index_type=args.index_type,
-            build_cfg=cfg,
-            n_shards=args.shards,
-        )
+        if args.distributed:
+            from deepreadmapper_tpu.parallel.distributed import (
+                init_distributed,
+            )
+            from deepreadmapper_tpu.pipeline.build import (
+                build_index_distributed,
+            )
+
+            init_distributed()
+            config = build_index_distributed(
+                args.ref_file,
+                args.index_prefix,
+                args.ref_len,
+                stride=args.stride,
+                index_type=args.index_type,
+                build_cfg=cfg,
+                n_shards=args.shards,
+            )
+        else:
+            config = build_index(
+                args.ref_file,
+                args.index_prefix,
+                args.ref_len,
+                stride=args.stride,
+                index_type=args.index_type,
+                build_cfg=cfg,
+                n_shards=args.shards,
+            )
         print(f"[BUILD INDEX] saved {config['n_vects']} vectors to {args.index_prefix}")
         return 0
 

@@ -104,6 +104,120 @@ def jnp_concat(xs):
     return jnp.concatenate(xs, axis=0) if len(xs) > 1 else xs[0]
 
 
+def _embed_record_windows(rec, ref_len: int, stride: int, first: int,
+                          n: int, vectorizer: Vectorizer) -> np.ndarray:
+    """Embed windows [first, first+n) of ONE record -> [2n, 128] fp32
+    (interleaved fwd/rev, the row = 2*window + strand convention)."""
+    from deepreadmapper_tpu import native
+
+    if native.available() and vectorizer.max_len == tok.MAX_LEN:
+        wire = native.pack_windows(rec, ref_len, stride, first, n)
+        return np.asarray(vectorizer.vectorize_wire(wire, device_out=True))
+    if native.available():
+        tokens = native.tokenize_windows(
+            rec, ref_len, stride, first, n, vectorizer.max_len
+        )
+    else:
+        positions = (first + np.arange(n, dtype=np.int64)) * stride
+        mat, lengths = fasta_io.window_byte_matrix(
+            rec, positions, ref_len, vectorizer.max_len
+        )
+        tokens = tok.tokenize_bytes(mat, lengths, vectorizer.max_len)
+    return np.asarray(vectorizer.vectorize_tokens(tokens, device_out=True))
+
+
+def make_fasta_embed_rows(
+    fasta_path: str,
+    ref_len: int,
+    stride: int,
+    vectorizer: Vectorizer,
+    window_chunk: int = 65536,
+):
+    """embed_rows(start, end) factory for per-host distributed builds
+    (parallel/distributed.build_own_shards): embeds exactly the global
+    VECTOR-row range [start, end) of the FASTA's interleaved (fwd, rev)
+    window stream — record-aware, so a host touches only the genome bytes
+    its shard covers."""
+    records = fasta_io.parse_fasta_records(fasta_path)
+    nwins = [fasta_io.num_windows(len(r), ref_len, stride) for r in records]
+    bounds = np.concatenate(
+        [[0], np.cumsum([2 * n for n in nwins])]
+    ).astype(np.int64)
+
+    def embed_rows(start: int, end: int) -> np.ndarray:
+        outs = []
+        for ri, rec in enumerate(records):
+            lo = int(max(start, bounds[ri]))
+            hi = int(min(end, bounds[ri + 1]))
+            if lo >= hi:
+                continue
+            # covering window range (rows are 2*window + strand)
+            rlo = lo - int(bounds[ri])
+            rhi = hi - int(bounds[ri])
+            w0 = rlo // 2
+            w1 = (rhi + 1) // 2
+            parts = []
+            for ws in range(w0, w1, window_chunk):
+                n = min(window_chunk, w1 - ws)
+                parts.append(
+                    _embed_record_windows(
+                        rec, ref_len, stride, ws, n, vectorizer
+                    )
+                )
+            emb = parts[0] if len(parts) == 1 else np.concatenate(parts)
+            outs.append(emb[rlo - 2 * w0: rhi - 2 * w0])
+        if not outs:
+            return np.zeros((0, 128), np.float32)
+        return outs[0] if len(outs) == 1 else np.concatenate(outs)
+
+    embed_rows.n_vectors = int(bounds[-1])
+    return embed_rows
+
+
+def build_index_distributed(
+    ref_file: str,
+    index_prefix: str,
+    ref_len: int,
+    stride: int = 1,
+    index_type: str = "INT8FLAT",
+    build_cfg: BuildConfig | None = None,
+    vectorizer: Vectorizer | None = None,
+    n_shards: int = 1,
+) -> dict:
+    """Per-host sharded build: every jax.distributed process embeds and
+    persists ONLY its own shards (its slice of the genome's window rows);
+    process 0 writes the manifest and config.txt.  Single-process calls
+    build every shard — same on-disk layout as build_index(n_shards=...).
+    """
+    import jax
+
+    from deepreadmapper_tpu.parallel.distributed import build_own_shards
+
+    cfg = build_cfg or BuildConfig()
+    vectorizer = vectorizer or Vectorizer()
+    embed_rows = make_fasta_embed_rows(ref_file, ref_len, stride, vectorizer)
+    n_vectors = embed_rows.n_vectors
+    build_own_shards(
+        embed_rows, n_vectors, n_shards, index_prefix,
+        cfg=cfg, index_type=index_type,
+    )
+    config = {
+        "index_type": index_type,
+        "stride": stride,
+        "ref_len": ref_len,
+        "n_vects": n_vectors,
+        "dim": 128,
+        "M_hnsw": cfg.m_hnsw,
+        "EFC": cfg.efc,
+        "M_pq": cfg.m_pq,
+        "nbits": cfg.nbits,
+        "index_file": "sharded",
+    }
+    if jax.process_index() == 0:
+        save_config(config, index_prefix)
+    return config
+
+
 def stream_embed_fasta_to_npy(
     fasta_path: str,
     out_path: str,
