@@ -42,6 +42,11 @@ def _add_pipeline(sub):
         help="exactly re-rank ANN candidates even on a dense (stride=1) "
              "index; recovers near-exact top-1 on quantized engines (PQFLAT)",
     )
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host serving under jax.distributed: each "
+                        "host loads ONLY its index shards, the search "
+                        "merges across hosts, process 0 writes outputs; "
+                        "run the same command on every host")
 
 
 def _add_build(sub):
@@ -148,6 +153,12 @@ def main(argv=None) -> int:
     if args.cmd == "pipeline":
         from deepreadmapper_tpu.pipeline.search import run_pipeline
 
+        if args.distributed:
+            from deepreadmapper_tpu.parallel.distributed import (
+                init_distributed,
+            )
+
+            init_distributed()
         res = run_pipeline(
             args.index_prefix,
             args.query_file,

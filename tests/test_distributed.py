@@ -210,7 +210,16 @@ jax.distributed.initialize(
 import numpy as np
 from jax.experimental import multihost_utils
 
+from deepreadmapper_tpu.pipeline.build import build_index_distributed
 from deepreadmapper_tpu.pipeline.search import run_pipeline
+
+# per-host sharded BUILD: each process embeds ONLY its half of the genome's
+# window rows and persists its own shard; process 0 writes manifest+config
+build_index_distributed(
+    "tests/data/ecoli_150.fna", prefix, 150,
+    index_type="INT8FLAT", n_shards=2,
+)
+multihost_utils.sync_global_devices("built")
 
 # registry auto-selects load_distributed under 2 processes: each host loads
 # only its shard; the pipeline embeds the (replicated) reads locally, the
@@ -234,16 +243,13 @@ print(f"CHILD{pid}-OK", flush=True)
 
 
 def test_two_process_pipeline_fastq_to_sam(tmp_path):
-    """Full multi-host pipeline: parent builds the 2-shard INT8FLAT index,
-    two jax.distributed processes each load ONLY their shard and run the
-    FASTQ pipeline; the sharded search merges across processes and exactly
-    one host writes the outputs."""
-    from deepreadmapper_tpu.pipeline.build import build_index
-
+    """Full multi-host deployment end-to-end: two jax.distributed
+    processes each EMBED + BUILD only their own genome slice/shard
+    (build_index_distributed), load only their shard, and run the FASTQ
+    pipeline; the sharded search merges across processes and exactly one
+    host writes the outputs."""
     prefix = str(tmp_path / "dp_idx")
     outdir = str(tmp_path / "dp_out")
-    build_index("tests/data/ecoli_150.fna", prefix, 150,
-                index_type="INT8FLAT", n_shards=2)
 
     child = tmp_path / "child_pipeline.py"
     child.write_text(_CHILD_PIPELINE)
