@@ -133,6 +133,8 @@ def main() -> None:
         best_dev = min(best_dev, time.time() - t0)
     device_qps = nq / best_dev
 
+    t.cancel()  # success: a slow interpreter teardown must not emit the
+    # watchdog's error record as a SECOND json line after this one
     print(
         json.dumps(
             {

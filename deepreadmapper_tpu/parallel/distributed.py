@@ -59,9 +59,13 @@ def init_distributed(
 def plan_shards(n_vectors: int, n_shards: int) -> list[tuple[int, int]]:
     """Row ranges per shard, padded so every shard holds the same count
     (fixed shapes for the collectives); the pad rows are masked by id bound.
-    """
+    Ranges clamp to [0, n_vectors] — the ceil split can leave tail shards
+    empty (n=5, shards=4 -> per=2 -> shard 3 owns nothing)."""
     per = -(-n_vectors // n_shards)
-    return [(s * per, min((s + 1) * per, n_vectors)) for s in range(n_shards)]
+    return [
+        (min(s * per, n_vectors), min((s + 1) * per, n_vectors))
+        for s in range(n_shards)
+    ]
 
 
 def own_shards(
@@ -93,14 +97,18 @@ def build_own_shards(
     index_type: str = "INT8FLAT",
     process_id: int | None = None,
     num_processes: int | None = None,
+    codes_scale: float | None = None,
 ) -> list[int]:
     """Per-host build-own-shard: encode and persist ONLY this host's shards.
 
-    embed_rows(start, end) -> [end-start, D] fp32 produces the embeddings for
-    a global row range (the caller wires it to its windowed-FASTA embedder so
-    a host never touches another host's genome slice).  Every shard directory
-    is self-contained (codes + codebook/scale), so hosts need no collective
-    during the build — process 0 additionally writes sharded.txt.
+    embed_rows(start, end) -> [end-start, D] produces the rows for a global
+    range (the caller wires it to its windowed-FASTA embedder so a host
+    never touches another host's genome slice) — fp32 embeddings normally,
+    or int8 CODES at the given codes_scale (the quantized fast path for
+    INT8FLAT/IVFINT8: 4x less tunnel traffic and no fp32 shard in host
+    RAM).  Every shard directory is self-contained (codes +
+    codebook/scale), so hosts need no collective during the build —
+    process 0 additionally writes sharded.txt.
 
     Returns the shard ids this process built.
     """
@@ -112,21 +120,42 @@ def build_own_shards(
             f"{per} rows/shard exceeds the int32 local-id space; use more "
             "shards"
         )
+    if codes_scale is not None and index_type not in ("INT8FLAT", "IVFINT8"):
+        raise ValueError(
+            f"codes_scale applies to the int8-coded engines; got {index_type}"
+        )
     eng = _REGISTRY[index_type]
     mine = own_shards(n_shards, process_id, num_processes)
     os.makedirs(index_prefix, exist_ok=True)
     for si in mine:
         start, end = ranges[si]
-        emb = np.asarray(embed_rows(start, end), np.float32)
+        emb = np.asarray(embed_rows(start, end))
         if emb.shape[0] != end - start:
             raise ValueError(
                 f"embed_rows({start},{end}) returned {emb.shape[0]} rows"
             )
-        if emb.shape[0] < per:  # tail shard: repeat the last real row
-            emb = np.concatenate(
-                [emb, np.repeat(emb[-1:], per - emb.shape[0], axis=0)]
+        if emb.shape[0] < per:
+            # tail shard: repeat the last real row (an entirely-empty tail
+            # shard pads with the GLOBAL last row — same convention as
+            # ShardedANNIndex.build's repeat-the-last-row padding)
+            pad_src = (
+                emb[-1:]
+                if emb.shape[0]
+                else np.asarray(embed_rows(n_vectors - 1, n_vectors))
             )
-        sub = eng.build(emb, cfg) if hasattr(eng, "build") else eng(emb)
+            emb = np.concatenate(
+                [emb, np.repeat(pad_src, per - emb.shape[0], axis=0)]
+            )
+        if codes_scale is not None:
+            if index_type == "INT8FLAT":
+                sub = eng(np.asarray(emb, np.int8), codes_scale,
+                          emb.shape[0])
+            else:  # IVFINT8
+                sub = eng.build_from_codes(
+                    np.asarray(emb, np.int8), codes_scale, cfg
+                )
+        else:
+            sub = eng.build(emb, cfg) if hasattr(eng, "build") else eng(emb)
         sub_dir = os.path.join(index_prefix, f"shard_{si}")
         os.makedirs(sub_dir, exist_ok=True)
         sub.save(sub_dir)

@@ -20,6 +20,26 @@ import jax
 from jax.sharding import Mesh
 
 
+def make_distributed_mesh(n_shard: int, devices=None) -> Mesh:
+    """('data','shard') mesh for multi-process serving: SHARD columns are
+    contiguous device blocks, aligned with own_shards' contiguous
+    per-process shard assignment — shard s's devices belong to the process
+    that loaded shard s's files.  Each data row takes one device from
+    EVERY shard column, so every process holds every query block and the
+    merged results are fully addressable everywhere (the replicated-query
+    contract).  n_data = devices // n_shard."""
+    devices = devices if devices is not None else jax.devices()
+    nd = len(devices)
+    if nd % n_shard:
+        raise ValueError(
+            f"{nd} devices cannot hold {n_shard} equal shard columns; "
+            "choose a shard count dividing the device count"
+        )
+    n_data = nd // n_shard
+    arr = np.asarray(devices).reshape(n_shard, n_data).T
+    return Mesh(arr, axis_names=("data", "shard"))
+
+
 def make_mesh(
     n_data: int | None = None,
     n_shard: int = 1,

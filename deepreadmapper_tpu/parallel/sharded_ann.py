@@ -263,14 +263,18 @@ class ShardedANNIndex:
             # across shards; it does by construction (equal per-shard row
             # counts -> equal auto nlist -> equal cap), asserted here.
             caps = {s.cap for s in self.subs}
-            if len(caps) != 1 or self._global_max(
-                max(caps)
-            ) != -self._global_max(-min(caps)):
+            # run BOTH collectives unconditionally: a short-circuited raise
+            # on one process while the others sit in process_allgather would
+            # deadlock the deployment instead of surfacing the error
+            cap_max = self._global_max(max(caps))
+            cap_min = -self._global_max(-min(caps))
+            if cap_max != cap_min:
                 raise ValueError(
                     "sharded IVFINT8 needs one slab capacity across shards "
-                    f"(equal shard sizes / nlist); got {sorted(caps)}"
+                    f"(equal shard sizes / nlist); got {sorted(caps)} "
+                    f"locally, [{cap_min}, {cap_max}] globally"
                 )
-            cap = caps.pop()
+            cap = cap_max
             d = self.subs[0].codes_cm.shape[1]
             s_cnt = len(self.subs)
             max_slabs = self._global_max(max(s.n_slabs for s in self.subs))
@@ -399,12 +403,6 @@ class ShardedANNIndex:
                 jnp.bfloat16,
             )
             self._pq_oracle = (rn, cent_flats)
-            # fill the dev tuple's placeholder slots so search fns can take
-            # the oracle as ARGUMENTS (closing over process-spanning arrays
-            # is illegal in multi-process mode)
-            dev = self._device()
-            _, _, scales, cent2ds, rots = dev[4]
-            self._dev = dev[:4] + ((rn, cent_flats, scales, cent2ds, rots),)
         return self._pq_oracle
 
     # ----------------------------------------------------------- ivf search
@@ -674,15 +672,20 @@ class ShardedANNIndex:
     def _get_search_fn(self, k: int, ef_eff: int, k_local: int):
         """Build (once per (k, ef) signature) the jit-wrapped shard_map search
         — redefining the closure per call would retrace + recompile every
-        search() invocation."""
+        search() invocation.  Returns (fn, extra): search calls
+        fn(q, dev, *extra); extra carries the lazily-built PQ oracle arrays
+        as ARGUMENTS (mutating the cached dev tuple would change its treedef
+        and retrace every compiled fn; closing over them is illegal in
+        multi-process mode)."""
         key = (k, ef_eff, k_local)
-        fn = self._fns.get(key)
-        if fn is not None:
-            return fn
+        hit = self._fns.get(key)
+        if hit is not None:
+            return hit
         mesh = self.mesh
         mode = self.mode
         n_local = self.n_local
         merge = self._merge_fn(k)
+        extra = ()
 
         if self.kind == "flat":
 
@@ -782,10 +785,10 @@ class ShardedANNIndex:
                     d = d * (s * s)
                     return merge(d, i)
 
-                self._pq_oracle_dev()  # fills dev[4][0]/dev[4][1]
+                extra = self._pq_oracle_dev()
                 fn = jax.jit(
-                    lambda q, dev: body(
-                        q, dev[3], dev[4][0], dev[4][1], dev[4][2], dev[4][4]
+                    lambda q, dev, rn_o, cf_o: body(
+                        q, dev[3], rn_o, cf_o, dev[4][2], dev[4][4]
                     )
                 )
         elif self.kind == "int8flat":
@@ -901,8 +904,8 @@ class ShardedANNIndex:
             fn = jax.jit(
                 lambda q, dev: body(q, dev[0], dev[1], dev[2], dev[3], dev[4])
             )
-        self._fns[key] = fn
-        return fn
+        self._fns[key] = (fn, extra)
+        return fn, extra
 
     def search(self, queries: np.ndarray, k: int, ef: int = 128):
         """queries [Q, D] -> (ids [Q, k] int64 global, dists [Q, k]).
@@ -915,12 +918,10 @@ class ShardedANNIndex:
             return self._search_ivf(queries, k, ef)
         nq = queries.shape[0]
         n_data = self.mesh.shape["data"]
-        self._device()
+        dev = self._device()
         ef_eff = max(ef, k)
         k_local = min(ef_eff, self.n_local)
-        fn = self._get_search_fn(k, ef_eff, k_local)
-        # AFTER fn creation: the pqflat oracle path fills dev[4][0:2]
-        dev = self._device()
+        fn, extra = self._get_search_fn(k, ef_eff, k_local)
         # Bound per-call queries (8192/data position) so the per-shard score
         # tensors stay in HBM; pad every batch to the same shape so all
         # batches share one compiled program.
@@ -942,7 +943,7 @@ class ShardedANNIndex:
             if qb.shape[0] < width:
                 qb = np.pad(qb, ((0, width - qb.shape[0]), (0, 0)))
             qj = self._put(qb, "data", None)
-            pending.append((s, e, fn(qj, dev)))
+            pending.append((s, e, fn(qj, dev, *extra)))
         for s, e, (d, i, shd) in pending:
             out_i[s:e] = compose_global_ids(
                 np.asarray(i)[: e - s], np.asarray(shd)[: e - s], self.n_local
@@ -997,16 +998,18 @@ class ShardedANNIndex:
 
         Contract: jax.distributed.initialize() first; every process must
         call search() with the IDENTICAL query batch (replicated read
-        stream) — the mesh is 1 x n_shard over all devices, so results come
-        back fully replicated and every host sees the complete answer.
-        Falls back to the single-controller load() behavior when run with
-        one process.  INT8FLAT (the production engine) only, for now."""
+        stream).  The mesh (make_distributed_mesh) gives each SHARD column
+        the contiguous device block of the process that loaded it, and each
+        data row one device per column — so every host sees the complete
+        merged answer.  Falls back to single-controller behavior with one
+        process.  All four scan engines (FLAT / INT8FLAT / IVFINT8 /
+        PQFLAT); the graph parity engines stay single-controller."""
         from deepreadmapper_tpu.parallel.distributed import load_own_shards
-        from deepreadmapper_tpu.parallel.mesh import make_mesh
+        from deepreadmapper_tpu.parallel.mesh import make_distributed_mesh
 
         subs, _mine, meta = load_own_shards(index_prefix)
         n_shard = int(meta["n_shard"])
-        mesh = make_mesh(n_data=1, n_shard=n_shard)
+        mesh = make_distributed_mesh(n_shard)
         obj = cls(subs, mesh, int(meta["ntotal"]), meta["inner"])
         obj._local_only = jax.process_count() > 1
         if obj._local_only and obj.kind == "graph":

@@ -37,17 +37,9 @@ def embed_fasta_windows(
     collection (e.g. int8 quantization) — fp32 embeddings of a genome-scale
     index would not fit HBM all at once (40M windows = 20 GB fp32 vs 5 GB
     int8)."""
-    from deepreadmapper_tpu import native
     from deepreadmapper_tpu.utils.progress import Progress
 
-    use_native = native.available()
     outs = []
-
-    def collect(emb):
-        if chunk_transform is not None:
-            emb = chunk_transform(jnp_asarray(emb))
-        outs.append(emb if device_out else np.asarray(emb))
-
     total = 2 * sum(
         fasta_io.num_windows(len(r), ref_len, stride) for r in records
     )
@@ -58,29 +50,12 @@ def embed_fasta_windows(
                 continue
             for start in range(0, nw, window_chunk):
                 n = min(window_chunk, nw - start)
-                if use_native and vectorizer.max_len == tok.MAX_LEN:
-                    # Fused windowing+revcomp+2-bit packing straight from
-                    # the genome bytes; tokenization happens on device
-                    # (48 B/window upload instead of 246 B uint16 tokens).
-                    wire = native.pack_windows(rec, ref_len, stride, start, n)
-                    collect(vectorizer.vectorize_wire(wire, device_out=True))
-                    prog.update(2 * n)
-                    continue
-                if use_native:
-                    tokens = native.tokenize_windows(
-                        rec, ref_len, stride, start, n, vectorizer.max_len
+                outs.append(
+                    _embed_record_windows(
+                        rec, ref_len, stride, start, n, vectorizer,
+                        transform=chunk_transform, device_out=device_out,
                     )
-                else:
-                    positions = (
-                        (start + np.arange(n, dtype=np.int64)) * stride
-                    )
-                    mat, lengths = fasta_io.window_byte_matrix(
-                        rec, positions, ref_len, vectorizer.max_len
-                    )
-                    tokens = tok.tokenize_bytes(
-                        mat, lengths, vectorizer.max_len
-                    )
-                collect(vectorizer.vectorize_tokens(tokens, device_out=True))
+                )
                 prog.update(2 * n)
     if not outs:
         z = np.zeros((0, 128), dtype=np.float32)
@@ -105,25 +80,36 @@ def jnp_concat(xs):
 
 
 def _embed_record_windows(rec, ref_len: int, stride: int, first: int,
-                          n: int, vectorizer: Vectorizer) -> np.ndarray:
-    """Embed windows [first, first+n) of ONE record -> [2n, 128] fp32
-    (interleaved fwd/rev, the row = 2*window + strand convention)."""
+                          n: int, vectorizer: Vectorizer, transform=None,
+                          device_out: bool = False):
+    """Embed windows [first, first+n) of ONE record -> [2n, 128]
+    (interleaved fwd/rev, the row = 2*window + strand convention).
+
+    THE chunk-embed step every build/stream path shares: fused native
+    windowing+revcomp+2-bit wire with on-device tokenization when
+    available, native tokenize else, pure-host fallback last.  transform
+    (e.g. int8 quantization) applies ON DEVICE before any fetch —
+    genome-scale downloads ship 128 B/row codes, not 512 B fp32."""
     from deepreadmapper_tpu import native
 
     if native.available() and vectorizer.max_len == tok.MAX_LEN:
         wire = native.pack_windows(rec, ref_len, stride, first, n)
-        return np.asarray(vectorizer.vectorize_wire(wire, device_out=True))
-    if native.available():
-        tokens = native.tokenize_windows(
-            rec, ref_len, stride, first, n, vectorizer.max_len
-        )
+        emb = vectorizer.vectorize_wire(wire, device_out=True)
     else:
-        positions = (first + np.arange(n, dtype=np.int64)) * stride
-        mat, lengths = fasta_io.window_byte_matrix(
-            rec, positions, ref_len, vectorizer.max_len
-        )
-        tokens = tok.tokenize_bytes(mat, lengths, vectorizer.max_len)
-    return np.asarray(vectorizer.vectorize_tokens(tokens, device_out=True))
+        if native.available():
+            tokens = native.tokenize_windows(
+                rec, ref_len, stride, first, n, vectorizer.max_len
+            )
+        else:
+            positions = (first + np.arange(n, dtype=np.int64)) * stride
+            mat, lengths = fasta_io.window_byte_matrix(
+                rec, positions, ref_len, vectorizer.max_len
+            )
+            tokens = tok.tokenize_bytes(mat, lengths, vectorizer.max_len)
+        emb = vectorizer.vectorize_tokens(tokens, device_out=True)
+    if transform is not None:
+        emb = transform(jnp_asarray(emb))
+    return emb if device_out else np.asarray(emb)
 
 
 def make_fasta_embed_rows(
@@ -132,12 +118,15 @@ def make_fasta_embed_rows(
     stride: int,
     vectorizer: Vectorizer,
     window_chunk: int = 65536,
+    transform=None,
 ):
     """embed_rows(start, end) factory for per-host distributed builds
     (parallel/distributed.build_own_shards): embeds exactly the global
     VECTOR-row range [start, end) of the FASTA's interleaved (fwd, rev)
     window stream — record-aware, so a host touches only the genome bytes
-    its shard covers."""
+    its shard covers.  transform applies on device before the fetch (int8
+    quantization ships 128 B/row instead of 512 B fp32 — genome builds are
+    transfer-bound)."""
     records = fasta_io.parse_fasta_records(fasta_path)
     nwins = [fasta_io.num_windows(len(r), ref_len, stride) for r in records]
     bounds = np.concatenate(
@@ -161,13 +150,15 @@ def make_fasta_embed_rows(
                 n = min(window_chunk, w1 - ws)
                 parts.append(
                     _embed_record_windows(
-                        rec, ref_len, stride, ws, n, vectorizer
+                        rec, ref_len, stride, ws, n, vectorizer,
+                        transform=transform,
                     )
                 )
             emb = parts[0] if len(parts) == 1 else np.concatenate(parts)
             outs.append(emb[rlo - 2 * w0: rhi - 2 * w0])
         if not outs:
-            return np.zeros((0, 128), np.float32)
+            dtype = np.int8 if transform is not None else np.float32
+            return np.zeros((0, 128), dtype)
         return outs[0] if len(outs) == 1 else np.concatenate(outs)
 
     embed_rows.n_vectors = int(bounds[-1])
@@ -195,11 +186,24 @@ def build_index_distributed(
 
     cfg = build_cfg or BuildConfig()
     vectorizer = vectorizer or Vectorizer()
-    embed_rows = make_fasta_embed_rows(ref_file, ref_len, stride, vectorizer)
+    codes_scale = None
+    transform = None
+    if index_type in ("INT8FLAT", "IVFINT8"):
+        # quantize ON DEVICE and ship int8 codes (128 B/row vs 512 B fp32 —
+        # genome builds are transfer-bound); encoder outputs are
+        # tanh-bounded so the fixed 1/127 scale is what build() would
+        # derive anyway (same convention as build_index's int8_stream path)
+        from deepreadmapper_tpu.index.int8_flat import quantize
+
+        codes_scale = 1.0 / 127.0
+        transform = lambda e: quantize(e, codes_scale)  # noqa: E731
+    embed_rows = make_fasta_embed_rows(
+        ref_file, ref_len, stride, vectorizer, transform=transform
+    )
     n_vectors = embed_rows.n_vectors
     build_own_shards(
         embed_rows, n_vectors, n_shards, index_prefix,
-        cfg=cfg, index_type=index_type,
+        cfg=cfg, index_type=index_type, codes_scale=codes_scale,
     )
     config = {
         "index_type": index_type,
@@ -229,14 +233,12 @@ def stream_embed_fasta_to_npy(
     """Stream-embed every window of a FASTA straight into a pre-headered npy
     (the reference `inference` tool's batch mode, test_inference.cpp:160-227).
     Bounded memory regardless of genome size; returns rows written."""
-    from deepreadmapper_tpu import native
     from deepreadmapper_tpu.io.npy_stream import NpyStreamWriter
 
     records = fasta_io.parse_fasta_records(fasta_path)
     total = sum(
         2 * fasta_io.num_windows(len(r), ref_len, stride) for r in records
     )
-    use_native = native.available()
     from deepreadmapper_tpu.utils.progress import Progress
 
     with NpyStreamWriter(out_path, total, 128) as w, \
@@ -245,17 +247,11 @@ def stream_embed_fasta_to_npy(
             nw = fasta_io.num_windows(len(rec), ref_len, stride)
             for start in range(0, nw, window_chunk):
                 n = min(window_chunk, nw - start)
-                if use_native:
-                    tokens = native.tokenize_windows(
-                        rec, ref_len, stride, start, n, vectorizer.max_len
+                w.append(
+                    _embed_record_windows(
+                        rec, ref_len, stride, start, n, vectorizer
                     )
-                else:
-                    positions = (start + np.arange(n, dtype=np.int64)) * stride
-                    mat, lengths = fasta_io.window_byte_matrix(
-                        rec, positions, ref_len, vectorizer.max_len
-                    )
-                    tokens = tok.tokenize_bytes(mat, lengths, vectorizer.max_len)
-                w.append(vectorizer.vectorize_tokens(tokens))
+                )
                 prog.update(2 * n)
     return total
 

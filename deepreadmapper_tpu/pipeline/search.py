@@ -170,11 +170,14 @@ def run_pipeline(
 
     # Under jax.distributed every process runs the identical pipeline
     # (replicated reads, SPMD sharded search); only process 0 touches the
-    # output files so hosts on a shared filesystem don't race.
+    # output files so hosts on a shared filesystem don't race.  write_sam
+    # keeps its USER-INTENT role for control flow (the streaming fallback
+    # below) — non-main hosts must still stream per batch, they just skip
+    # the file writes.
     import jax as _jax
 
     is_main = _jax.process_index() == 0
-    write_sam = write_sam and is_main
+    sam_out = write_sam and is_main
     os.makedirs(output_dir, exist_ok=True)
     sam_file = os.path.join(output_dir, "results.sam")
     have_seqs = query_seqs is not None
@@ -298,7 +301,7 @@ def run_pipeline(
                 neighbors, q_mat, q_lens, fetch_windows, stride, k,
                 k_clusters, bound, sparse_off=sparse_off, dense_off=dense_off,
             )
-            if write_sam:
+            if sam_out:
                 sam_io.write_sam(
                     query_seqs, query_ids, final_ids.ravel(), "ref", ref_len,
                     k, sam_file, record_names=rec_names,
@@ -325,7 +328,7 @@ def run_pipeline(
                     sparse_off=sparse_off,
                     dense_off=dense_off,
                 )
-                if write_sam:
+                if sam_out:
                     pc = po = None
                     if cigar:
                         pc_b, po_b = _primary_alignment_cigars(
@@ -372,7 +375,7 @@ def run_pipeline(
                 sparse_off=sparse_off,
                 dense_off=dense_off,
             )
-            if write_sam:
+            if sam_out:
                 pc = po = None
                 if cigar:
                     pc, po = _primary_alignment_cigars(

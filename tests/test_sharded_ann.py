@@ -407,10 +407,11 @@ def test_load_distributed_single_process_fallback(tmp_path, data, mesh):
     got = ShardedANNIndex.load_distributed(prefix)
     assert not got._local_only and len(got.subs) == 4
     got_i, got_d = got.search(q, 8)
-    # oracle on the SAME mesh shape (load_distributed pins n_data=1; the
-    # int8 query scale is computed per data block, so distances differ in
-    # the last ulps across mesh shapes)
-    oracle = ShardedANNIndex.load(prefix, make_mesh(n_data=1, n_shard=4))
+    # oracle on the SAME mesh (the int8 query scale is computed per data
+    # block, so distances differ in the last ulps across mesh shapes)
+    from deepreadmapper_tpu.parallel.mesh import make_distributed_mesh
+
+    oracle = ShardedANNIndex.load(prefix, make_distributed_mesh(4))
     want_i, want_d = oracle.search(q, 8)
     np.testing.assert_array_equal(got_i, want_i)
     np.testing.assert_allclose(got_d, want_d, rtol=1e-6)
