@@ -17,6 +17,7 @@ class NpyStreamWriter:
         self.path = path
         self.n_rows = n_rows
         self.n_cols = n_cols
+        self.dtype = dtype
         self.rows_written = 0
         self._f = open(path, "wb")
         header_dict = (
@@ -34,7 +35,9 @@ class NpyStreamWriter:
     def append(self, arr) -> None:
         import numpy as np
 
-        a = np.ascontiguousarray(arr, dtype=np.float32)
+        # rows are cast to the DECLARED header dtype (f4 default; int
+        # streams use the same writer)
+        a = np.ascontiguousarray(arr, dtype=np.dtype(self.dtype))
         if a.ndim != 2 or a.shape[1] != self.n_cols:
             raise ValueError(f"expected [*, {self.n_cols}], got {a.shape}")
         if self.rows_written + a.shape[0] > self.n_rows:

@@ -56,6 +56,16 @@ def test_npy_stream_writer(tmp_path):
     np.testing.assert_array_equal(arr[4:], np.arange(9).reshape(3, 3))
 
 
+def test_npy_stream_writer_int_dtype(tmp_path):
+    # rows must be cast to the DECLARED header dtype, not hardcoded f4
+    path = str(tmp_path / "i.npy")
+    with NpyStreamWriter(path, 3, 2, dtype="<i8") as w:
+        w.append(np.arange(6).reshape(3, 2))
+    arr = np.load(path)
+    assert arr.dtype == np.int64
+    np.testing.assert_array_equal(arr, np.arange(6).reshape(3, 2))
+
+
 def test_npy_stream_writer_enforces_shape(tmp_path):
     import pytest
 
