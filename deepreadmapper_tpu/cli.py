@@ -47,6 +47,11 @@ def _add_pipeline(sub):
                         "host loads ONLY its index shards, the search "
                         "merges across hosts, process 0 writes outputs; "
                         "run the same command on every host")
+    p.add_argument("--weights", default=None, metavar="NPZ",
+                   help="encoder weights npz for query embedding "
+                        "(overrides the index-recorded encoder.npz; "
+                        "default: index-matched weights if recorded, else "
+                        "the shipped pretrained model)")
 
 
 def _add_build(sub):
@@ -89,6 +94,32 @@ def _add_build(sub):
                    help="learn an orthogonal rotation before PQ (FAISS "
                         "OPQMatrix analog; improves PQFLAT recall at the "
                         "same 8 B/vector)")
+    p.add_argument("--resume", action="store_true",
+                   help="crash-resumable streaming build: embedded code "
+                        "chunks checkpoint to <prefix>/.build_cache/ and a "
+                        "rerun skips everything already embedded (PQFLAT/"
+                        "INT8FLAT/IVFINT8 from FASTA)")
+    p.add_argument("--weights", default=None, metavar="NPZ",
+                   help="fine-tuned encoder weights (finetune output); "
+                        "copied into the index dir so pipeline "
+                        "automatically embeds queries with the SAME "
+                        "encoder that embedded the index")
+
+
+def _add_serve(sub):
+    p = sub.add_parser(
+        "serve",
+        help="serving daemon: load the index once, answer FASTQ->SAM "
+             "requests over line-delimited JSON on stdin/stdout",
+    )
+    p.add_argument("index_prefix")
+    p.add_argument("ref_file")
+    p.add_argument("--ef", type=int, default=None)
+    p.add_argument("--k", type=int, default=None)
+    p.add_argument("--k-clusters", type=int, default=None)
+    p.add_argument("--rerank", default="l2", choices=["l2", "sw"])
+    p.add_argument("--dense-rerank", action="store_true")
+    p.add_argument("--cigar", action="store_true")
 
 
 def _add_inference(sub):
@@ -100,6 +131,9 @@ def _add_inference(sub):
                    help="windows embedded per streamed chunk (the reference "
                         "test_inference.cpp:49 [batch_size] argv slot)")
     p.add_argument("--stride", type=int, default=1)
+    p.add_argument("--weights", default=None, metavar="NPZ",
+                   help="fine-tuned encoder weights npz (default: shipped "
+                        "pretrained model)")
 
 
 def _add_finetune(sub):
@@ -145,6 +179,7 @@ def main(argv=None) -> int:
     sub = ap.add_subparsers(dest="cmd", required=True)
     _add_pipeline(sub)
     _add_build(sub)
+    _add_serve(sub)
     _add_inference(sub)
     _add_finetune(sub)
     _add_gen_ref(sub)
@@ -159,10 +194,19 @@ def main(argv=None) -> int:
             )
 
             init_distributed()
+        vectorizer = None
+        if args.weights:
+            from deepreadmapper_tpu.models.encoder import (
+                Vectorizer,
+                load_params,
+            )
+
+            vectorizer = Vectorizer(load_params(args.weights))
         res = run_pipeline(
             args.index_prefix,
             args.query_file,
             args.ref_file,
+            vectorizer=vectorizer,
             ef=args.ef,
             k=args.k,
             k_clusters=args.k_clusters,
@@ -179,6 +223,25 @@ def main(argv=None) -> int:
             f"[MAIN] {res['num_queries']} queries | embed {res['t_embed']:.2f}s "
             f"| search {res['t_search']:.2f}s | post {res['t_post']:.2f}s"
         )
+        return 0
+
+    if args.cmd == "serve":
+        from deepreadmapper_tpu.pipeline.serve import serve
+
+        defaults = {
+            k: v
+            for k, v in {
+                "ef": args.ef,
+                "k": args.k,
+                "k_clusters": args.k_clusters,
+                "rerank": args.rerank,
+                "dense_rerank": args.dense_rerank,
+                "cigar": args.cigar,
+            }.items()
+            if v not in (None, False)
+        }
+        n = serve(args.index_prefix, args.ref_file, defaults=defaults)
+        print(f"[SERVE] answered {n} requests", file=sys.stderr)
         return 0
 
     if args.cmd == "build-index":
@@ -213,6 +276,7 @@ def main(argv=None) -> int:
                 index_type=args.index_type,
                 build_cfg=cfg,
                 n_shards=args.shards,
+                weights=args.weights,
             )
         else:
             config = build_index(
@@ -223,6 +287,8 @@ def main(argv=None) -> int:
                 index_type=args.index_type,
                 build_cfg=cfg,
                 n_shards=args.shards,
+                resume=args.resume,
+                weights=args.weights,
             )
         print(f"[BUILD INDEX] saved {config['n_vects']} vectors to {args.index_prefix}")
         return 0
@@ -236,12 +302,18 @@ def main(argv=None) -> int:
             stream_embed_seqs_to_npy,
         )
 
+        if args.weights:
+            from deepreadmapper_tpu.models.encoder import load_params
+
+            vec = Vectorizer(load_params(args.weights))
+        else:
+            vec = Vectorizer()
         ext = os.path.splitext(args.input_file)[1].lower()
         if ext in FASTA_EXTS:
             # Streamed: bounded memory for genome-scale inputs.
             n = stream_embed_fasta_to_npy(
                 args.input_file, args.output, args.ref_len, args.stride,
-                Vectorizer(), window_chunk=args.batch_size,
+                vec, window_chunk=args.batch_size,
             )
             print(f"[INFERENCE] streamed ({n}, 128) to {args.output}")
             return 0
@@ -249,12 +321,12 @@ def main(argv=None) -> int:
             # Read files honor [batch_size] too (test_inference.cpp:49):
             # embedding temporaries + npy write cadence stay bounded.
             n = stream_embed_seqs_to_npy(
-                args.input_file, args.output, Vectorizer(),
+                args.input_file, args.output, vec,
                 batch=args.batch_size,
             )
             print(f"[INFERENCE] streamed ({n}, 128) to {args.output}")
             return 0
-        emb = embed_input_file(args.input_file, args.ref_len, args.stride, Vectorizer())
+        emb = embed_input_file(args.input_file, args.ref_len, args.stride, vec)
         np.save(args.output, emb)
         print(f"[INFERENCE] wrote {emb.shape} to {args.output}")
         return 0

@@ -112,6 +112,62 @@ def _embed_record_windows(rec, ref_len: int, stride: int, first: int,
     return emb if device_out else np.asarray(emb)
 
 
+def stream_codes_resumable(
+    records: list[np.ndarray],
+    ref_len: int,
+    stride: int,
+    vectorizer: Vectorizer,
+    transform,
+    cache_path: str,
+    n_cols: int,
+    dtype: str,
+    window_chunk: int = 65536,
+) -> np.ndarray:
+    """Embed every (fwd, rev) window, appending each transformed chunk to a
+    resumable on-disk npy; chunks already on disk are skipped entirely (no
+    re-embed, no re-transfer).  The chunk grid is deterministic (record
+    order × window_chunk), so after a crash the stream truncates back to
+    the last complete chunk boundary and continues from there.  Beyond the
+    reference: its resumable path (format_fasta_batch's resume_pos state,
+    parse_inputs.cpp:371-482) survives only within one process; this one
+    survives the process dying.  Returns the finished code matrix
+    (memory-mapped — genome-scale codes need not fit RAM)."""
+    from deepreadmapper_tpu.io.npy_stream import NpyStreamWriter
+    from deepreadmapper_tpu.utils.progress import Progress
+
+    total = 2 * sum(
+        fasta_io.num_windows(len(r), ref_len, stride) for r in records
+    )
+    w = NpyStreamWriter.resume(cache_path, total, n_cols, dtype)
+    if w.rows_written:
+        print(
+            f"[BUILD INDEX] resuming embed stream: {w.rows_written}/{total} "
+            "rows already on disk"
+        )
+    cursor = 0
+    with Progress(total, "[BUILD] embed windows") as prog:
+        for rec in records:
+            nw = fasta_io.num_windows(len(rec), ref_len, stride)
+            for start in range(0, nw, window_chunk):
+                n = min(window_chunk, nw - start)
+                if w.rows_written >= cursor + 2 * n:
+                    cursor += 2 * n  # chunk fully on disk from a prior run
+                    prog.update(2 * n)
+                    continue
+                if w.rows_written > cursor:
+                    w.truncate_to(cursor)  # half-written chunk: redo it
+                w.append(
+                    _embed_record_windows(
+                        rec, ref_len, stride, start, n, vectorizer,
+                        transform=transform,
+                    )
+                )
+                cursor += 2 * n
+                prog.update(2 * n)
+    w.close()
+    return np.load(cache_path, mmap_mode="r")
+
+
 def make_fasta_embed_rows(
     fasta_path: str,
     ref_len: int,
@@ -174,6 +230,7 @@ def build_index_distributed(
     build_cfg: BuildConfig | None = None,
     vectorizer: Vectorizer | None = None,
     n_shards: int = 1,
+    weights: str | None = None,
 ) -> dict:
     """Per-host sharded build: every jax.distributed process embeds and
     persists ONLY its own shards (its slice of the genome's window rows);
@@ -185,6 +242,12 @@ def build_index_distributed(
     from deepreadmapper_tpu.parallel.distributed import build_own_shards
 
     cfg = build_cfg or BuildConfig()
+    if weights is not None and vectorizer is not None:
+        raise ValueError("pass either weights= or vectorizer=, not both")
+    if weights is not None:
+        from deepreadmapper_tpu.models.encoder import load_params
+
+        vectorizer = Vectorizer(load_params(weights))
     vectorizer = vectorizer or Vectorizer()
     codes_scale = None
     transform = None
@@ -217,7 +280,16 @@ def build_index_distributed(
         "nbits": cfg.nbits,
         "index_file": "sharded",
     }
+    if weights is not None:
+        config["weights"] = "encoder.npz"
     if jax.process_index() == 0:
+        if weights is not None:
+            import shutil
+
+            os.makedirs(index_prefix, exist_ok=True)
+            shutil.copyfile(
+                weights, os.path.join(index_prefix, "encoder.npz")
+            )
         save_config(config, index_prefix)
     return config
 
@@ -349,6 +421,42 @@ def _build_sharded_from_rows(rows: np.ndarray, ntotal: int, n_shards: int,
     )
 
 
+def _drop_cache(cache, codes_ref=None) -> None:
+    """Remove the resume cache once the index is persisted.  Any still-open
+    mmap of codes.npy stays valid (Linux keeps the inode until unmapped)."""
+    import shutil
+
+    if cache:
+        shutil.rmtree(cache, ignore_errors=True)
+
+
+def _resume_cache(index_prefix: str, params: dict, resume: bool):
+    """Open (or validate) the crash-resume cache for a streaming build.
+
+    Returns the cache dir, or None when resume is off.  The state file
+    pins every parameter that shapes the embed stream; a mismatch means
+    the partial codes on disk describe a different index — refuse."""
+    import json
+
+    if not resume:
+        return None
+    cache = os.path.join(index_prefix, ".build_cache")
+    os.makedirs(cache, exist_ok=True)
+    state_path = os.path.join(cache, "state.json")
+    if os.path.exists(state_path):
+        with open(state_path) as f:
+            old = json.load(f)
+        if old != params:
+            raise ValueError(
+                f"--resume: cached build state {old} does not match "
+                f"requested {params}; delete {cache} to restart"
+            )
+    else:
+        with open(state_path, "w") as f:
+            json.dump(params, f)
+    return cache
+
+
 def build_index(
     ref_file: str,
     index_prefix: str,
@@ -358,9 +466,28 @@ def build_index(
     build_cfg: BuildConfig | None = None,
     vectorizer: Vectorizer | None = None,
     n_shards: int = 1,
+    resume: bool = False,
+    weights: str | None = None,
 ) -> dict:
-    """Build + persist an index directory; returns the saved config."""
+    """Build + persist an index directory; returns the saved config.
+
+    resume=True makes genome-scale streaming builds (PQFLAT / INT8FLAT /
+    IVFINT8 from FASTA) crash-resumable: embedded code chunks append to
+    `<prefix>/.build_cache/` as they stream off the device, and a rerun
+    with the same arguments skips everything already on disk.
+
+    weights: path to a fine-tuned encoder npz (pipeline.finetune output).
+    The file is copied into the index dir as encoder.npz and recorded in
+    config.txt, so serving automatically embeds queries with the SAME
+    encoder that embedded the index — a mismatch silently destroys
+    accuracy (fine-tuning moves the whole embedding space)."""
     cfg = build_cfg or BuildConfig(stride=stride)
+    if weights is not None and vectorizer is not None:
+        raise ValueError("pass either weights= or vectorizer=, not both")
+    if weights is not None:
+        from deepreadmapper_tpu.models.encoder import load_params
+
+        vectorizer = Vectorizer(load_params(weights))
     vectorizer = vectorizer or Vectorizer()
     if cfg.opq and index_type != "PQFLAT":
         print(
@@ -410,6 +537,23 @@ def build_index(
             f"{total/1e6:.1f} MB ({detail})"
         )
 
+    cache = _resume_cache(
+        index_prefix,
+        {
+            "ref_file": os.path.abspath(ref_file),
+            "ref_len": ref_len,
+            "stride": stride,
+            "index_type": index_type,
+            "m_pq": cfg.m_pq,
+            "nbits": cfg.nbits,
+            "opq": bool(cfg.opq and index_type == "PQFLAT"),
+            "seed": cfg.seed,
+        },
+        resume
+        and ext in FASTA_EXTS
+        and index_type in ("PQFLAT", "INT8FLAT", "IVFINT8"),
+    )
+
     pq_stream = index_type == "PQFLAT" and ext in FASTA_EXTS
     if pq_stream:
         # Two-pass stream-encode (PQ is the >10M-window engine, where even
@@ -435,20 +579,33 @@ def build_index(
         # nv_est counts both strands and so does the sampled embed; ceil so
         # the sample never exceeds ~target (floor could double it)
         step = max(1, -(-nv_est // max(target, 1)))
-        train = embed_fasta_windows(records, ref_len, stride * step, vectorizer)
-        if train.shape[0] == 0:
-            raise ValueError(f"No sequences found in file: {ref_file}")
-        rot = None
-        if cfg.opq:
-            cb, rot = pq_ops.train_opq(
-                np.asarray(train), m=cfg.m_pq, nbits=cfg.nbits,
-                iters=cfg.opq_iters, seed=cfg.seed,
-            )
+        cb_path = cache and os.path.join(cache, "codebook.npz")
+        if cb_path and os.path.exists(cb_path):
+            # pass A already ran before the crash — reuse its codebook
+            with np.load(cb_path) as z:
+                cb = pq_ops.PQCodebook(jnp_asarray(z["centroids"]))
+                rot = z["rot"] if "rot" in z.files else None
+            print("[BUILD INDEX] resume: reusing trained PQ codebook")
         else:
-            cb = pq_ops.train_pq(
-                np.asarray(train), m=cfg.m_pq, nbits=cfg.nbits,
-                iters=cfg.kmeans_iters, seed=cfg.seed,
+            train = embed_fasta_windows(
+                records, ref_len, stride * step, vectorizer
             )
+            if train.shape[0] == 0:
+                raise ValueError(f"No sequences found in file: {ref_file}")
+            rot = None
+            if cfg.opq:
+                cb, rot = pq_ops.train_opq(
+                    np.asarray(train), m=cfg.m_pq, nbits=cfg.nbits,
+                    iters=cfg.opq_iters, seed=cfg.seed,
+                )
+            else:
+                cb = pq_ops.train_pq(
+                    np.asarray(train), m=cfg.m_pq, nbits=cfg.nbits,
+                    iters=cfg.kmeans_iters, seed=cfg.seed,
+                )
+            if cb_path:
+                extra = {} if rot is None else {"rot": np.asarray(rot)}
+                np.savez(cb_path, centroids=np.asarray(cb.centroids), **extra)
         cent = cb.centroids
         m_pq = cfg.m_pq
         if rot is not None:
@@ -462,9 +619,15 @@ def build_index(
             encode = jax.jit(
                 lambda e: pq_ops._encode(pq_ops._split(e, m_pq), cent)
             )
-        codes = embed_fasta_windows(
-            records, ref_len, stride, vectorizer, chunk_transform=encode
-        )
+        if cache:
+            codes = stream_codes_resumable(
+                records, ref_len, stride, vectorizer, encode,
+                os.path.join(cache, "codes.npy"), cfg.m_pq, "|u1",
+            )
+        else:
+            codes = embed_fasta_windows(
+                records, ref_len, stride, vectorizer, chunk_transform=encode
+            )
         embeddings = codes  # row count for config below
     int8_stream = index_type in ("INT8FLAT", "IVFINT8") and ext in FASTA_EXTS
     if int8_stream:
@@ -477,10 +640,17 @@ def build_index(
 
         int8_scale = 1.0 / 127.0
         records = fasta_io.parse_fasta_records(ref_file)
-        embeddings = embed_fasta_windows(
-            records, ref_len, stride, vectorizer, device_out=True,
-            chunk_transform=lambda e: quantize(e, int8_scale),
-        )
+        if cache:
+            embeddings = stream_codes_resumable(
+                records, ref_len, stride, vectorizer,
+                lambda e: quantize(e, int8_scale),
+                os.path.join(cache, "codes.npy"), 128, "|i1",
+            )
+        else:
+            embeddings = embed_fasta_windows(
+                records, ref_len, stride, vectorizer, device_out=True,
+                chunk_transform=lambda e: quantize(e, int8_scale),
+            )
     elif not pq_stream:
         embeddings = embed_input_file(
             ref_file, ref_len, stride, vectorizer, device_out=device_out
@@ -509,6 +679,11 @@ def build_index(
         "index_file": index_file,
     }
     os.makedirs(index_prefix, exist_ok=True)
+    if weights is not None:
+        import shutil
+
+        shutil.copyfile(weights, os.path.join(index_prefix, "encoder.npz"))
+        config["weights"] = "encoder.npz"
     save_config(config, index_prefix)
 
     if pq_stream:
@@ -524,6 +699,7 @@ def build_index(
         else:
             engine = PQFlatIndex(codes, cb, n, rot)
         engine.save(index_prefix)
+        _drop_cache(cache, codes)
         return config
 
     if int8_stream:
@@ -548,6 +724,7 @@ def build_index(
                     codes, int8_scale, cfg
                 )
             engine.save(index_prefix)
+            _drop_cache(cache, embeddings)
             return config
         if n_shards > 1:
             engine = _build_sharded_from_rows(
@@ -558,6 +735,7 @@ def build_index(
         else:
             engine = Int8FlatIndex(codes, int8_scale, n)
         engine.save(index_prefix)
+        _drop_cache(cache, embeddings)
         return config
 
     if n_shards > 1:

@@ -108,6 +108,22 @@ def _primary_alignment_cigars(
     return cigars, pos_off
 
 
+def vectorizer_for_index(
+    index_prefix: str, config: dict, vectorizer: Vectorizer | None = None
+) -> Vectorizer:
+    """The encoder that must embed queries against this index: an explicit
+    vectorizer wins; else the index-recorded fine-tuned weights (build-index
+    --weights copies them to <prefix>/encoder.npz — a mismatched encoder
+    silently destroys accuracy); else the shipped pretrained model."""
+    if vectorizer is None and config.get("weights"):
+        from deepreadmapper_tpu.models.encoder import load_params
+
+        wpath = os.path.join(index_prefix, str(config["weights"]))
+        print(f"[MAIN] using index-matched encoder weights: {wpath}")
+        return Vectorizer(load_params(wpath))
+    return vectorizer or Vectorizer()
+
+
 def run_pipeline(
     index_prefix: str,
     query_file: str,
@@ -125,6 +141,7 @@ def run_pipeline(
     profile_dir: str | None = None,
     vectorizer: Vectorizer | None = None,
     search_cfg: SearchConfig | None = None,
+    preloaded: tuple | None = None,
 ) -> dict:
     """Run the full pipeline; returns a timing/result summary dict.
 
@@ -134,13 +151,17 @@ def run_pipeline(
     the saved distances then follow the reranker's sqrt-L2 convention
     (reference reranker.cpp:147-166) instead of the engines' squared L2.
     The flag needs query SEQUENCES (not precomputed .npy embeddings) and the
-    L2 reranker; incompatible combinations warn and fall back."""
+    L2 reranker; incompatible combinations warn and fall back.
+
+    preloaded=(engine, config) skips the index load — the serving daemon
+    (pipeline.serve) keeps one resident engine (and its compiled search)
+    across requests."""
     scfg = search_cfg or SearchConfig()
     ef = ef if ef is not None else scfg.ef
     k = k if k is not None else scfg.k
 
     t0 = time.time()
-    engine, config = load_index(index_prefix)
+    engine, config = preloaded if preloaded else load_index(index_prefix)
     ref_len = int(config["ref_len"])
     stride = int(config["stride"])
     # K_clusters handling mirrors main.cpp:55-63.
@@ -150,7 +171,7 @@ def run_pipeline(
         k_clusters = scfg.k_clusters
     t_index = time.time() - t0
 
-    vectorizer = vectorizer or Vectorizer()
+    vectorizer = vectorizer_for_index(index_prefix, config, vectorizer)
     t0 = time.time()
     query_emb, query_seqs, query_ids = _load_queries(query_file, vectorizer)
     t_embed = time.time() - t0

@@ -26,7 +26,12 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(__file__))
+# `python - < scripts/eval_ladder.py` (the stdin trick the remote TPU
+# requires) leaves __file__ as '<stdin>'; fall back to ./scripts then.
+_here = os.path.dirname(os.path.abspath(__file__))
+if not os.path.exists(os.path.join(_here, "demo_genome_scale.py")):
+    _here = os.path.join(os.getcwd(), "scripts")
+sys.path.insert(0, _here)
 from demo_genome_scale import make_genome, simulate_reads  # noqa: E402
 
 from deepreadmapper_tpu.config import BuildConfig  # noqa: E402

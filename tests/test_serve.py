@@ -1,0 +1,83 @@
+"""Serving daemon (pipeline.serve): one resident engine, JSONL protocol.
+
+Beyond the reference (which reloads the index every run, main.cpp:34-47):
+steady-state requests reuse the loaded engine, its compiled search, and
+the index-matched encoder."""
+
+import io
+import json
+import os
+
+import numpy as np
+import pytest
+
+from deepreadmapper_tpu.pipeline.build import build_index
+from deepreadmapper_tpu.pipeline.serve import serve
+
+
+@pytest.fixture(scope="module")
+def idx(tmp_path_factory, data_dir):
+    prefix = str(tmp_path_factory.mktemp("srv") / "idx")
+    build_index(
+        str(data_dir / "ecoli_150.fna"), prefix, 150, index_type="INT8FLAT"
+    )
+    return prefix
+
+
+def _run(idx, data_dir, requests):
+    out = io.StringIO()
+    n = serve(
+        idx,
+        str(data_dir / "ecoli_150.fna"),
+        in_stream=io.StringIO("".join(json.dumps(r) + "\n" for r in requests)),
+        out_stream=out,
+    )
+    lines = [json.loads(l) for l in out.getvalue().splitlines()]
+    return n, lines
+
+
+def test_serve_answers_requests_and_quits(idx, data_dir, tmp_path):
+    fq = str(data_dir / "test_data.fastq")
+    o1, o2 = str(tmp_path / "o1"), str(tmp_path / "o2")
+    n, lines = _run(idx, data_dir, [
+        {"id": "a", "fastq": fq, "output_dir": o1, "k": 8},
+        {"id": "b", "fastq": fq, "output_dir": o2, "k": 8,
+         "write_sam": False},
+        {"cmd": "quit"},
+    ])
+    assert n == 2
+    ready, ra, rb, rq = lines
+    assert ready["ready"] and ready["index_type"] == "INT8FLAT"
+    assert ra == {**ra, "id": "a", "ok": True, "num_queries": 150}
+    assert rb["ok"] and rq["quit"]
+    assert os.path.exists(os.path.join(o1, "results.sam"))
+    idx_np = np.load(os.path.join(o1, "indices.npy"))
+    assert idx_np.shape == (150, 8)
+    assert not os.path.exists(os.path.join(o2, "results.sam"))
+
+
+def test_serve_survives_bad_requests(idx, data_dir, tmp_path):
+    fq = str(data_dir / "test_data.fastq")
+    out = str(tmp_path / "out")
+    n, lines = _run(idx, data_dir, [
+        {"id": "bad", "fastq": "/nonexistent.fastq", "output_dir": out},
+        {"id": "nofq"},
+        {"id": "ok", "fastq": fq, "output_dir": out, "k": 4},
+    ])
+    assert n == 1  # only the good request served; daemon never died
+    _ready, bad, nofq, ok = lines
+    assert bad["ok"] is False and bad["id"] == "bad"
+    assert nofq["ok"] is False and "fastq" in nofq["error"]
+    assert ok["ok"] and ok["num_queries"] == 150
+
+
+def test_cli_serve_dispatch(idx, data_dir, monkeypatch, capsys):
+    from deepreadmapper_tpu import cli
+
+    monkeypatch.setattr(
+        "sys.stdin", io.StringIO(json.dumps({"cmd": "quit"}) + "\n")
+    )
+    rc = cli.main(["serve", idx, str(data_dir / "ecoli_150.fna")])
+    assert rc == 0
+    outs = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert outs[0]["ready"] and outs[1]["quit"]
