@@ -34,6 +34,11 @@ def _add_pipeline(sub):
                    help="emit real SW-traceback CIGARs (soft clips + M/I/D) "
                         "and alignment-exact POS for primary SAM lines "
                         "(the reference writes a pseudo <len>M)")
+    p.add_argument("--mapq", action="store_true",
+                   help="real margin-based MAPQ on primary SAM lines "
+                        "(best vs best-at-a-different-locus; repeats get "
+                        "0, unique placements 60 — the reference "
+                        "hardcodes 60)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="write a jax profiler trace of the search stage "
                         "(view with tensorboard/xprof)")
@@ -120,6 +125,7 @@ def _add_serve(sub):
     p.add_argument("--rerank", default="l2", choices=["l2", "sw"])
     p.add_argument("--dense-rerank", action="store_true")
     p.add_argument("--cigar", action="store_true")
+    p.add_argument("--mapq", action="store_true")
 
 
 def _add_inference(sub):
@@ -217,6 +223,7 @@ def main(argv=None) -> int:
             dense_rerank=args.dense_rerank,
             write_sam=not args.no_sam,
             cigar=args.cigar,
+            mapq=args.mapq,
             profile_dir=args.profile,
         )
         print(
@@ -237,6 +244,7 @@ def main(argv=None) -> int:
                 "rerank": args.rerank,
                 "dense_rerank": args.dense_rerank,
                 "cigar": args.cigar,
+                "mapq": args.mapq,
             }.items()
             if v not in (None, False)
         }

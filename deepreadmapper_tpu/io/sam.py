@@ -53,6 +53,7 @@ def format_sam_records(
     dense_off: np.ndarray | None = None,
     primary_cigars: list[str] | None = None,
     primary_pos_off: np.ndarray | None = None,
+    mapq: np.ndarray | None = None,
 ) -> Iterable[str]:
     """Yield SAM lines for queries [query_offset, query_offset+len(query_seqs))
     whose flattened candidate ids are ``cand_ids`` ([nq * k], row-major).
@@ -76,7 +77,12 @@ def format_sam_records(
     FLAG 16 (reference-parity quirk, utils.cpp:336-404).  When a REAL CIGAR
     is attached to a reverse-strand primary, SEQ is reverse-complemented so
     the reference-orientation CIGAR describes the emitted sequence base by
-    base (what samtools expects)."""
+    base (what samtools expects).
+
+    mapq (per GLOBAL query, like primary_cigars): real mapping qualities
+    for primary lines; secondaries then carry 0 (they are by definition
+    not the best placement).  Default None keeps the reference's
+    constant 60 everywhere (utils.cpp:336-404)."""
     cand_ids = np.asarray(list(cand_ids), dtype=np.int64)
     if record_names is not None:
         # one vectorized lookup for every line (not one searchsorted per
@@ -118,8 +124,12 @@ def format_sam_records(
                 if seq_id % 2 == 1:
                     seq_out = _revcomp(clean)
             flag = (0 if j == 0 else 256) | (16 if seq_id % 2 == 1 else 0)
+            if mapq is None:
+                q = 60
+            else:
+                q = int(mapq[gq]) if j == 0 else 0
             yield (
-                f"{qname}\t{flag}\t{rname}\t{pos}\t60\t{cigar}\t*\t0\t0\t"
+                f"{qname}\t{flag}\t{rname}\t{pos}\t{q}\t{cigar}\t*\t0\t0\t"
                 f"{seq_out}\t*\n"
             )
 
@@ -140,6 +150,7 @@ def write_sam(
     dense_off: np.ndarray | None = None,
     primary_cigars: list[str] | None = None,
     primary_pos_off: np.ndarray | None = None,
+    mapq: np.ndarray | None = None,
 ) -> None:
     mode = "a" if append else "w"
     with open(output_file, mode) as f:
@@ -151,5 +162,6 @@ def write_sam(
         for line in format_sam_records(
             query_seqs, query_ids, cand_ids, k, ref_name, query_offset,
             record_names, dense_off, primary_cigars, primary_pos_off,
+            mapq,
         ):
             f.write(line)

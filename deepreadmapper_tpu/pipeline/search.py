@@ -108,6 +108,50 @@ def _primary_alignment_cigars(
     return cigars, pos_off
 
 
+def compute_mapq(
+    ids: np.ndarray,
+    vals: np.ndarray,
+    ref_len: int,
+    higher_is_better: bool = False,
+) -> np.ndarray:
+    """Margin-based mapping quality for each query's PRIMARY candidate.
+
+    The reference hardcodes MAPQ 60 (utils.cpp:373); downstream SAM
+    consumers (variant callers, IGV filters) actually use MAPQ, so this
+    computes the standard uniqueness heuristic: how much better the best
+    placement scores than the best placement at a DIFFERENT locus.
+    Candidates within ref_len of the primary's position are the same locus
+    (overlapping windows of one alignment), not competitors — without that
+    exclusion every read would look ambiguous against its own neighbors.
+
+    mapq = round(60 * relative margin), clipped to [0, 60]; 60 when no
+    competing locus appears in the candidate list; 0 for an exact tie
+    (a true repeat) or an invalid (-1) primary."""
+    ids = np.asarray(ids, np.int64)
+    vals = np.asarray(vals, np.float64)
+    nq, k = ids.shape
+    out = np.full(nq, 60, np.int32)
+    if k < 2:
+        out[ids[:, 0] < 0] = 0
+        return out
+    pos = ids >> 1
+    competitor = (np.abs(pos - pos[:, :1]) > ref_len) & (ids >= 0)
+    has = competitor.any(axis=1)
+    j2 = np.argmax(competitor, axis=1)
+    best = vals[:, 0]
+    second = vals[np.arange(nq), j2]
+    if higher_is_better:
+        margin = best - second
+        scale = np.maximum(np.abs(best), 1e-9)
+    else:
+        margin = second - best
+        scale = np.maximum(np.abs(second), 1e-9)
+    q = np.clip(np.rint(60.0 * margin / scale), 0, 60).astype(np.int32)
+    out[has] = q[has]
+    out[ids[:, 0] < 0] = 0
+    return out
+
+
 def vectorizer_for_index(
     index_prefix: str, config: dict, vectorizer: Vectorizer | None = None
 ) -> Vectorizer:
@@ -138,6 +182,7 @@ def run_pipeline(
     dense_rerank: bool = False,
     write_sam: bool = True,
     cigar: bool = False,
+    mapq: bool = False,
     profile_dir: str | None = None,
     vectorizer: Vectorizer | None = None,
     search_cfg: SearchConfig | None = None,
@@ -220,6 +265,12 @@ def run_pipeline(
             "carry no sequences to align)"
         )
         cigar = False
+    if mapq and not have_seqs:
+        print(
+            "[MAIN] WARNING: --mapq ignored (no SAM output without query "
+            "sequences)"
+        )
+        mapq = False
     if dense_rerank and stride == 1 and (not have_seqs or rerank == "sw"):
         print(
             "[MAIN] WARNING: --dense-rerank ignored ("
@@ -323,10 +374,18 @@ def run_pipeline(
                 k_clusters, bound, sparse_off=sparse_off, dense_off=dense_off,
             )
             if sam_out:
+                mq = (
+                    compute_mapq(
+                        final_ids, final_scores, ref_len,
+                        higher_is_better=True,
+                    )
+                    if mapq
+                    else None
+                )
                 sam_io.write_sam(
                     query_seqs, query_ids, final_ids.ravel(), "ref", ref_len,
                     k, sam_file, record_names=rec_names,
-                    record_lens=rec_lens, dense_off=dense_off,
+                    record_lens=rec_lens, dense_off=dense_off, mapq=mq,
                 )
         elif use_streaming:
             from deepreadmapper_tpu.utils.progress import Progress
@@ -336,7 +395,7 @@ def run_pipeline(
             sprog = Progress(nq, "[MAIN] rerank+SAM reads")
             for start in range(0, nq, bs):
                 end = min(start + bs, nq)
-                ids_b, _d_b = pp.post_process_l2(
+                ids_b, d_b = pp.post_process_l2(
                     neighbors[start:end],
                     distances[start:end],
                     query_emb[start:end],
@@ -350,7 +409,7 @@ def run_pipeline(
                     dense_off=dense_off,
                 )
                 if sam_out:
-                    pc = po = None
+                    pc = po = mq = None
                     if cigar:
                         pc_b, po_b = _primary_alignment_cigars(
                             query_seqs[start:end], ids_b[:, 0], genome,
@@ -363,6 +422,12 @@ def run_pipeline(
                             po = np.concatenate(
                                 [np.zeros(start, np.int64), po_b]
                             )
+                    if mapq:
+                        # global-query indexing, like primary_cigars above
+                        mq = np.concatenate([
+                            np.zeros(start, np.int32),
+                            compute_mapq(ids_b, d_b, ref_len),
+                        ])
                     sam_io.write_sam(
                         query_seqs[start:end],
                         query_ids,
@@ -379,6 +444,7 @@ def run_pipeline(
                         dense_off=dense_off,
                         primary_cigars=pc,
                         primary_pos_off=po,
+                        mapq=mq,
                     )
                 sprog.update(end - start)
             sprog.close()
@@ -397,12 +463,14 @@ def run_pipeline(
                 dense_off=dense_off,
             )
             if sam_out:
-                pc = po = None
+                pc = po = mq = None
                 if cigar:
                     pc, po = _primary_alignment_cigars(
                         query_seqs, final_ids[:, 0], genome, ref_len, multi,
                         dense_off, base_off,
                     )
+                if mapq:
+                    mq = compute_mapq(final_ids, final_d, ref_len)
                 sam_io.write_sam(
                     query_seqs,
                     query_ids,
@@ -416,6 +484,7 @@ def run_pipeline(
                     dense_off=dense_off,
                     primary_cigars=pc,
                     primary_pos_off=po,
+                    mapq=mq,
                 )
     t_post = time.time() - t0
 

@@ -1,0 +1,114 @@
+"""Margin-based MAPQ (--mapq): repeats get 0, unique placements ~60.
+
+The reference hardcodes MAPQ 60 on every line (utils.cpp:373); downstream
+SAM consumers (variant callers, IGV) filter on MAPQ, so the framework
+computes the standard uniqueness margin — best placement vs best placement
+at a DIFFERENT locus (candidates within ref_len are overlapping windows of
+the same alignment, not competitors)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from deepreadmapper_tpu.io import sam as sam_io
+from deepreadmapper_tpu.pipeline.search import compute_mapq, run_pipeline
+
+REF_LEN = 150
+
+
+def test_unique_hit_is_60_when_no_competing_locus():
+    ids = np.array([[2000, 2002, 2004]])  # all within ref_len of each other
+    vals = np.array([[1.0, 1.1, 1.2]])
+    assert compute_mapq(ids, vals, REF_LEN).tolist() == [60]
+
+
+def test_distant_competitor_scales_with_margin():
+    ids = np.array([
+        [2000, 2002, 9000],   # competitor at a distant locus, 50x worse
+        [2000, 9000, 9002],   # exact tie at a distant locus: a true repeat
+    ])
+    vals = np.array([
+        [1.0, 1.05, 50.0],
+        [1.0, 1.0, 1.2],
+    ])
+    q = compute_mapq(ids, vals, REF_LEN)
+    assert q[0] >= 55
+    assert q[1] == 0
+
+
+def test_higher_is_better_for_sw_scores():
+    ids = np.array([[2000, 9000], [2000, 9000]])
+    vals = np.array([[150.0, 20.0], [150.0, 150.0]])
+    q = compute_mapq(ids, vals, REF_LEN, higher_is_better=True)
+    assert q[0] >= 50 and q[1] == 0
+
+
+def test_invalid_primary_and_k1():
+    assert compute_mapq(
+        np.array([[-1, 100]]), np.array([[0.0, 1.0]]), REF_LEN
+    ).tolist() == [0]
+    q = compute_mapq(np.array([[4], [-1]]), np.array([[1.0], [0.0]]), REF_LEN)
+    assert q.tolist() == [60, 0]
+
+
+def test_sam_lines_carry_primary_mapq_and_zero_secondaries():
+    lines = list(sam_io.format_sam_records(
+        ["<" + "A" * 20 + ">"], ["q1"], [10, 13], k=2, ref_name="ref",
+        mapq=np.array([37]),
+    ))
+    fields = [l.split("\t") for l in lines]
+    assert fields[0][4] == "37" and fields[1][4] == "0"
+    # default stays reference-parity 60
+    lines60 = list(sam_io.format_sam_records(
+        ["<" + "A" * 20 + ">"], ["q1"], [10, 13], k=2, ref_name="ref",
+    ))
+    assert all(l.split("\t")[4] == "60" for l in lines60)
+
+
+@pytest.fixture(scope="module")
+def repeat_genome(tmp_path_factory):
+    rng = np.random.default_rng(11)
+    g = rng.choice(list("ACGT"), size=3000)
+    g[2000:2200] = g[500:700]  # plant an exact 200 bp repeat
+    genome = "".join(g)
+    d = tmp_path_factory.mktemp("mapqref")
+    ref = str(d / "ref.fna")
+    with open(ref, "w") as f:
+        f.write("> repeatref\n")
+        for i in range(0, len(genome), 80):
+            f.write(genome[i:i + 80] + "\n")
+    fq = str(d / "reads.fastq")
+    reads = {
+        "rep": genome[520:670],      # entirely inside the repeat: ambiguous
+        "uniq": genome[1000:1150],   # unique locus
+    }
+    with open(fq, "w") as f:
+        for name, seq in reads.items():
+            f.write(f"@{name}\n{seq}\n+\n{'I' * len(seq)}\n")
+    return ref, fq
+
+
+@pytest.mark.parametrize("streaming", [False, True])
+def test_pipeline_mapq_separates_repeat_from_unique(
+    repeat_genome, tmp_path, streaming
+):
+    from deepreadmapper_tpu.pipeline.build import build_index
+
+    ref, fq = repeat_genome
+    prefix = str(tmp_path / f"idx{streaming}")
+    build_index(ref, prefix, REF_LEN, index_type="FLAT")
+    out = str(tmp_path / f"out{streaming}")
+    run_pipeline(
+        prefix, fq, ref, k=16, output_dir=out, mapq=True,
+        use_streaming=streaming,
+    )
+    mapqs = {}
+    for line in open(os.path.join(out, "results.sam")):
+        if line.startswith("@"):
+            continue
+        f = line.split("\t")
+        if int(f[1]) & 0x100 == 0:  # primary
+            mapqs[f[0]] = int(f[4])
+    assert mapqs["rep"] <= 3, mapqs
+    assert mapqs["uniq"] >= 40, mapqs
