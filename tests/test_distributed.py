@@ -242,6 +242,93 @@ print(f"CHILD{pid}-OK", flush=True)
 """
 
 
+_CHILD_SERVE = r"""
+import io
+import json
+import os
+import sys
+
+sys.path.insert(0, os.getcwd())
+port, pid, prefix, outdir = (
+    sys.argv[1], int(sys.argv[2]), sys.argv[3], sys.argv[4]
+)
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=f"127.0.0.1:{port}", num_processes=2, process_id=pid
+)
+from jax.experimental import multihost_utils
+
+from deepreadmapper_tpu.pipeline.build import build_index_distributed
+from deepreadmapper_tpu.pipeline.serve import serve
+
+build_index_distributed(
+    "tests/data/ecoli_150.fna", prefix, 150,
+    index_type="INT8FLAT", n_shards=2,
+)
+multihost_utils.sync_global_devices("built")
+
+# one daemon per host, the SAME request stream on every host (the serve
+# loop runs the SPMD pipeline per request; process 0 writes the outputs)
+reqs = "".join(json.dumps(r) + "\n" for r in [
+    {"id": "r1", "fastq": "tests/data/test_data.fastq",
+     "output_dir": outdir, "k": 8},
+    {"id": "r2", "fastq": "tests/data/test_data.fastq",
+     "output_dir": outdir + "_2", "k": 4, "write_sam": False},
+    {"cmd": "quit"},
+])
+out = io.StringIO()
+n = serve(prefix, "tests/data/ecoli_150.fna",
+          in_stream=io.StringIO(reqs), out_stream=out)
+lines = [json.loads(l) for l in out.getvalue().splitlines()]
+assert n == 2, n
+assert lines[0]["ready"] and lines[1]["ok"] and lines[2]["ok"]
+assert lines[1]["num_queries"] == 150
+multihost_utils.sync_global_devices("served")
+print(f"CHILD{pid}-OK", flush=True)
+"""
+
+
+def test_two_process_serve_daemon(tmp_path):
+    """Distributed serving: one daemon per host consuming the same JSONL
+    request stream; every request runs the SPMD sharded search across both
+    processes and only process 0 writes outputs."""
+    prefix = str(tmp_path / "srv_idx")
+    outdir = str(tmp_path / "srv_out")
+    child = tmp_path / "child_serve.py"
+    child.write_text(_CHILD_SERVE)
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.pop("PYTHONPATH", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(child), str(port), str(pid), prefix, outdir],
+            cwd=os.getcwd(), env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for pid, p in enumerate(procs):
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+        assert p.returncode == 0, f"child {pid} failed:\n{out}"
+    assert "CHILD0-OK" in outs[0] and "CHILD1-OK" in outs[1]
+    import numpy as np
+
+    ids = np.load(os.path.join(outdir, "indices.npy"))
+    assert ids.shape == (150, 8)
+    assert os.path.exists(os.path.join(outdir, "results.sam"))
+    assert not os.path.exists(os.path.join(outdir + "_2", "results.sam"))
+
+
 def test_two_process_pipeline_fastq_to_sam(tmp_path):
     """Full multi-host deployment end-to-end: two jax.distributed
     processes each EMBED + BUILD only their own genome slice/shard
