@@ -39,6 +39,12 @@ def _add_pipeline(sub):
                         "(best vs best-at-a-different-locus; repeats get "
                         "0, unique placements 60 — the reference "
                         "hardcodes 60)")
+    p.add_argument("--long-reads", action="store_true",
+                   help="map reads LONGER than the index window by "
+                        "chunk->search->chain voting (the reference "
+                        "truncates every read to ~121 bases); emits "
+                        "chained read-START placements + support-based "
+                        "distances")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="write a jax profiler trace of the search stage "
                         "(view with tensorboard/xprof)")
@@ -224,6 +230,7 @@ def main(argv=None) -> int:
             write_sam=not args.no_sam,
             cigar=args.cigar,
             mapq=args.mapq,
+            long_reads=args.long_reads,
             profile_dir=args.profile,
         )
         print(

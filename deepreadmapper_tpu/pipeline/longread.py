@@ -1,0 +1,211 @@
+"""Long-read mapping: chunk -> search -> chain.
+
+The reference truncates every read to MAX_LEN=123 tokens (~121 bases,
+preprocess.cpp:20-42), so a PacBio/Nanopore-scale read is mapped by its
+first ~121 bp only — one embedding, one vote, no use of the rest of the
+read.  This module maps reads of ANY length against the same window
+index: the read is cut into ref_len-sized chunks at half-window stride,
+every chunk is embedded and searched as a normal query (one big batch —
+the chunk axis is just more batch parallelism for the MXU scan), and the
+per-chunk candidates then VOTE for a consistent (strand, read-start)
+placement:
+
+    forward chunk at read offset o hitting window pos p  =>  start s = p - o
+    reverse chunk at read offset o hitting window pos p  =>  s = p + o + c - L
+
+(c = chunk length, L = read length: if revcomp(genome[s:s+L]) is the
+read, the chunk at read offset o matches the reverse window at genome
+position s + L - o - c.)  Votes within `tol` bases collapse into one
+cluster; the cluster with the largest support wins.  Support fractions
+give a margin-based MAPQ for free, and disagreeing chunks (chimeras,
+SVs) simply fail to form a majority — support is reported, not hidden.
+
+Chains are scored on CHUNK support, not re-aligned: a full-length SW of
+a 10 kb read is a different cost class (the SW kernel tiles ~150x150
+pairs) and the reference offers no long-read baseline at all.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+PAD_ID = -1
+
+
+def chunk_read(read_len: int, ref_len: int) -> list[int]:
+    """Chunk start offsets: half-window stride, final chunk end-aligned so
+    the read tail is always covered (every chunk has length ref_len except
+    for reads shorter than one window, handled by the normal path)."""
+    if read_len <= ref_len:
+        return [0]
+    step = max(1, ref_len // 2)
+    offs = list(range(0, read_len - ref_len, step))
+    offs.append(read_len - ref_len)
+    return offs
+
+
+def chain_votes(
+    cand_ids: np.ndarray,
+    cand_d: np.ndarray,
+    chunk_offs: np.ndarray,
+    chunk_len: int,
+    read_len: int,
+    k: int,
+    tol: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Chain one read's per-chunk candidates into top-k placements.
+
+    cand_ids/cand_d: [n_chunks, kc] window ids + distances (PAD_ID rows
+    allowed).  Returns (ids[k], support[k], n_votes) where ids are dense
+    window ids 2*start + strand of the chained read-START placements
+    (PAD_ID padded) and support is each cluster's vote weight.  A chunk
+    contributes at most one vote per cluster (the best-ranked one), so a
+    repeat locus cannot stuff the ballot with its own k candidates."""
+    ids = np.asarray(cand_ids, np.int64).ravel()
+    dmat = np.asarray(cand_d, np.float64)
+    d = dmat.ravel()
+    kc = cand_ids.shape[1]
+    # dense rank on DISTANCE, not position: an exact tie (true repeat) must
+    # weigh both copies equally or the arbitrary ANN tiebreak would forge a
+    # confident-looking majority
+    rank_mat = (dmat[:, :, None] > dmat[:, None, :]).sum(-1)
+    chunk_of = np.repeat(np.arange(len(chunk_offs)), kc)
+    offs = np.repeat(np.asarray(chunk_offs, np.int64), kc)
+    valid = ids >= 0
+    rank = rank_mat.ravel().astype(np.float64)[valid]
+    ids, d, offs, chunk_of = ids[valid], d[valid], offs[valid], chunk_of[valid]
+    if ids.size == 0:
+        return (
+            np.full(k, PAD_ID, np.int64),
+            np.zeros(k, np.float64),
+            0,
+        )
+    pos = ids >> 1
+    rev = ids & 1
+    start = np.where(rev == 0, pos - offs, pos + offs + chunk_len - read_len)
+    # rank weight: a chunk's best-distance candidates count 1, then 1/2, ...
+    w = 1.0 / (1.0 + rank)
+
+    # cluster by (strand, start // tol) with a half-bin shifted pass so a
+    # cluster straddling a bin edge is still found; keys are exact enough
+    # for vote collapsing (tol ~ chunk stride)
+    best: dict[tuple[int, int], list] = {}
+    for shift in (0, tol // 2):
+        key_bin = (start + shift) // max(tol, 1)
+        for kb, r, s, wt, ch, dd in zip(
+            key_bin, rev, start, w, chunk_of, d
+        ):
+            key = (int(r), int(kb), shift)
+            slot = best.get(key)
+            if slot is None:
+                # support, per-chunk best weight, weighted start sum, min d
+                slot = best[key] = [0.0, {}, 0.0, np.inf]
+            per_chunk = slot[1]
+            prev = per_chunk.get(int(ch), 0.0)
+            if wt > prev:
+                slot[0] += wt - prev
+                per_chunk[int(ch)] = wt
+                slot[2] += wt * float(s)
+                slot[3] = min(slot[3], float(dd))
+    # keep the better of the two passes per (strand, rounded start)
+    merged: dict[tuple[int, int], tuple] = {}
+    for (r, _kb, _sh), (sup, per_chunk, ssum, dmin) in best.items():
+        wsum = sum(per_chunk.values())
+        s_hat = int(round(ssum / max(wsum, 1e-12)))
+        mkey = (r, s_hat // max(tol, 1))
+        cur = merged.get(mkey)
+        if cur is None or sup > cur[0]:
+            merged[mkey] = (sup, s_hat, r, dmin)
+    ranked = sorted(merged.values(), key=lambda t: (-t[0], t[3]))
+    out_ids = np.full(k, PAD_ID, np.int64)
+    out_sup = np.zeros(k, np.float64)
+    # suppress near-duplicates: the two shifted clustering passes can land
+    # one physical cluster in two merged bins — without this the winner
+    # competes against its own echo and the support margin (MAPQ) collapses
+    accepted: list[tuple[int, int]] = []
+    for sup, s_hat, r, _dmin in ranked:
+        if any(r == r2 and abs(s_hat - s2) <= tol for r2, s2 in accepted):
+            continue
+        out_ids[len(accepted)] = 2 * max(0, s_hat) + r
+        out_sup[len(accepted)] = sup
+        accepted.append((r, s_hat))
+        if len(accepted) == k:
+            break
+    return out_ids, out_sup, len(chunk_offs)
+
+
+def map_long_reads(
+    seqs: list[str],
+    vectorizer,
+    engine,
+    ref_len: int,
+    k: int,
+    ef: int,
+    kc: int = 8,
+    tol: int | None = None,
+    stride: int = 1,
+    ids_to_base=None,
+    base_to_dense=None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Map reads longer than one window.  Returns (ids, dists, mapq):
+    ids [nq, k] dense window ids of chained read-START placements (PAD_ID
+    padded), dists [nq, k] = 1 - support_fraction (ascending better, same
+    orientation as L2 so downstream sorting conventions hold), and a
+    margin-based MAPQ [nq] from the top-two cluster supports.
+
+    ids_to_base(window_index) -> concatenated-base-stream position and
+    base_to_dense(start, strand) -> dense output id: the two coordinate
+    hops that make sparse (stride>1) and multi-record indexes chain in
+    one global base space.  Defaults cover the single-record case."""
+    if ids_to_base is None:
+        ids_to_base = lambda w: w * stride  # noqa: E731
+    if base_to_dense is None:
+        base_to_dense = lambda s, r: 2 * s + r  # noqa: E731
+    chunk_lists = [chunk_read(len(s), ref_len) for s in seqs]
+    # seqs are UNWRAPPED reads; chunks are embedded '<'-wrapped, the same
+    # space the index windows were built in (parse_inputs.cpp:337-349)
+    all_chunks = [
+        "<" + s[o: o + ref_len] + ">"
+        for s, offs in zip(seqs, chunk_lists)
+        for o in offs
+    ]
+    emb = vectorizer.vectorize(all_chunks)
+    cand_ids, cand_d = engine.search(np.asarray(emb), kc, ef)
+    cand_ids = np.asarray(cand_ids, np.int64)
+    cand_d = np.asarray(cand_d)
+    # into base coordinates: 2*base_pos + strand, invalids pass through
+    cand_ids = np.where(
+        cand_ids >= 0,
+        (ids_to_base(cand_ids >> 1) << 1) | (cand_ids & 1),
+        cand_ids,
+    )
+
+    nq = len(seqs)
+    ids = np.full((nq, k), PAD_ID, np.int64)
+    dists = np.ones((nq, k), np.float32)
+    mapq = np.zeros(nq, np.int32)
+    row = 0
+    for i, (s, offs) in enumerate(zip(seqs, chunk_lists)):
+        n_ch = len(offs)
+        cids, sup, _ = chain_votes(
+            cand_ids[row: row + n_ch],
+            cand_d[row: row + n_ch],
+            np.asarray(offs, np.int64),
+            min(len(s), ref_len),
+            len(s),
+            k,
+            tol if tol is not None else max(1, ref_len // 2),
+        )
+        row += n_ch
+        ids[i] = np.where(
+            cids >= 0, base_to_dense(np.maximum(cids, 0) >> 1, cids & 1),
+            cids,
+        )
+        total = max(float(n_ch), 1e-12)  # max support = 1 vote per chunk
+        dists[i] = (1.0 - sup / total).astype(np.float32)
+        if cids[0] != PAD_ID:
+            v1 = sup[0]
+            v2 = sup[1] if k > 1 else 0.0
+            mapq[i] = int(np.clip(round(60.0 * (v1 - v2) / max(v1, 1e-12)),
+                                  0, 60))
+    return ids, dists, mapq

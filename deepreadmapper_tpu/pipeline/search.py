@@ -183,6 +183,7 @@ def run_pipeline(
     write_sam: bool = True,
     cigar: bool = False,
     mapq: bool = False,
+    long_reads: bool = False,
     profile_dir: str | None = None,
     vectorizer: Vectorizer | None = None,
     search_cfg: SearchConfig | None = None,
@@ -222,7 +223,12 @@ def run_pipeline(
     t_embed = time.time() - t0
 
     t0 = time.time()
-    if profile_dir:
+    if long_reads:
+        # the chunk->search->chain path below issues its own (bigger)
+        # search batch; the whole-read embedding/search would only see the
+        # first ~121 bases (the reference's truncation, preprocess.cpp)
+        neighbors = distances = None
+    elif profile_dir:
         # jax profiler trace around the hot stage (host + device timelines;
         # view with tensorboard or xprof).  Device events may be missing on
         # remote-plugin backends -- the host trace still captures dispatch.
@@ -271,6 +277,24 @@ def run_pipeline(
             "sequences)"
         )
         mapq = False
+    if long_reads:
+        if not have_seqs:
+            raise ValueError(
+                "--long-reads needs query SEQUENCES (precomputed embeddings "
+                "only cover the first ~121 bases of each read)"
+            )
+        if cigar:
+            print(
+                "[MAIN] WARNING: --cigar ignored with --long-reads (the SW "
+                "traceback kernel tiles window-sized pairs, not full "
+                "long-read alignments)"
+            )
+            cigar = False
+        if use_streaming:
+            print(
+                "[MAIN] WARNING: use_streaming ignored with --long-reads"
+            )
+            use_streaming = False
     if dense_rerank and stride == 1 and (not have_seqs or rerank == "sw"):
         print(
             "[MAIN] WARNING: --dense-rerank ignored ("
@@ -353,7 +377,53 @@ def run_pipeline(
                 tokens = tok.tokenize_bytes_fast(mat, lengths, vectorizer.max_len)
             return vectorizer.vectorize_tokens(tokens, device_out=True)
 
-        if rerank == "sw":
+        if long_reads:
+            # chunk -> search -> chain (pipeline/longread.py): every read
+            # is cut into ref_len windows at half-window stride, chunks
+            # search as one big batch, per-chunk hits vote for a
+            # consistent (strand, read-start) placement.  Chained ids are
+            # already dense read-START window ids — no expansion/rerank.
+            from deepreadmapper_tpu.pipeline import longread as lr_mod
+
+            clean = [sam_io._clean_query(q) for q in query_seqs]
+            if multi:
+                def ids_to_base(w):
+                    r, loc = fasta_io.record_of(w, sparse_off)
+                    return base_off[r] + loc * stride
+
+                def base_to_dense(s, rev):
+                    r = np.clip(
+                        np.searchsorted(base_off, s, side="right") - 1,
+                        0, len(base_off) - 2,
+                    )
+                    loc = np.clip(
+                        s - base_off[r], 0,
+                        dense_off[r + 1] - dense_off[r] - 1,
+                    )
+                    return 2 * (dense_off[r] + loc) + rev
+            else:
+                n_dense = max(1, int(genome.size) - ref_len + 1)
+
+                def ids_to_base(w):
+                    return w * stride
+
+                def base_to_dense(s, rev):
+                    return 2 * np.minimum(s, n_dense - 1) + rev
+
+            t1 = time.time()
+            final_ids, final_d, lr_mapq = lr_mod.map_long_reads(
+                clean, vectorizer, engine, ref_len, k, ef, stride=stride,
+                ids_to_base=ids_to_base, base_to_dense=base_to_dense,
+            )
+            t_search = time.time() - t1
+            if sam_out:
+                sam_io.write_sam(
+                    query_seqs, query_ids, final_ids.ravel(), "ref", ref_len,
+                    k, sam_file, record_names=rec_names,
+                    record_lens=rec_lens, dense_off=dense_off,
+                    mapq=lr_mapq if mapq else None,
+                )
+        elif rerank == "sw":
             # SW rerank path (reference post_process_sw_*, plumbed but
             # disabled in the reference's main; first-class here).
             from deepreadmapper_tpu.tokenizer import strings_to_bytes
@@ -487,9 +557,21 @@ def run_pipeline(
                     mapq=mq,
                 )
     t_post = time.time() - t0
+    if long_reads:
+        t_post -= t_search  # the chain path's search ran inside this timer
 
     if not use_streaming and is_main:
-        if dense_rerank and stride == 1 and final_d is not None:
+        if long_reads:
+            # chained read-START placements; "distances" are
+            # 1 - chunk-support fraction (ascending better)
+            save_results(
+                final_ids,
+                final_d,
+                os.path.join(output_dir, "indices.npy"),
+                os.path.join(output_dir, "distances.npy"),
+                k,
+            )
+        elif dense_rerank and stride == 1 and final_d is not None:
             # Extension path: surface the exactly-reranked results (the
             # reference always saves raw ANN output, main.cpp:371-384, and
             # routes reranked results to SAM only).
