@@ -134,6 +134,13 @@ def _add_serve(sub):
     p.add_argument("--mapq", action="store_true")
 
 
+def _add_info(sub):
+    p = sub.add_parser(
+        "info", help="inspect an index directory (no engine load)"
+    )
+    p.add_argument("index_prefix")
+
+
 def _add_inference(sub):
     p = sub.add_parser("inference", help="embed sequences to npy")
     p.add_argument("input_file")
@@ -192,6 +199,7 @@ def main(argv=None) -> int:
     _add_pipeline(sub)
     _add_build(sub)
     _add_serve(sub)
+    _add_info(sub)
     _add_inference(sub)
     _add_finetune(sub)
     _add_gen_ref(sub)
@@ -237,6 +245,39 @@ def main(argv=None) -> int:
             f"[MAIN] {res['num_queries']} queries | embed {res['t_embed']:.2f}s "
             f"| search {res['t_search']:.2f}s | post {res['t_post']:.2f}s"
         )
+        return 0
+
+    if args.cmd == "info":
+        from deepreadmapper_tpu.io.configstore import load_config
+
+        cfg_path = os.path.join(args.index_prefix, "config.txt")
+        if not os.path.exists(cfg_path):
+            print(f"[INFO] no config.txt under {args.index_prefix}")
+            return 1
+        config = load_config(cfg_path)
+        for key, val in config.items():
+            print(f"{key}: {val}")
+        manifest = os.path.join(args.index_prefix, "sharded.txt")
+        if os.path.exists(manifest):
+            shard_ids = sorted(
+                d for d in os.listdir(args.index_prefix)
+                if d.startswith("shard_")
+            )
+            print(f"sharded: yes ({len(shard_ids)} shard dirs on disk)")
+        total = 0
+        for root, _dirs, files in os.walk(args.index_prefix):
+            for fn in sorted(files):
+                p = os.path.join(root, fn)
+                sz = os.path.getsize(p)
+                total += sz
+                rel = os.path.relpath(p, args.index_prefix)
+                print(f"file: {rel}  {sz/1e6:.2f} MB")
+        print(f"disk_total_mb: {total/1e6:.2f}")
+        nv = int(config.get("n_vects", 0))
+        if nv:
+            print(f"bytes_per_vector: {total/nv:.1f}")
+        if config.get("weights"):
+            print("encoder: index-matched fine-tuned weights (encoder.npz)")
         return 0
 
     if args.cmd == "serve":

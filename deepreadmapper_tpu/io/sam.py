@@ -54,6 +54,7 @@ def format_sam_records(
     primary_cigars: list[str] | None = None,
     primary_pos_off: np.ndarray | None = None,
     mapq: np.ndarray | None = None,
+    supplementary: dict | None = None,
 ) -> Iterable[str]:
     """Yield SAM lines for queries [query_offset, query_offset+len(query_seqs))
     whose flattened candidate ids are ``cand_ids`` ([nq * k], row-major).
@@ -82,7 +83,12 @@ def format_sam_records(
     mapq (per GLOBAL query, like primary_cigars): real mapping qualities
     for primary lines; secondaries then carry 0 (they are by definition
     not the best placement).  Default None keeps the reference's
-    constant 60 everywhere (utils.cpp:336-404)."""
+    constant 60 everywhere (utils.cpp:336-404).
+
+    supplementary: {global_query: [(seq_id, cigar, mapq)]} — FLAG-2048
+    split-read segments (long-read chimera halves); their soft-clip
+    CIGARs mark the read interval each segment aligns, SEQ follows the
+    same orientation rule as real-CIGAR primaries."""
     cand_ids = np.asarray(list(cand_ids), dtype=np.int64)
     if record_names is not None:
         # one vectorized lookup for every line (not one searchsorted per
@@ -132,6 +138,24 @@ def format_sam_records(
                 f"{qname}\t{flag}\t{rname}\t{pos}\t{q}\t{cigar}\t*\t0\t0\t"
                 f"{seq_out}\t*\n"
             )
+        for seq_id, cig, q in (supplementary or {}).get(gq, ()):
+            if record_names is not None:
+                from deepreadmapper_tpu.io.fasta import record_of
+
+                rec_s, loc_s = record_of(
+                    np.asarray([seq_id >> 1]), dense_off
+                )
+                rname = record_names[int(rec_s[0])]
+                pos = int(loc_s[0]) + 1
+            else:
+                rname = ref_name
+                pos = (seq_id >> 1) + 1
+            flag = 2048 | (16 if seq_id % 2 == 1 else 0)
+            seq_out = _revcomp(clean) if seq_id % 2 == 1 else clean
+            yield (
+                f"{qname}\t{flag}\t{rname}\t{pos}\t{q}\t{cig}\t*\t0\t0\t"
+                f"{seq_out}\t*\n"
+            )
 
 
 def write_sam(
@@ -151,6 +175,7 @@ def write_sam(
     primary_cigars: list[str] | None = None,
     primary_pos_off: np.ndarray | None = None,
     mapq: np.ndarray | None = None,
+    supplementary: dict | None = None,
 ) -> None:
     mode = "a" if append else "w"
     with open(output_file, mode) as f:
@@ -162,6 +187,6 @@ def write_sam(
         for line in format_sam_records(
             query_seqs, query_ids, cand_ids, k, ref_name, query_offset,
             record_names, dense_off, primary_cigars, primary_pos_off,
-            mapq,
+            mapq, supplementary,
         ):
             f.write(line)

@@ -56,11 +56,14 @@ def chain_votes(
     """Chain one read's per-chunk candidates into top-k placements.
 
     cand_ids/cand_d: [n_chunks, kc] window ids + distances (PAD_ID rows
-    allowed).  Returns (ids[k], support[k], n_votes) where ids are dense
-    window ids 2*start + strand of the chained read-START placements
-    (PAD_ID padded) and support is each cluster's vote weight.  A chunk
-    contributes at most one vote per cluster (the best-ranked one), so a
-    repeat locus cannot stuff the ballot with its own k candidates."""
+    allowed).  Returns (ids[k], support[k], n_chunks, coverage[k, 2])
+    where ids are dense window ids 2*start + strand of the chained
+    read-START placements (PAD_ID padded), support is each cluster's vote
+    weight, and coverage is the READ interval [lo, hi) the cluster's
+    supporting chunks span — disjoint coverage between the top clusters is
+    the split-read (chimera) signal.  A chunk contributes at most one vote
+    per cluster (its best-ranked one), so a repeat locus cannot stuff the
+    ballot with its own k candidates."""
     ids = np.asarray(cand_ids, np.int64).ravel()
     dmat = np.asarray(cand_d, np.float64)
     d = dmat.ravel()
@@ -79,6 +82,7 @@ def chain_votes(
             np.full(k, PAD_ID, np.int64),
             np.zeros(k, np.float64),
             0,
+            np.zeros((k, 2), np.int64),
         )
     pos = ids >> 1
     rev = ids & 1
@@ -89,49 +93,49 @@ def chain_votes(
     # cluster by (strand, start // tol) with a half-bin shifted pass so a
     # cluster straddling a bin edge is still found; keys are exact enough
     # for vote collapsing (tol ~ chunk stride)
-    best: dict[tuple[int, int], list] = {}
+    best: dict[tuple[int, int, int], dict] = {}
     for shift in (0, tol // 2):
         key_bin = (start + shift) // max(tol, 1)
         for kb, r, s, wt, ch, dd in zip(
             key_bin, rev, start, w, chunk_of, d
         ):
             key = (int(r), int(kb), shift)
-            slot = best.get(key)
-            if slot is None:
-                # support, per-chunk best weight, weighted start sum, min d
-                slot = best[key] = [0.0, {}, 0.0, np.inf]
-            per_chunk = slot[1]
-            prev = per_chunk.get(int(ch), 0.0)
-            if wt > prev:
-                slot[0] += wt - prev
-                per_chunk[int(ch)] = wt
-                slot[2] += wt * float(s)
-                slot[3] = min(slot[3], float(dd))
+            # per-chunk best (weight, start): one vote per chunk per cluster
+            per_chunk = best.setdefault(key, {})
+            prev = per_chunk.get(int(ch))
+            if prev is None or wt > prev[0]:
+                per_chunk[int(ch)] = (wt, int(s), float(dd))
     # keep the better of the two passes per (strand, rounded start)
     merged: dict[tuple[int, int], tuple] = {}
-    for (r, _kb, _sh), (sup, per_chunk, ssum, dmin) in best.items():
-        wsum = sum(per_chunk.values())
-        s_hat = int(round(ssum / max(wsum, 1e-12)))
+    for (r, _kb, _sh), per_chunk in best.items():
+        sup = sum(wt for wt, _s, _d in per_chunk.values())
+        ssum = sum(wt * s for wt, s, _d in per_chunk.values())
+        dmin = min(dd for _w, _s, dd in per_chunk.values())
+        s_hat = int(round(ssum / max(sup, 1e-12)))
+        lo = min(chunk_offs[ch] for ch in per_chunk)
+        hi = max(chunk_offs[ch] for ch in per_chunk) + chunk_len
         mkey = (r, s_hat // max(tol, 1))
         cur = merged.get(mkey)
         if cur is None or sup > cur[0]:
-            merged[mkey] = (sup, s_hat, r, dmin)
+            merged[mkey] = (sup, s_hat, r, dmin, int(lo), int(hi))
     ranked = sorted(merged.values(), key=lambda t: (-t[0], t[3]))
     out_ids = np.full(k, PAD_ID, np.int64)
     out_sup = np.zeros(k, np.float64)
+    out_cov = np.zeros((k, 2), np.int64)
     # suppress near-duplicates: the two shifted clustering passes can land
     # one physical cluster in two merged bins — without this the winner
     # competes against its own echo and the support margin (MAPQ) collapses
     accepted: list[tuple[int, int]] = []
-    for sup, s_hat, r, _dmin in ranked:
+    for sup, s_hat, r, _dmin, lo, hi in ranked:
         if any(r == r2 and abs(s_hat - s2) <= tol for r2, s2 in accepted):
             continue
         out_ids[len(accepted)] = 2 * max(0, s_hat) + r
         out_sup[len(accepted)] = sup
+        out_cov[len(accepted)] = (lo, hi)
         accepted.append((r, s_hat))
         if len(accepted) == k:
             break
-    return out_ids, out_sup, len(chunk_offs)
+    return out_ids, out_sup, len(chunk_offs), out_cov
 
 
 def map_long_reads(
@@ -146,12 +150,19 @@ def map_long_reads(
     stride: int = 1,
     ids_to_base=None,
     base_to_dense=None,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Map reads longer than one window.  Returns (ids, dists, mapq):
+):
+    """Map reads longer than one window.  Returns (ids, dists, mapq, supp):
     ids [nq, k] dense window ids of chained read-START placements (PAD_ID
     padded), dists [nq, k] = 1 - support_fraction (ascending better, same
-    orientation as L2 so downstream sorting conventions hold), and a
-    margin-based MAPQ [nq] from the top-two cluster supports.
+    orientation as L2 so downstream sorting conventions hold), a
+    margin-based MAPQ [nq], and supp — a dict {query_i: [(dense_segment_id,
+    cigar, mapq)]} of SPLIT-READ supplementary alignments: secondary vote
+    clusters whose supporting chunks cover a read region DISJOINT from the
+    primary's (a chimera / structural-variant junction).  Their soft-clip
+    CIGARs mark which read interval aligns where.  Disjoint-coverage
+    clusters are also EXCLUDED from the primary's MAPQ competitor set —
+    the other half of a chimera is not an alternative placement of the
+    same bases.
 
     ids_to_base(window_index) -> concatenated-base-stream position and
     base_to_dense(start, strand) -> dense output id: the two coordinate
@@ -184,15 +195,18 @@ def map_long_reads(
     ids = np.full((nq, k), PAD_ID, np.int64)
     dists = np.ones((nq, k), np.float32)
     mapq = np.zeros(nq, np.int32)
+    supp: dict[int, list[tuple[int, str, int]]] = {}
     row = 0
     for i, (s, offs) in enumerate(zip(seqs, chunk_lists)):
         n_ch = len(offs)
-        cids, sup, _ = chain_votes(
+        c = min(len(s), ref_len)
+        L = len(s)
+        cids, sup, _, cov = chain_votes(
             cand_ids[row: row + n_ch],
             cand_d[row: row + n_ch],
             np.asarray(offs, np.int64),
-            min(len(s), ref_len),
-            len(s),
+            c,
+            L,
             k,
             tol if tol is not None else max(1, ref_len // 2),
         )
@@ -203,9 +217,35 @@ def map_long_reads(
         )
         total = max(float(n_ch), 1e-12)  # max support = 1 vote per chunk
         dists[i] = (1.0 - sup / total).astype(np.float32)
-        if cids[0] != PAD_ID:
-            v1 = sup[0]
-            v2 = sup[1] if k > 1 else 0.0
-            mapq[i] = int(np.clip(round(60.0 * (v1 - v2) / max(v1, 1e-12)),
-                                  0, 60))
-    return ids, dists, mapq
+        if cids[0] == PAD_ID:
+            continue
+        p_lo, p_hi = int(cov[0, 0]), int(cov[0, 1])
+        v2 = 0.0
+        for j in range(1, k):
+            if cids[j] == PAD_ID:
+                break
+            lo, hi = int(cov[j, 0]), int(cov[j, 1])
+            ov = max(0, min(p_hi, hi) - max(p_lo, lo))
+            if ov >= 0.5 * min(p_hi - p_lo, hi - lo):
+                # overlapping coverage: an alternative placement of the
+                # SAME read bases -> a MAPQ competitor
+                v2 = max(v2, sup[j])
+            elif sup[j] >= 2.0 and len(supp.get(i, ())) < 2:
+                # disjoint coverage: the other half of a split read
+                s_hat = int(cids[j]) >> 1
+                strand = int(cids[j]) & 1
+                seg_start = s_hat + lo if strand == 0 else s_hat + L - hi
+                seg_id = int(
+                    base_to_dense(np.int64(max(0, seg_start)), strand)
+                )
+                m = hi - lo
+                # ref orientation: clips swap on the reverse strand
+                a, b = (lo, L - hi) if strand == 0 else (L - hi, lo)
+                cig = (f"{a}S" if a else "") + f"{m}M" + (f"{b}S" if b else "")
+                n_exp = sum(1 for o in offs if lo <= o <= hi - c)
+                q = int(np.clip(round(60.0 * sup[j] / max(n_exp, 1)), 0, 60))
+                supp.setdefault(i, []).append((seg_id, cig, q))
+        v1 = sup[0]
+        mapq[i] = int(np.clip(round(60.0 * (v1 - v2) / max(v1, 1e-12)),
+                              0, 60))
+    return ids, dists, mapq, supp

@@ -411,17 +411,23 @@ def run_pipeline(
                     return 2 * np.minimum(s, n_dense - 1) + rev
 
             t1 = time.time()
-            final_ids, final_d, lr_mapq = lr_mod.map_long_reads(
+            final_ids, final_d, lr_mapq, lr_supp = lr_mod.map_long_reads(
                 clean, vectorizer, engine, ref_len, k, ef, stride=stride,
                 ids_to_base=ids_to_base, base_to_dense=base_to_dense,
             )
             t_search = time.time() - t1
+            if lr_supp:
+                print(
+                    f"[MAIN] split-read: {len(lr_supp)} reads carry "
+                    "supplementary (FLAG 2048) segments"
+                )
             if sam_out:
                 sam_io.write_sam(
                     query_seqs, query_ids, final_ids.ravel(), "ref", ref_len,
                     k, sam_file, record_names=rec_names,
                     record_lens=rec_lens, dense_off=dense_off,
                     mapq=lr_mapq if mapq else None,
+                    supplementary=lr_supp,
                 )
         elif rerank == "sw":
             # SW rerank path (reference post_process_sw_*, plumbed but

@@ -35,7 +35,7 @@ def test_chain_votes_forward_consensus():
         [2 * 1150, 2 * 1150],        # chunk 2: truth
     ])
     d = np.ones_like(ids, dtype=np.float64)
-    cids, sup, n = chain_votes(ids, d, offs, 150, 300, k=4, tol=75)
+    cids, sup, n, _cov = chain_votes(ids, d, offs, 150, 300, k=4, tol=75)
     assert n == 3
     assert cids[0] == 2 * 1000  # consensus start, forward strand
     assert sup[0] == 3.0        # every chunk's top vote agrees
@@ -51,7 +51,7 @@ def test_chain_votes_reverse_geometry():
         [2 * (s + L - 150 - c) + 1],
     ])
     d = np.zeros_like(ids, dtype=np.float64)
-    cids, sup, _ = chain_votes(ids, d, offs, c, L, k=2, tol=75)
+    cids, sup, _, _cov = chain_votes(ids, d, offs, c, L, k=2, tol=75)
     assert cids[0] == 2 * s + 1
     assert sup[0] == 2.0
 
@@ -63,18 +63,18 @@ def test_chain_votes_repeat_splits_support():
     offs = np.array([0, 75])
     ids = np.array([[2 * 1000, 2 * 5000], [2 * 1075, 2 * 5075]])
     d = np.ones_like(ids, dtype=np.float64)
-    cids, sup, _ = chain_votes(ids, d, offs, 150, 225, k=4, tol=75)
+    cids, sup, _, _cov = chain_votes(ids, d, offs, 150, 225, k=4, tol=75)
     starts = sorted(int(c) >> 1 for c in cids[:2])
     assert starts == [1000, 5000]
     assert sup[0] == sup[1] == 2.0
     # distinct distances restore the ranked weighting
     d2 = np.array([[1.0, 2.0], [1.0, 2.0]])
-    _cids, sup2, _ = chain_votes(ids, d2, offs, 150, 225, k=4, tol=75)
+    _cids, sup2, _, _ = chain_votes(ids, d2, offs, 150, 225, k=4, tol=75)
     assert sup2[0] == 2.0 and sup2[1] == 1.0
 
 
 def test_chain_votes_empty():
-    cids, sup, n = chain_votes(
+    cids, sup, n, _cov = chain_votes(
         np.full((2, 3), -1), np.zeros((2, 3)), np.array([0, 75]), 150, 225,
         k=4, tol=75,
     )
@@ -200,6 +200,53 @@ def test_pipeline_long_reads_multirecord(lr_setup, tmp_path):
     assert abs(int(primaries["rb"][3]) - 4_001) <= 5
 
 
+def test_chimeric_read_gets_supplementary_alignment(lr_setup, tmp_path):
+    """A chimera (two genome loci fused in one read) must yield a primary
+    line for the larger segment AND a FLAG-2048 supplementary for the
+    other segment, with soft-clip CIGARs marking which read interval maps
+    where — and the primary's MAPQ must NOT be destroyed by its own other
+    half (disjoint coverage is excluded from the competitor set)."""
+    import os
+    import re
+
+    from deepreadmapper_tpu.pipeline.build import build_index
+    from deepreadmapper_tpu.pipeline.search import run_pipeline
+
+    genome, vec, _engine = lr_setup
+    rng = np.random.default_rng(21)
+    ref = str(tmp_path / "ref.fna")
+    with open(ref, "w") as f:
+        f.write("> lr\n")
+        for i in range(0, len(genome), 80):
+            f.write(genome[i:i + 80] + "\n")
+    prefix = str(tmp_path / "idx")
+    build_index(ref, prefix, REF_LEN, index_type="INT8FLAT", vectorizer=vec)
+    # 900 bp from locus 2000  +  600 bp from locus 12000
+    chimera = _mutate(genome[2000:2900] + genome[12_000:12_600], 0.005, rng)
+    normal = _mutate(genome[6_000:7_200], 0.005, rng)
+    fq = str(tmp_path / "c.fastq")
+    _write_fastq(fq, [("chim", chimera), ("norm", normal)])
+    out = str(tmp_path / "outc")
+    run_pipeline(prefix, fq, ref, k=4, output_dir=out, long_reads=True,
+                 mapq=True, vectorizer=vec)
+    sam = [l.split("\t") for l in open(os.path.join(out, "results.sam"))
+           if not l.startswith("@")]
+    prim = {f[0]: f for f in sam if int(f[1]) & 0x900 == 0}
+    supp = [f for f in sam if int(f[1]) & 0x800]
+    # primary: the larger (first) segment, with its chimera half excluded
+    # from the MAPQ competitor set
+    assert abs(int(prim["chim"][3]) - 2_001) <= 5
+    assert int(prim["chim"][4]) >= 40, prim["chim"][4]
+    # supplementary: the 600 bp tail at locus 12000, soft clips ~900/0
+    assert len(supp) == 1 and supp[0][0] == "chim"
+    assert abs(int(supp[0][3]) - 12_001) <= 80
+    m = re.fullmatch(r"(\d+)S(\d+)M(?:(\d+)S)?", supp[0][5])
+    assert m, supp[0][5]
+    assert abs(int(m.group(1)) - 900) <= 80   # leading clip = segment 1
+    # the normal read stays clean: one primary, no supplementary
+    assert prim["norm"] and not any(f[0] == "norm" for f in supp)
+
+
 def test_map_long_reads_finds_true_locus(lr_setup):
     genome, vec, engine = lr_setup
     rng = np.random.default_rng(5)
@@ -212,7 +259,7 @@ def test_map_long_reads_finds_true_locus(lr_setup):
             seq = seq.translate(_COMP)[::-1]
         reads.append(seq)
         truth.append((s, i % 2))
-    ids, dists, mapq = map_long_reads(
+    ids, dists, mapq, _supp = map_long_reads(
         reads, vec, engine, REF_LEN, k=4, ef=128
     )
     for i, (s, strand) in enumerate(truth):
