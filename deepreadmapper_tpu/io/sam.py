@@ -29,17 +29,35 @@ def _revcomp(seq: str) -> str:
     return seq.translate(_COMP)[::-1]
 
 
-def sam_header(ref_name: str, ref_len: int) -> str:
-    return f"@HD\tVN:1.0\tSO:unsorted\n@SQ\tSN:{ref_name}\tLN:{ref_len}\n"
+def _pg_line(pg: str | None) -> str:
+    """@PG provenance line (standard SAM practice; the reference emits
+    none).  `pg` is the command-line summary for the CL field."""
+    if pg is None:
+        return ""
+    from deepreadmapper_tpu import __version__
+
+    return (
+        "@PG\tID:deepreadmapper_tpu\tPN:deepreadmapper_tpu"
+        f"\tVN:{__version__}\tCL:{pg}\n"
+    )
 
 
-def sam_header_multi(record_names: list[str], record_lens: list[int]) -> str:
+def sam_header(ref_name: str, ref_len: int, pg: str | None = None) -> str:
+    return (
+        f"@HD\tVN:1.0\tSO:unsorted\n@SQ\tSN:{ref_name}\tLN:{ref_len}\n"
+        + _pg_line(pg)
+    )
+
+
+def sam_header_multi(
+    record_names: list[str], record_lens: list[int], pg: str | None = None
+) -> str:
     """Proper per-chromosome @SQ lines (beyond the reference's single
     hard-coded SN:ref) for multi-record references."""
     sq = "".join(
         f"@SQ\tSN:{n}\tLN:{ln}\n" for n, ln in zip(record_names, record_lens)
     )
-    return "@HD\tVN:1.0\tSO:unsorted\n" + sq
+    return "@HD\tVN:1.0\tSO:unsorted\n" + sq + _pg_line(pg)
 
 
 def format_sam_records(
@@ -88,7 +106,10 @@ def format_sam_records(
     supplementary: {global_query: [(seq_id, cigar, mapq)]} — FLAG-2048
     split-read segments (long-read chimera halves); their soft-clip
     CIGARs mark the read interval each segment aligns, SEQ follows the
-    same orientation rule as real-CIGAR primaries."""
+    same orientation rule as real-CIGAR primaries.  Primary and
+    supplementary lines of a split read cross-reference through standard
+    SA:Z tags (rname,pos,strand,CIGAR,mapQ,NM;) so samtools/SV callers
+    can reassemble the chimera; NM is 0 (edit distance not computed)."""
     cand_ids = np.asarray(list(cand_ids), dtype=np.int64)
     if record_names is not None:
         # one vectorized lookup for every line (not one searchsorted per
@@ -109,6 +130,27 @@ def format_sam_records(
             else f"S1/{gq + 1}/0"
         )
         pseudo = f"{len(clean)}M"
+        # resolve supplementary (split-read) fields up front: the primary
+        # line's SA:Z tag references them, and theirs references it
+        supp_fields = []
+        for seq_id, cig, q in (supplementary or {}).get(gq, ()):
+            if record_names is not None:
+                from deepreadmapper_tpu.io.fasta import record_of
+
+                rec_s, loc_s = record_of(
+                    np.asarray([seq_id >> 1]), dense_off
+                )
+                rname_s = record_names[int(rec_s[0])]
+                pos_s = int(loc_s[0]) + 1
+            else:
+                rname_s = ref_name
+                pos_s = (seq_id >> 1) + 1
+            supp_fields.append((seq_id, cig, q, rname_s, pos_s))
+        sa_primary = "".join(
+            f"{rn},{p},{'-' if sid % 2 else '+'},{cg},{q},0;"
+            for sid, cg, q, rn, p in supp_fields
+        )
+        primary_desc = ""
         for j in range(k):
             idx = i * k + j
             if idx >= cand_ids.size:
@@ -134,27 +176,24 @@ def format_sam_records(
                 q = 60
             else:
                 q = int(mapq[gq]) if j == 0 else 0
+            tag = ""
+            if j == 0 and supp_fields:
+                primary_desc = (
+                    f"{rname},{pos},{'-' if seq_id % 2 else '+'},"
+                    f"{cigar},{q},0;"
+                )
+                tag = f"\tSA:Z:{sa_primary}"
             yield (
                 f"{qname}\t{flag}\t{rname}\t{pos}\t{q}\t{cigar}\t*\t0\t0\t"
-                f"{seq_out}\t*\n"
+                f"{seq_out}\t*{tag}\n"
             )
-        for seq_id, cig, q in (supplementary or {}).get(gq, ()):
-            if record_names is not None:
-                from deepreadmapper_tpu.io.fasta import record_of
-
-                rec_s, loc_s = record_of(
-                    np.asarray([seq_id >> 1]), dense_off
-                )
-                rname = record_names[int(rec_s[0])]
-                pos = int(loc_s[0]) + 1
-            else:
-                rname = ref_name
-                pos = (seq_id >> 1) + 1
+        for seq_id, cig, q, rname_s, pos_s in supp_fields:
             flag = 2048 | (16 if seq_id % 2 == 1 else 0)
             seq_out = _revcomp(clean) if seq_id % 2 == 1 else clean
+            tag = f"\tSA:Z:{primary_desc}" if primary_desc else ""
             yield (
-                f"{qname}\t{flag}\t{rname}\t{pos}\t{q}\t{cig}\t*\t0\t0\t"
-                f"{seq_out}\t*\n"
+                f"{qname}\t{flag}\t{rname_s}\t{pos_s}\t{q}\t{cig}\t*\t0\t0\t"
+                f"{seq_out}\t*{tag}\n"
             )
 
 
@@ -176,14 +215,15 @@ def write_sam(
     primary_pos_off: np.ndarray | None = None,
     mapq: np.ndarray | None = None,
     supplementary: dict | None = None,
+    pg: str | None = None,
 ) -> None:
     mode = "a" if append else "w"
     with open(output_file, mode) as f:
         if write_header:
             if record_names is not None:
-                f.write(sam_header_multi(record_names, record_lens))
+                f.write(sam_header_multi(record_names, record_lens, pg))
             else:
-                f.write(sam_header(ref_name, ref_len))
+                f.write(sam_header(ref_name, ref_len, pg))
         for line in format_sam_records(
             query_seqs, query_ids, cand_ids, k, ref_name, query_offset,
             record_names, dense_off, primary_cigars, primary_pos_off,

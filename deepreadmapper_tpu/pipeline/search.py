@@ -302,6 +302,16 @@ def run_pipeline(
                if not have_seqs else "SW rerank already reranks at stride 1")
             + "); saving raw ANN results"
         )
+    # @PG provenance for every SAM header (standard practice; the
+    # reference emits none)
+    pg = (
+        f"pipeline {index_prefix} {query_file} ef={ef} k={k}"
+        f" k_clusters={k_clusters} rerank={rerank}"
+        + (" dense_rerank" if dense_rerank else "")
+        + (" cigar" if cigar else "")
+        + (" mapq" if mapq else "")
+        + (" long_reads" if long_reads else "")
+    )
     if have_seqs:
         records = fasta_io.parse_fasta_records(ref_file)
         multi = len(records) > 1
@@ -427,7 +437,7 @@ def run_pipeline(
                     k, sam_file, record_names=rec_names,
                     record_lens=rec_lens, dense_off=dense_off,
                     mapq=lr_mapq if mapq else None,
-                    supplementary=lr_supp,
+                    supplementary=lr_supp, pg=pg,
                 )
         elif rerank == "sw":
             # SW rerank path (reference post_process_sw_*, plumbed but
@@ -462,6 +472,7 @@ def run_pipeline(
                     query_seqs, query_ids, final_ids.ravel(), "ref", ref_len,
                     k, sam_file, record_names=rec_names,
                     record_lens=rec_lens, dense_off=dense_off, mapq=mq,
+                    pg=pg,
                 )
         elif use_streaming:
             from deepreadmapper_tpu.utils.progress import Progress
@@ -521,6 +532,7 @@ def run_pipeline(
                         primary_cigars=pc,
                         primary_pos_off=po,
                         mapq=mq,
+                        pg=pg,
                     )
                 sprog.update(end - start)
             sprog.close()
@@ -561,6 +573,7 @@ def run_pipeline(
                     primary_cigars=pc,
                     primary_pos_off=po,
                     mapq=mq,
+                    pg=pg,
                 )
     t_post = time.time() - t0
     if long_reads:

@@ -245,6 +245,18 @@ def test_chimeric_read_gets_supplementary_alignment(lr_setup, tmp_path):
     assert abs(int(m.group(1)) - 900) <= 80   # leading clip = segment 1
     # the normal read stays clean: one primary, no supplementary
     assert prim["norm"] and not any(f[0] == "norm" for f in supp)
+    # SA:Z cross-references: primary lists the supplementary and vice versa
+    prim_sa = [t for t in prim["chim"] if t.startswith("SA:Z:")]
+    supp_sa = [t.rstrip("\n") for t in supp[0] if t.startswith("SA:Z:")]
+    assert prim_sa and supp_sa
+    assert prim_sa[0].split(":")[2].split(",")[0] == supp[0][2]  # rname
+    assert supp_sa[0].split(":")[2].split(",")[1] == prim["chim"][3]  # pos
+    # no SA tag on the clean read's primary
+    assert not any(t.startswith("SA:Z:") for t in prim["norm"])
+    # @PG provenance line in the header
+    hdr = [l for l in open(os.path.join(out, "results.sam"))
+           if l.startswith("@")]
+    assert any(l.startswith("@PG\tID:deepreadmapper_tpu") for l in hdr)
 
 
 def test_map_long_reads_finds_true_locus(lr_setup):
