@@ -67,8 +67,9 @@ def test_dense_pipeline(flat_index, data_dir, tmp_path, vec):
     # SAM written with one block of k lines per query.
     sam = (tmp_path / "results.sam").read_text().splitlines()
     assert sam[0].startswith("@HD") and sam[1].startswith("@SQ")
-    assert len(sam) == 2 + 150 * 128
-    first = sam[2].split("\t")
+    n_hdr = sum(1 for l in sam if l.startswith("@"))  # @HD + @SQ + @PG
+    assert len(sam) == n_hdr + 150 * 128
+    first = sam[n_hdr].split("\t")
     assert first[0] == "_281_1_1_0_0_0_6:0:0_0:0:0_0"
     assert first[4] == "60" and first[5] == "150M"
 

@@ -151,13 +151,14 @@ def test_sparse_streaming_sam(sparse_index, data_dir, tmp_path, vec):
         vectorizer=vec,
     )
     sam = (tmp_path / "results.sam").read_text().splitlines()
-    assert len(sam) == 2 + 150 * 8
-    assert sum(1 for line in sam if line.startswith("@")) == 2  # one header
+    n_hdr = sum(1 for line in sam if line.startswith("@"))
+    assert len(sam) == n_hdr + 150 * 8
+    assert n_hdr == 3  # ONE header (@HD + @SQ + @PG), not one per batch
     # Batch 2 starts at query 64; its QNAME must match read 64.
     from deepreadmapper_tpu.io.fastq import parse_fastq
 
     _, ids = parse_fastq(str(data_dir / "test_data.fastq"))
-    assert sam[2 + 64 * 8].split("\t")[0] == ids[64]
+    assert sam[n_hdr + 64 * 8].split("\t")[0] == ids[64]
 
 
 def test_streaming_equals_batch(sparse_index, data_dir, tmp_path, vec):
