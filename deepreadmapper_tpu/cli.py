@@ -45,6 +45,10 @@ def _add_pipeline(sub):
                         "truncates every read to ~121 bases); emits "
                         "chained read-START placements + support-based "
                         "distances")
+    p.add_argument("--qual", action="store_true",
+                   help="emit real base qualities in the SAM QUAL column "
+                        "(reversed with SEQ on real-CIGAR reverse lines; "
+                        "the reference writes '*')")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="write a jax profiler trace of the search stage "
                         "(view with tensorboard/xprof)")
@@ -239,6 +243,7 @@ def main(argv=None) -> int:
             cigar=args.cigar,
             mapq=args.mapq,
             long_reads=args.long_reads,
+            qual=args.qual,
             profile_dir=args.profile,
         )
         print(

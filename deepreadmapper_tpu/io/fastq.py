@@ -32,6 +32,22 @@ def parse_fastq(path: str) -> tuple[list[str], list[str]]:
     return seqs, ids
 
 
+def parse_fastq_quals(path: str) -> list[str]:
+    """Per-read base-quality strings (4-line record phase 3), file order.
+
+    The reference drops qualities entirely (format_fastq keeps only id +
+    sequence, parse_inputs.cpp:843-950) and writes QUAL '*'; pipeline
+    --qual re-reads them here so SAM consumers (callers) see real base
+    qualities.  Separate pass — the hot embed path never pays for it."""
+    with open(path, "rb") as f:
+        data = f.read()
+    quals: list[str] = []
+    lines = data.split(b"\n")
+    for lineno in range(3, len(lines), 4):
+        quals.append(lines[lineno].decode())
+    return quals
+
+
 def parse_fastq_bytes(path: str) -> tuple[np.ndarray, np.ndarray, list[str]]:
     """Tokenizer-ready variant: ('<'+seq+'>') byte matrix + lengths + ids.
 

@@ -73,6 +73,7 @@ def format_sam_records(
     primary_pos_off: np.ndarray | None = None,
     mapq: np.ndarray | None = None,
     supplementary: dict | None = None,
+    quals: list[str] | None = None,
 ) -> Iterable[str]:
     """Yield SAM lines for queries [query_offset, query_offset+len(query_seqs))
     whose flattened candidate ids are ``cand_ids`` ([nq * k], row-major).
@@ -103,6 +104,10 @@ def format_sam_records(
     not the best placement).  Default None keeps the reference's
     constant 60 everywhere (utils.cpp:336-404).
 
+    quals (per GLOBAL query): base-quality strings to emit in QUAL
+    (reversed whenever SEQ is reverse-complemented, so bases and
+    qualities stay paired).  Default None keeps the reference's '*'.
+
     supplementary: {global_query: [(seq_id, cigar, mapq)]} — FLAG-2048
     split-read segments (long-read chimera halves); their soft-clip
     CIGARs mark the read interval each segment aligns, SEQ follows the
@@ -130,6 +135,10 @@ def format_sam_records(
             else f"S1/{gq + 1}/0"
         )
         pseudo = f"{len(clean)}M"
+        qual_fwd = (
+            quals[gq] if quals is not None and gq < len(quals) else "*"
+        ) or "*"
+        qual_rev = qual_fwd[::-1] if qual_fwd != "*" else "*"
         # resolve supplementary (split-read) fields up front: the primary
         # line's SA:Z tag references them, and theirs references it
         supp_fields = []
@@ -159,7 +168,8 @@ def format_sam_records(
             if seq_id < 0:
                 if j == 0:
                     yield (
-                        f"{qname}\t4\t*\t0\t0\t*\t*\t0\t0\t{clean}\t*\n"
+                        f"{qname}\t4\t*\t0\t0\t*\t*\t0\t0\t{clean}\t"
+                        f"{qual_fwd}\n"
                     )
                 continue  # drop -1 secondaries
             rname = record_names[rec[idx]] if rec is not None else ref_name
@@ -183,17 +193,20 @@ def format_sam_records(
                     f"{cigar},{q},0;"
                 )
                 tag = f"\tSA:Z:{sa_primary}"
+            qual_out = qual_rev if seq_out is not clean else qual_fwd
             yield (
                 f"{qname}\t{flag}\t{rname}\t{pos}\t{q}\t{cigar}\t*\t0\t0\t"
-                f"{seq_out}\t*{tag}\n"
+                f"{seq_out}\t{qual_out}{tag}\n"
             )
         for seq_id, cig, q, rname_s, pos_s in supp_fields:
             flag = 2048 | (16 if seq_id % 2 == 1 else 0)
-            seq_out = _revcomp(clean) if seq_id % 2 == 1 else clean
+            rev = seq_id % 2 == 1
+            seq_out = _revcomp(clean) if rev else clean
+            qual_out = qual_rev if rev else qual_fwd
             tag = f"\tSA:Z:{primary_desc}" if primary_desc else ""
             yield (
                 f"{qname}\t{flag}\t{rname_s}\t{pos_s}\t{q}\t{cig}\t*\t0\t0\t"
-                f"{seq_out}\t*{tag}\n"
+                f"{seq_out}\t{qual_out}{tag}\n"
             )
 
 
@@ -216,6 +229,7 @@ def write_sam(
     mapq: np.ndarray | None = None,
     supplementary: dict | None = None,
     pg: str | None = None,
+    quals: list[str] | None = None,
 ) -> None:
     mode = "a" if append else "w"
     with open(output_file, mode) as f:
@@ -227,6 +241,6 @@ def write_sam(
         for line in format_sam_records(
             query_seqs, query_ids, cand_ids, k, ref_name, query_offset,
             record_names, dense_off, primary_cigars, primary_pos_off,
-            mapq, supplementary,
+            mapq, supplementary, quals,
         ):
             f.write(line)

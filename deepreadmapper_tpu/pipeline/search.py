@@ -184,6 +184,7 @@ def run_pipeline(
     cigar: bool = False,
     mapq: bool = False,
     long_reads: bool = False,
+    qual: bool = False,
     profile_dir: str | None = None,
     vectorizer: Vectorizer | None = None,
     search_cfg: SearchConfig | None = None,
@@ -302,6 +303,16 @@ def run_pipeline(
                if not have_seqs else "SW rerank already reranks at stride 1")
             + "); saving raw ANN results"
         )
+    quals = None
+    if qual:
+        if have_seqs and os.path.splitext(query_file)[1].lower() in FASTQ_EXTS:
+            # real base qualities in QUAL (the reference drops them and
+            # writes '*'); loaded in a separate pass off the hot path
+            from deepreadmapper_tpu.io.fastq import parse_fastq_quals
+
+            quals = parse_fastq_quals(query_file)
+        else:
+            print("[MAIN] WARNING: --qual needs FASTQ queries; ignored")
     # @PG provenance for every SAM header (standard practice; the
     # reference emits none)
     pg = (
@@ -437,7 +448,7 @@ def run_pipeline(
                     k, sam_file, record_names=rec_names,
                     record_lens=rec_lens, dense_off=dense_off,
                     mapq=lr_mapq if mapq else None,
-                    supplementary=lr_supp, pg=pg,
+                    supplementary=lr_supp, pg=pg, quals=quals,
                 )
         elif rerank == "sw":
             # SW rerank path (reference post_process_sw_*, plumbed but
@@ -472,7 +483,7 @@ def run_pipeline(
                     query_seqs, query_ids, final_ids.ravel(), "ref", ref_len,
                     k, sam_file, record_names=rec_names,
                     record_lens=rec_lens, dense_off=dense_off, mapq=mq,
-                    pg=pg,
+                    pg=pg, quals=quals,
                 )
         elif use_streaming:
             from deepreadmapper_tpu.utils.progress import Progress
@@ -533,6 +544,7 @@ def run_pipeline(
                         primary_pos_off=po,
                         mapq=mq,
                         pg=pg,
+                        quals=quals,
                     )
                 sprog.update(end - start)
             sprog.close()
@@ -574,6 +586,7 @@ def run_pipeline(
                     primary_pos_off=po,
                     mapq=mq,
                     pg=pg,
+                    quals=quals,
                 )
     t_post = time.time() - t0
     if long_reads:

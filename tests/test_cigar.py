@@ -117,16 +117,17 @@ def test_pipeline_cigar_reverse_indel_consistency(tmp_path):
     assert len(fwd) == 150
     comp = str.maketrans("ACGT", "TGCA")
     read = fwd.translate(comp)[::-1]  # as-sequenced reverse read
+    qual_in = "".join(chr(33 + i % 40) for i in range(150))  # non-uniform
     fq = str(tmp_path / "r.fastq")
     with open(fq, "w") as f:
-        f.write(f"@rev_indel\n{read}\n+\n{'I' * 150}\n")
+        f.write(f"@rev_indel\n{read}\n+\n{qual_in}\n")
 
     vec = Vectorizer(device_batch=2048)
     prefix = str(tmp_path / "idx")
     build_index(ref, prefix, 150, stride=1, index_type="FLAT", vectorizer=vec)
     out = str(tmp_path / "out")
     run_pipeline(prefix, fq, ref, k=4, output_dir=out, vectorizer=vec,
-                 cigar=True)
+                 cigar=True, qual=True)
     prim = [
         l.split("\t") for l in open(f"{out}/results.sam")
         if not l.startswith("@")
@@ -136,6 +137,8 @@ def test_pipeline_cigar_reverse_indel_consistency(tmp_path):
     assert "1I" in cigar and "1D" in cigar
     # SEQ must be the reference-orientation read for the CIGAR to apply
     assert seq == fwd
+    # --qual: QUAL reverses together with SEQ on FLAG-16 real-CIGAR lines
+    assert prim[10].rstrip("\n") == qual_in[::-1]
     # walk the CIGAR: every M base of SEQ must equal the genome base
     gi = pos - 1
     si = 0

@@ -89,6 +89,35 @@ def repeat_genome(tmp_path_factory):
     return ref, fq
 
 
+def test_pipeline_qual_passthrough(repeat_genome, tmp_path):
+    """--qual emits the FASTQ base qualities (as-sequenced orientation on
+    pseudo-CIGAR lines, reference-parity); default stays '*'."""
+    from deepreadmapper_tpu.pipeline.build import build_index
+    from deepreadmapper_tpu.pipeline.search import run_pipeline
+
+    ref, fq = repeat_genome
+    quals = {}
+    lines = open(fq).read().splitlines()
+    for i in range(0, len(lines), 4):
+        quals[lines[i][1:]] = lines[i + 3]
+    prefix = str(tmp_path / "idx")
+    build_index(ref, prefix, REF_LEN, index_type="FLAT")
+    out = str(tmp_path / "outq")
+    run_pipeline(prefix, fq, ref, k=4, output_dir=out, qual=True)
+    for line in open(os.path.join(out, "results.sam")):
+        if line.startswith("@"):
+            continue
+        f = line.rstrip("\n").split("\t")
+        assert f[10] == quals[f[0]], f[0]
+    out2 = str(tmp_path / "outnoq")
+    run_pipeline(prefix, fq, ref, k=4, output_dir=out2)
+    assert all(
+        l.rstrip("\n").split("\t")[10] == "*"
+        for l in open(os.path.join(out2, "results.sam"))
+        if not l.startswith("@")
+    )
+
+
 @pytest.mark.parametrize("streaming", [False, True])
 def test_pipeline_mapq_separates_repeat_from_unique(
     repeat_genome, tmp_path, streaming
