@@ -145,6 +145,22 @@ def _add_info(sub):
     p.add_argument("index_prefix")
 
 
+def _add_plan(sub):
+    p = sub.add_parser(
+        "plan",
+        help="deployment sizing advisor: engine/stride/shard "
+             "recommendations for a genome size + HBM budget",
+    )
+    p.add_argument("genome", help="reference FASTA path OR a base count "
+                                  "like 3.1e9 / 3100000000")
+    p.add_argument("ref_len", nargs="?", type=int, default=150)
+    p.add_argument("--stride", type=int, default=0,
+                   help="fix the stride (default: recommend one)")
+    p.add_argument("--hbm-gb", type=float, default=12.0,
+                   help="usable HBM per chip for index residency "
+                        "(16 GB chip minus scan workspace; default 12)")
+
+
 def _add_inference(sub):
     p = sub.add_parser("inference", help="embed sequences to npy")
     p.add_argument("input_file")
@@ -204,6 +220,7 @@ def main(argv=None) -> int:
     _add_build(sub)
     _add_serve(sub)
     _add_info(sub)
+    _add_plan(sub)
     _add_inference(sub)
     _add_finetune(sub)
     _add_gen_ref(sub)
@@ -283,6 +300,57 @@ def main(argv=None) -> int:
             print(f"bytes_per_vector: {total/nv:.1f}")
         if config.get("weights"):
             print("encoder: index-matched fine-tuned weights (encoder.npz)")
+        return 0
+
+    if args.cmd == "plan":
+        # Sizing heuristics from the measured round-2 numbers (BASELINE.md /
+        # docs/DEPLOYMENT.md): bytes/vector per engine, accuracy levers.
+        if os.path.exists(args.genome):
+            from deepreadmapper_tpu.utils.memory import estimate_window_count
+
+            n_bases = os.path.getsize(args.genome)  # ~1 B/base incl headers
+            dense = estimate_window_count(args.genome, args.ref_len, 1)
+        else:
+            n_bases = int(float(args.genome))
+            dense = max(0, (n_bases - args.ref_len) + 1) * 2
+        hbm = args.hbm_gb * 1e9
+        stride = args.stride or (1 if dense * 128 <= hbm else 4)
+        nv = dense // stride
+        print(f"genome: ~{n_bases/1e6:.1f} Mbp -> {nv} vectors at "
+              f"stride {stride} (both strands)")
+        engines = [
+            ("INT8FLAT", nv * 128, "near-exact (0.995+ recall@10)"),
+            ("IVFINT8", int(nv * 128 / 0.8),
+             "sub-linear scan; the >100M-row tier (EF = nprobe)"),
+            ("PQFLAT+OPQ", nv * 8 + 2 ** 8 * 128 * 4,
+             "16x less HBM; 0.96-0.99 raw top-1 with rerank"),
+            ("PQFLAT16+OPQ", nv * 16 + 2 ** 8 * 128 * 4,
+             "0.989 raw at 16 B/vector"),
+            ("FLAT", nv * 128 * 4, "exact fp32 oracle (small refs only)"),
+        ]
+        print(f"{'engine':<14}{'index':>10}  {'chips':>5}  notes")
+        for name, nbytes, note in engines:
+            shards = max(1, -(-nbytes // int(hbm)))
+            print(f"{name:<14}{nbytes/1e9:>9.2f}G  {shards:>5}  {note}")
+        print(
+            "recommend: "
+            + (
+                "INT8FLAT, 1 chip"
+                if nv * 128 <= hbm
+                else f"INT8FLAT over --shards {-(-nv * 128 // int(hbm))} "
+                     f"(or PQFLAT+OPQ on "
+                     f"{max(1, -(-(nv * 8) // int(hbm)))} chip(s) at 8 B/vec)"
+            )
+        )
+        if stride > 1:
+            print(
+                f"stride {stride} halves nothing for free: run finetune "
+                f"--max-shift {stride - 1} first (sparse top-1 0.81 -> "
+                "0.995 measured at 46 Mbp), then build with "
+                "--weights tuned.npz"
+            )
+        print("long reads: add pipeline --long-reads (chunk+chain); "
+              "crash safety: build-index --resume")
         return 0
 
     if args.cmd == "serve":

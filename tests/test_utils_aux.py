@@ -56,6 +56,17 @@ def test_npy_stream_writer(tmp_path):
     np.testing.assert_array_equal(arr[4:], np.arange(9).reshape(3, 3))
 
 
+def test_cli_plan_and_info(capsys, tmp_path):
+    """`plan` sizes a human genome without touching JAX; `info` reads an
+    index dir without loading an engine."""
+    from deepreadmapper_tpu import cli
+
+    assert cli.main(["plan", "3.1e9", "150"]) == 0
+    out = capsys.readouterr().out
+    assert "INT8FLAT" in out and "--shards" in out
+    assert cli.main(["info", str(tmp_path / "nope")]) == 1
+
+
 def test_npy_stream_writer_int_dtype(tmp_path):
     # rows must be cast to the DECLARED header dtype, not hardcoded f4
     path = str(tmp_path / "i.npy")
