@@ -1,7 +1,8 @@
 """`python -m deepreadmapper_tpu` == `python -m deepreadmapper_tpu.cli`."""
 
-import sys
+if __name__ == "__main__":
+    import sys
 
-from deepreadmapper_tpu.cli import main
+    from deepreadmapper_tpu.cli import main
 
-sys.exit(main())
+    sys.exit(main())

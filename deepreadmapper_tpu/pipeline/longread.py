@@ -172,15 +172,32 @@ def map_long_reads(
         ids_to_base = lambda w: w * stride  # noqa: E731
     if base_to_dense is None:
         base_to_dense = lambda s, r: 2 * s + r  # noqa: E731
+    from deepreadmapper_tpu import tokenizer as tok
+
     chunk_lists = [chunk_read(len(s), ref_len) for s in seqs]
     # seqs are UNWRAPPED reads; chunks are embedded '<'-wrapped, the same
-    # space the index windows were built in (parse_inputs.cpp:337-349)
-    all_chunks = [
-        "<" + s[o: o + ref_len] + ">"
-        for s, offs in zip(seqs, chunk_lists)
-        for o in offs
-    ]
-    emb = vectorizer.vectorize(all_chunks)
+    # space the index windows were built in (parse_inputs.cpp:337-349).
+    # Built as a byte matrix straight from each read's bytes (no per-chunk
+    # Python strings) and shipped through the 48 B/row packed-wire path —
+    # the chunk batch is the dominant transfer of every long-read request.
+    n_total = sum(len(o) for o in chunk_lists)
+    mat = np.zeros((n_total, ref_len + 2), np.uint8)
+    lengths = np.empty(n_total, np.int64)
+    r = 0
+    for s, offs in zip(seqs, chunk_lists):
+        b = np.frombuffer(s.encode(), np.uint8)
+        for o in offs:
+            chunk = b[o: o + ref_len]
+            mat[r, 0] = 0x3C  # '<'
+            mat[r, 1: 1 + chunk.size] = chunk
+            mat[r, 1 + chunk.size] = 0x3E  # '>'
+            lengths[r] = chunk.size + 2
+            r += 1
+    if vectorizer.max_len == tok.MAX_LEN:
+        emb = vectorizer.vectorize_wrapped_bytes(mat, lengths)
+    else:
+        tokens = tok.tokenize_bytes_fast(mat, lengths, vectorizer.max_len)
+        emb = vectorizer.vectorize_tokens(tokens)
     cand_ids, cand_d = engine.search(np.asarray(emb), kc, ef)
     cand_ids = np.asarray(cand_ids, np.int64)
     cand_d = np.asarray(cand_d)

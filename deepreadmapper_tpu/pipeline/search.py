@@ -24,12 +24,21 @@ from deepreadmapper_tpu.models.encoder import Vectorizer
 from deepreadmapper_tpu.pipeline import postprocess as pp
 
 
-def _load_queries(path: str, vectorizer: Vectorizer):
-    """Returns (embeddings, wrapped query seqs or None, query ids)."""
+def _load_queries(path: str, vectorizer: Vectorizer, embed: bool = True):
+    """Returns (embeddings, wrapped query seqs or None, query ids).
+
+    embed=False skips the encoder pass entirely (long-read requests embed
+    CHUNKS, not whole reads — a whole-read embedding would only cover the
+    first ~121 bases and then be thrown away)."""
     ext = os.path.splitext(path)[1].lower()
     if ext == ".npy":
         return load_embeddings_npy(path), None, []
     if ext in FASTQ_EXTS:
+        if not embed:
+            from deepreadmapper_tpu.io.fastq import parse_fastq
+
+            seqs, ids = parse_fastq(path)
+            return None, seqs, ids
         mat, lengths, ids = parse_fastq_bytes(path)
         if vectorizer.max_len == tok.MAX_LEN:
             # 2-bit packed upload + on-device tokenization (tokenizer_device):
@@ -48,6 +57,8 @@ def _load_queries(path: str, vectorizer: Vectorizer):
         else:
             records = fasta_io.parse_fasta_records(path)
             seqs = ["".join(r.tobytes().decode()) for r in records]
+        if not embed:
+            return None, seqs, []
         emb = vectorizer.vectorize(seqs)
         return emb, seqs, []
     raise ValueError(f"Unsupported query input: {path}")
@@ -113,6 +124,7 @@ def compute_mapq(
     vals: np.ndarray,
     ref_len: int,
     higher_is_better: bool = False,
+    dense_off: np.ndarray | None = None,
 ) -> np.ndarray:
     """Margin-based mapping quality for each query's PRIMARY candidate.
 
@@ -120,9 +132,14 @@ def compute_mapq(
     consumers (variant callers, IGV filters) actually use MAPQ, so this
     computes the standard uniqueness heuristic: how much better the best
     placement scores than the best placement at a DIFFERENT locus.
-    Candidates within ref_len of the primary's position are the same locus
-    (overlapping windows of one alignment), not competitors — without that
-    exclusion every read would look ambiguous against its own neighbors.
+    "Same locus" = same strand, same record, position within ref_len of
+    the primary (overlapping windows of one alignment) — an
+    opposite-strand hit at the same spot or a hit just across a record
+    boundary is a genuinely different placement and stays a competitor.
+
+    dense_off (multi-record references): per-record cumulative window
+    offsets, so adjacency in global dense-id space across a chromosome
+    boundary is not mistaken for the same locus.
 
     mapq = round(60 * relative margin), clipped to [0, 60]; 60 when no
     competing locus appears in the candidate list; 0 for an exact tie
@@ -135,7 +152,13 @@ def compute_mapq(
         out[ids[:, 0] < 0] = 0
         return out
     pos = ids >> 1
-    competitor = (np.abs(pos - pos[:, :1]) > ref_len) & (ids >= 0)
+    same_locus = (np.abs(pos - pos[:, :1]) <= ref_len) & (
+        (ids & 1) == (ids[:, :1] & 1)
+    )
+    if dense_off is not None:
+        rec = np.searchsorted(dense_off, pos, side="right") - 1
+        same_locus &= rec == rec[:, :1]
+    competitor = ~same_locus & (ids >= 0)
     has = competitor.any(axis=1)
     j2 = np.argmax(competitor, axis=1)
     best = vals[:, 0]
@@ -220,7 +243,9 @@ def run_pipeline(
 
     vectorizer = vectorizer_for_index(index_prefix, config, vectorizer)
     t0 = time.time()
-    query_emb, query_seqs, query_ids = _load_queries(query_file, vectorizer)
+    query_emb, query_seqs, query_ids = _load_queries(
+        query_file, vectorizer, embed=not long_reads
+    )
     t_embed = time.time() - t0
 
     t0 = time.time()
@@ -296,6 +321,21 @@ def run_pipeline(
                 "[MAIN] WARNING: use_streaming ignored with --long-reads"
             )
             use_streaming = False
+        if rerank == "sw":
+            print(
+                "[MAIN] WARNING: --rerank sw ignored with --long-reads "
+                "(placements are chunk-support chains, not SW-reranked)"
+            )
+            rerank = "l2"
+        if dense_rerank:
+            print(
+                "[MAIN] WARNING: --dense-rerank ignored with --long-reads"
+            )
+            dense_rerank = False
+        # support-margin MAPQ is intrinsic to chain voting — long-read
+        # primaries and their supplementaries always score on that scale
+        # (the parity constant 60 would mix semantics within one read)
+        mapq = True
     if dense_rerank and stride == 1 and (not have_seqs or rerank == "sw"):
         print(
             "[MAIN] WARNING: --dense-rerank ignored ("
@@ -474,7 +514,7 @@ def run_pipeline(
                 mq = (
                     compute_mapq(
                         final_ids, final_scores, ref_len,
-                        higher_is_better=True,
+                        higher_is_better=True, dense_off=dense_off,
                     )
                     if mapq
                     else None
@@ -524,7 +564,7 @@ def run_pipeline(
                         # global-query indexing, like primary_cigars above
                         mq = np.concatenate([
                             np.zeros(start, np.int32),
-                            compute_mapq(ids_b, d_b, ref_len),
+                            compute_mapq(ids_b, d_b, ref_len, dense_off=dense_off),
                         ])
                     sam_io.write_sam(
                         query_seqs[start:end],
@@ -570,7 +610,8 @@ def run_pipeline(
                         dense_off, base_off,
                     )
                 if mapq:
-                    mq = compute_mapq(final_ids, final_d, ref_len)
+                    mq = compute_mapq(final_ids, final_d, ref_len,
+                                      dense_off=dense_off)
                 sam_io.write_sam(
                     query_seqs,
                     query_ids,
@@ -627,7 +668,9 @@ def run_pipeline(
             )
 
     return {
-        "num_queries": int(query_emb.shape[0]),
+        "num_queries": (
+            len(query_seqs) if query_emb is None else int(query_emb.shape[0])
+        ),
         "k": k,
         "k_clusters": k_clusters,
         "stride": stride,
