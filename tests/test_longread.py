@@ -200,6 +200,42 @@ def test_pipeline_long_reads_multirecord(lr_setup, tmp_path):
     assert abs(int(primaries["rb"][3]) - 4_001) <= 5
 
 
+def test_long_reads_on_sharded_engine(lr_setup, tmp_path):
+    """The chunk batch rides the SPMD sharded search unchanged: a 2-shard
+    index must chain to the same placements as the single-shard engine."""
+    import os
+
+    from deepreadmapper_tpu.pipeline.build import build_index
+    from deepreadmapper_tpu.pipeline.search import run_pipeline
+
+    genome, vec, _engine = lr_setup
+    rng = np.random.default_rng(17)
+    ref = str(tmp_path / "ref.fna")
+    with open(ref, "w") as f:
+        f.write("> lr\n")
+        for i in range(0, len(genome), 80):
+            f.write(genome[i:i + 80] + "\n")
+    prefix = str(tmp_path / "idx_sh")
+    build_index(ref, prefix, REF_LEN, index_type="INT8FLAT",
+                vectorizer=vec, n_shards=2)
+    truth = [(1_000, 0), (15_000, 1)]
+    reads = []
+    for i, (s, strand) in enumerate(truth):
+        seq = _mutate(genome[s:s + 1200], 0.01, rng)
+        if strand:
+            seq = seq.translate(_COMP)[::-1]
+        reads.append((f"s{i}", seq))
+    fq = str(tmp_path / "s.fastq")
+    _write_fastq(fq, reads)
+    out = str(tmp_path / "out_sh")
+    run_pipeline(prefix, fq, ref, k=4, output_dir=out, long_reads=True,
+                 vectorizer=vec)
+    ids = np.load(os.path.join(out, "indices.npy"))
+    for i, (s, strand) in enumerate(truth):
+        assert ids[i, 0] % 2 == strand
+        assert abs(int(ids[i, 0]) // 2 - s) <= 5, (i, ids[i, 0] // 2, s)
+
+
 def test_chimeric_read_gets_supplementary_alignment(lr_setup, tmp_path):
     """A chimera (two genome loci fused in one read) must yield a primary
     line for the larger segment AND a FLAG-2048 supplementary for the
