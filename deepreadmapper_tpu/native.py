@@ -18,7 +18,7 @@ _SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 # The ABI version is part of the filename: dlopen caches by path, so
 # rebuilding over an already-loaded path silently returns the stale handle
 # (glibc never unloads it).  A version bump makes the old binary invisible.
-_ABI_VERSION = 4
+_ABI_VERSION = 5
 _SO = os.path.join(os.path.dirname(_SRC), f"_drm_native_v{_ABI_VERSION}.so")
 
 _lib = None
@@ -91,6 +91,14 @@ def _load():
     ]
     lib.drm_pack_windows_by_id.restype = None
     lib.drm_pack_windows_by_id.argtypes = [p_u8, c_i64, c_i64, p_i64, c_i64, p_u8]
+    lib.drm_banded_cigar.argtypes = [
+        p_u8, p_i64, c_i64,       # a_mat, a_lens, a_width
+        p_u8, p_i64, c_i64,       # b_mat, b_lens, b_width
+        c_i64, c_i32,             # n, band
+        p_i32, p_i32, p_i32, p_i32, p_i32,  # scores, a_start/end, b_start/end
+        p_u8, p_i32, p_i32,       # cigar_ops, cigar_lens, n_ops
+        c_i64,                    # max_ops
+    ]
     _lib = lib
     return lib
 
@@ -262,6 +270,48 @@ def sw_cigar(
         a_mat, np.ascontiguousarray(a_lens, np.int64), a_mat.shape[1],
         b_mat, np.ascontiguousarray(b_lens, np.int64), b_mat.shape[1],
         n, scores, a0, a1, b0, b1, ops, lens, n_ops, max_ops,
+    )
+    cigars = []
+    for i in range(n):
+        k = int(n_ops[i])
+        cigars.append(
+            "".join(f"{int(lens[i, j])}{_CIGAR_CHARS[ops[i, j]]}"
+                    for j in range(k))
+        )
+    return scores, np.stack([a0, a1], 1), np.stack([b0, b1], 1), cigars
+
+
+def banded_cigar(
+    a_mat: np.ndarray,
+    a_lens: np.ndarray,
+    b_mat: np.ndarray,
+    b_lens: np.ndarray,
+    band: int,
+    max_ops: int = 4096,
+):
+    """Banded local alignment WITH traceback for LONG reads (same +1/-1/-1
+    scoring as sw_cigar).  b rows are genome segments starting ~`band`
+    bases before each read's chained start, so the true diagonal sits
+    mid-band and the DP is O(len * band) instead of O(len^2).
+
+    Returns (scores, a_span, b_span, cigars) like sw_cigar; b_span is
+    relative to the segment row."""
+    lib = _load()
+    a_mat = np.ascontiguousarray(a_mat, dtype=np.uint8)
+    b_mat = np.ascontiguousarray(b_mat, dtype=np.uint8)
+    n = a_mat.shape[0]
+    scores = np.empty(n, np.int32)
+    a0 = np.empty(n, np.int32)
+    a1 = np.empty(n, np.int32)
+    b0 = np.empty(n, np.int32)
+    b1 = np.empty(n, np.int32)
+    ops = np.empty((n, max_ops), np.uint8)
+    lens = np.empty((n, max_ops), np.int32)
+    n_ops = np.empty(n, np.int32)
+    lib.drm_banded_cigar(
+        a_mat, np.ascontiguousarray(a_lens, np.int64), a_mat.shape[1],
+        b_mat, np.ascontiguousarray(b_lens, np.int64), b_mat.shape[1],
+        n, band, scores, a0, a1, b0, b1, ops, lens, n_ops, max_ops,
     )
     cigars = []
     for i in range(n):

@@ -310,12 +310,14 @@ def run_pipeline(
                 "only cover the first ~121 bases of each read)"
             )
         if cigar:
-            print(
-                "[MAIN] WARNING: --cigar ignored with --long-reads (the SW "
-                "traceback kernel tiles window-sized pairs, not full "
-                "long-read alignments)"
-            )
-            cigar = False
+            from deepreadmapper_tpu import native as _native
+
+            if not _native.available():
+                print(
+                    "[MAIN] WARNING: --cigar needs the native library "
+                    "(banded long-read aligner); skipping"
+                )
+                cigar = False
         if use_streaming:
             print(
                 "[MAIN] WARNING: use_streaming ignored with --long-reads"
@@ -483,12 +485,22 @@ def run_pipeline(
                     "supplementary (FLAG 2048) segments"
                 )
             if sam_out:
+                pc = po = None
+                if cigar:
+                    # real long-read CIGARs: banded native alignment along
+                    # the chained diagonal (band = one window length)
+                    pc, po = lr_mod.banded_primary_cigars(
+                        clean, final_ids[:, 0], genome, band=ref_len,
+                        dense_off=dense_off if multi else None,
+                        base_off=base_off if multi else None,
+                    )
                 sam_io.write_sam(
                     query_seqs, query_ids, final_ids.ravel(), "ref", ref_len,
                     k, sam_file, record_names=rec_names,
                     record_lens=rec_lens, dense_off=dense_off,
                     mapq=lr_mapq if mapq else None,
                     supplementary=lr_supp, pg=pg, quals=quals,
+                    primary_cigars=pc, primary_pos_off=po,
                 )
         elif rerank == "sw":
             # SW rerank path (reference post_process_sw_*, plumbed but

@@ -409,6 +409,99 @@ void drm_sw_cigar(const uint8_t* a_mat, const int64_t* a_lens, int64_t a_width,
     }
 }
 
-int32_t drm_version() { return 4; }
+// Banded local alignment WITH traceback for LONG reads (same scoring as
+// drm_sw_cigar: match +1 / mismatch -1 / gap -1 linear).  Full DP on a
+// 10 kb read would be 10^8+ cells/pair; the chain step already places the
+// read to within +-tol, so the alignment lives inside a diagonal band.
+//
+// b is expected to be the genome segment starting ~`band` bases BEFORE the
+// chained read start, so the alignment diagonal sits mid-band: row r may
+// visit columns c in [r, r + 2*band].  Banded dir storage is
+// (la+1) x (2*band+1) bytes — 100 kb read at band 150 = ~30 MB/thread.
+void drm_banded_cigar(const uint8_t* a_mat, const int64_t* a_lens,
+                      int64_t a_width, const uint8_t* b_mat,
+                      const int64_t* b_lens, int64_t b_width, int64_t n,
+                      int32_t band, int32_t* scores, int32_t* a_start,
+                      int32_t* a_end, int32_t* b_start, int32_t* b_end,
+                      uint8_t* cigar_ops, int32_t* cigar_lens, int32_t* n_ops,
+                      int64_t max_ops) {
+    const int W = 2 * band + 1;
+    const int32_t NEG = -1000000000;
+#if defined(_OPENMP)
+#pragma omp parallel
+#endif
+    {
+        int32_t* h_prev = new int32_t[W + 2];
+        int32_t* h_cur = new int32_t[W + 2];
+        uint8_t* dir = new uint8_t[(size_t)(a_width + 1) * W];
+        uint8_t* rev_ops = new uint8_t[2 * (size_t)a_width + 2 * W + 4];
+#if defined(_OPENMP)
+#pragma omp for schedule(dynamic, 1)
+#endif
+        for (int64_t i = 0; i < n; ++i) {
+            const uint8_t* a = a_mat + i * a_width;
+            const uint8_t* b = b_mat + i * b_width;
+            int la = (int)std::min<int64_t>(a_lens[i], a_width);
+            int lb = (int)std::min<int64_t>(b_lens[i], b_width);
+            // h_prev[w+1] = H[r-1][c] at w = c - (r-1) shifted by +1 for
+            // sentinel margins; row r visits w = c - r in [0, W-1]
+            for (int w = 0; w < W + 2; ++w) h_prev[w] = 0;  // row 0: all 0
+            std::memset(dir, 0, (size_t)(la + 1) * W);
+            int best = 0, bi = 0, bjw = 0;
+            for (int r = 1; r <= la; ++r) {
+                uint8_t ac = a[r - 1];
+                uint8_t* drow = dir + (size_t)r * W;
+                h_cur[0] = NEG;  // w-1 sentinel (left move out of band)
+                for (int w = 0; w < W; ++w) {
+                    int c = r + w;
+                    if (c < 1 || c > lb) {
+                        h_cur[w + 1] = (c < 1) ? 0 : NEG;
+                        continue;
+                    }
+                    // prev-row mapping: H[r-1][c-1] -> w, H[r-1][c] -> w+1
+                    int sub = h_prev[w + 1] + (ac == b[c - 1] ? 1 : -1);
+                    int up = h_prev[w + 2] - 1;    // I: consume read only
+                    int left = h_cur[w] - 1;       // D: consume segment only
+                    int v = sub, d = 1;
+                    if (up > v) { v = up; d = 2; }
+                    if (left > v) { v = left; d = 3; }
+                    if (v <= 0) { v = 0; d = 0; }
+                    h_cur[w + 1] = v;
+                    drow[w] = (uint8_t)d;
+                    if (v > best) { best = v; bi = r; bjw = w; }
+                }
+                h_cur[W + 1] = NEG;  // w+1 sentinel for the NEXT row's up
+                std::swap(h_prev, h_cur);
+            }
+            scores[i] = best;
+            int r = bi, w = bjw, m = 0;
+            while (r > 0) {
+                uint8_t d = dir[(size_t)r * W + w];
+                if (d == 0) break;
+                if (d == 1) { rev_ops[m++] = 0; --r; }       // M: w stays
+                else if (d == 2) { rev_ops[m++] = 1; --r; ++w; }  // I
+                else { rev_ops[m++] = 2; --w; }              // D: same row
+                if (w < 0 || w >= W) break;  // band edge (shouldn't happen)
+            }
+            a_start[i] = r; a_end[i] = bi;
+            b_start[i] = r + w; b_end[i] = bi + bjw;
+            uint8_t* ops = cigar_ops + i * max_ops;
+            int32_t* lens = cigar_lens + i * max_ops;
+            int k = 0;
+            bool overflow = false;
+            for (int t = m - 1; t >= 0;) {
+                uint8_t op = rev_ops[t];
+                int run = 0;
+                while (t >= 0 && rev_ops[t] == op) { ++run; --t; }
+                if (k >= max_ops) { overflow = true; break; }
+                ops[k] = op; lens[k] = run; ++k;
+            }
+            n_ops[i] = overflow ? 0 : k;
+        }
+        delete[] h_prev; delete[] h_cur; delete[] dir; delete[] rev_ops;
+    }
+}
+
+int32_t drm_version() { return 5; }
 
 }  // extern "C"

@@ -295,6 +295,68 @@ def test_chimeric_read_gets_supplementary_alignment(lr_setup, tmp_path):
     assert any(l.startswith("@PG\tID:deepreadmapper_tpu") for l in hdr)
 
 
+def test_long_read_banded_cigar_roundtrip(lr_setup, tmp_path):
+    """--long-reads --cigar: the banded native aligner emits a real CIGAR
+    whose M/I/D walk reconstructs the genome exactly, for a 1.2 kb read
+    with planted indels on BOTH strands (the reference cannot align
+    anything past ~121 bases)."""
+    import os
+    import re
+
+    from deepreadmapper_tpu.pipeline.build import build_index
+    from deepreadmapper_tpu.pipeline.search import run_pipeline
+
+    genome, vec, _engine = lr_setup
+    ref = str(tmp_path / "ref.fna")
+    with open(ref, "w") as f:
+        f.write("> lr\n")
+        for i in range(0, len(genome), 80):
+            f.write(genome[i:i + 80] + "\n")
+    prefix = str(tmp_path / "idx")
+    build_index(ref, prefix, REF_LEN, index_type="INT8FLAT", vectorizer=vec)
+
+    src = genome[3000:4200]  # 1200 bases
+    fwd = src[:400] + "TT" + src[400:900] + src[903:]  # 2I + 3D
+    rev = fwd.translate(_COMP)[::-1]
+    fq = str(tmp_path / "c.fastq")
+    _write_fastq(fq, [("f", fwd), ("r", rev)])
+    out = str(tmp_path / "outc")
+    run_pipeline(prefix, fq, ref, k=4, output_dir=out, long_reads=True,
+                 cigar=True, vectorizer=vec)
+    prim = {f[0]: f for f in (
+        l.rstrip("\n").split("\t") for l in open(f"{out}/results.sam")
+        if not l.startswith("@"))
+        if int(f[1]) & 0x900 == 0}
+    for name in ("f", "r"):
+        flag, pos, cigar, seq = (
+            int(prim[name][1]), int(prim[name][3]), prim[name][5],
+            prim[name][9],
+        )
+        assert (flag & 16 == 16) == (name == "r")
+        tot = {"M": 0, "I": 0, "D": 0, "S": 0}
+        for ln, op in re.findall(r"(\d+)([MIDS])", cigar):
+            tot[op] += int(ln)
+        assert tot["I"] == 2 and tot["D"] == 3, (name, cigar)
+        # SEQ is reference-orientation; walk M runs against the genome
+        assert seq == fwd, name
+        gi, si = pos - 1, 0
+        matches = total_m = 0
+        for ln, op in re.findall(r"(\d+)([MIDS])", cigar):
+            ln = int(ln)
+            if op == "M":
+                matches += sum(
+                    seq[si + t] == genome[gi + t] for t in range(ln)
+                )
+                total_m += ln
+                gi += ln
+                si += ln
+            elif op in ("I", "S"):
+                si += ln
+            else:
+                gi += ln
+        assert matches == total_m, (name, matches, total_m)
+
+
 def test_map_long_reads_finds_true_locus(lr_setup):
     genome, vec, engine = lr_setup
     rng = np.random.default_rng(5)
