@@ -437,7 +437,9 @@ def main(argv=None) -> int:
             vec = Vectorizer(load_params(args.weights))
         else:
             vec = Vectorizer()
-        ext = os.path.splitext(args.input_file)[1].lower()
+        from deepreadmapper_tpu.io.fileio import true_ext
+
+        ext = true_ext(args.input_file)
         if ext in FASTA_EXTS:
             # Streamed: bounded memory for genome-scale inputs.
             n = stream_embed_fasta_to_npy(

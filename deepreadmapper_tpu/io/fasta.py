@@ -24,6 +24,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from deepreadmapper_tpu.io.fileio import read_bytes
+
 _ACGTN = b"ACGTN"
 
 # byte -> cleaned byte (uppercased) if in [ACGTNacgtn], else 0.
@@ -52,7 +54,7 @@ def _clean(arr: np.ndarray) -> np.ndarray:
 
 def parse_fasta_records(path: str) -> list[np.ndarray]:
     """Cleaned per-record byte arrays (uint8, uppercase ACGTN only)."""
-    data = np.fromfile(path, dtype=np.uint8)
+    data = np.frombuffer(read_bytes(path), dtype=np.uint8)
     # Line starts: offset 0 plus every byte after a newline.
     nl = np.flatnonzero(data == ord("\n"))
     line_starts = np.concatenate(([0], nl + 1))
@@ -74,11 +76,10 @@ def parse_fasta_names(path: str) -> list[str]:
     """Record names (first token after '>') in file order, paired with
     parse_fasta_records — for multi-record SAM RNAME/@SQ emission."""
     names = []
-    with open(path, "rb") as f:
-        for line in f:
-            if line.startswith(b">"):
-                tok = line[1:].strip().split()
-                names.append(tok[0].decode() if tok else f"ref{len(names)}")
+    for line in read_bytes(path).split(b"\n"):
+        if line.startswith(b">"):
+            tok = line[1:].strip().split()
+            names.append(tok[0].decode() if tok else f"ref{len(names)}")
     return names
 
 
@@ -130,7 +131,7 @@ def translate_window_ids(
 def extract_fasta_sequence(path: str) -> np.ndarray:
     """Whole-file clean stream after skipping only the first line (the
     reference's dynamic-mode genome loader, parse_inputs.cpp:174-220)."""
-    data = np.fromfile(path, dtype=np.uint8)
+    data = np.frombuffer(read_bytes(path), dtype=np.uint8)
     nl = np.flatnonzero(data == ord("\n"))
     start = nl[0] + 1 if nl.size else data.size
     return _clean(data[start:])

@@ -8,11 +8,12 @@ from __future__ import annotations
 
 import numpy as np
 
+from deepreadmapper_tpu.io.fileio import read_bytes
+
 
 def parse_fastq(path: str) -> tuple[list[str], list[str]]:
     """Returns (wrapped sequences, query ids) in file order."""
-    with open(path, "rb") as f:
-        data = f.read()
+    data = read_bytes(path)
     seqs: list[str] = []
     ids: list[str] = []
     for lineno, line in enumerate(data.split(b"\n")):
@@ -39,8 +40,7 @@ def parse_fastq_quals(path: str) -> list[str]:
     sequence, parse_inputs.cpp:843-950) and writes QUAL '*'; pipeline
     --qual re-reads them here so SAM consumers (callers) see real base
     qualities.  Separate pass — the hot embed path never pays for it."""
-    with open(path, "rb") as f:
-        data = f.read()
+    data = read_bytes(path)
     quals: list[str] = []
     lines = data.split(b"\n")
     for lineno in range(3, len(lines), 4):

@@ -1,0 +1,30 @@
+"""Transparent gzip support for every sequence-file reader.
+
+Real-world FASTA/FASTQ ship gzipped; the reference links zlib but never
+actually decompresses inputs (read_file dispatches on the literal
+extension, src/utils/utils.cpp:188-215, and rejects .gz).  Here every
+reader funnels through read_bytes(), which gunzips on the 1f 8b magic (so
+a mis-named .gz works too), and extension dispatch uses true_ext(), which
+looks through a trailing .gz.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def read_bytes(path: str) -> bytes:
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:2] == b"\x1f\x8b":
+        import gzip
+
+        data = gzip.decompress(data)
+    return data
+
+
+def true_ext(path: str) -> str:
+    """File extension for dispatch, looking through a trailing .gz."""
+    if path.endswith(".gz"):
+        path = path[:-3]
+    return os.path.splitext(path)[1].lower()

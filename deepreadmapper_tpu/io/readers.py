@@ -10,14 +10,14 @@ import os
 
 from deepreadmapper_tpu.io.fasta import parse_fasta_records, windows_as_strings
 from deepreadmapper_tpu.io.fastq import parse_fastq
+from deepreadmapper_tpu.io.fileio import read_bytes, true_ext
 
 FASTA_EXTS = {".fna", ".fasta", ".fa"}
 FASTQ_EXTS = {".fastq", ".fq"}
 
 
 def read_txt(path: str) -> list[str]:
-    with open(path, "rb") as f:
-        data = f.read()
+    data = read_bytes(path)
     return [ln.decode() for ln in data.replace(b"\r", b"\n").split(b"\n") if ln]
 
 
@@ -28,7 +28,7 @@ def read_file(
     lookup_mode: bool = False,
 ) -> tuple[list[str], list[str]]:
     """Returns (sequences, query_ids); ids are empty except for FASTQ."""
-    ext = os.path.splitext(path)[1].lower()
+    ext = true_ext(path)
     if ext in FASTA_EXTS:
         records = parse_fasta_records(path)
         seqs, _labels = windows_as_strings(records, ref_len, stride, lookup_mode)
@@ -38,5 +38,5 @@ def read_file(
     if ext == ".txt":
         return read_txt(path), []
     raise ValueError(
-        f"Unsupported file format: {ext}. Only .fna/.fasta/.fa/.fastq/.fq/.txt"
+        f"Unsupported file format: {ext}. Only .fna/.fasta/.fa/.fastq/.fq/.txt (+.gz)"
     )

@@ -332,7 +332,9 @@ def embed_input_file(
     path: str, ref_len: int, stride: int, vectorizer: Vectorizer,
     device_out: bool = False,
 ):
-    ext = os.path.splitext(path)[1].lower()
+    from deepreadmapper_tpu.io.fileio import true_ext
+
+    ext = true_ext(path)
     if ext == ".npy":
         return load_embeddings_npy(path)
     if ext in FASTA_EXTS:
@@ -366,7 +368,9 @@ def stream_embed_seqs_to_npy(
     from deepreadmapper_tpu.io.npy_stream import NpyStreamWriter
     from deepreadmapper_tpu.utils.progress import Progress
 
-    ext = os.path.splitext(path)[1].lower()
+    from deepreadmapper_tpu.io.fileio import true_ext
+
+    ext = true_ext(path)
     if ext in FASTQ_EXTS:
         from deepreadmapper_tpu.io.fastq import parse_fastq_bytes
 
@@ -500,7 +504,9 @@ def build_index(
     device_out = (
         index_type in ("PQFLAT", "INT8FLAT", "IVFINT8") and n_shards == 1
     )
-    ext = os.path.splitext(ref_file)[1].lower()
+    from deepreadmapper_tpu.io.fileio import true_ext
+
+    ext = true_ext(ref_file)
     if ext in FASTA_EXTS:
         # Pre-build memory estimate (reference prints one before every build,
         # src/hnswpq/index.cpp:5-53).

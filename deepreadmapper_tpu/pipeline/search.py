@@ -30,7 +30,9 @@ def _load_queries(path: str, vectorizer: Vectorizer, embed: bool = True):
     embed=False skips the encoder pass entirely (long-read requests embed
     CHUNKS, not whole reads — a whole-read embedding would only cover the
     first ~121 bases and then be thrown away)."""
-    ext = os.path.splitext(path)[1].lower()
+    from deepreadmapper_tpu.io.fileio import true_ext
+
+    ext = true_ext(path)
     if ext == ".npy":
         return load_embeddings_npy(path), None, []
     if ext in FASTQ_EXTS:
@@ -347,7 +349,9 @@ def run_pipeline(
         )
     quals = None
     if qual:
-        if have_seqs and os.path.splitext(query_file)[1].lower() in FASTQ_EXTS:
+        from deepreadmapper_tpu.io.fileio import true_ext as _te
+
+        if have_seqs and _te(query_file) in FASTQ_EXTS:
             # real base qualities in QUAL (the reference drops them and
             # writes '*'); loaded in a separate pass off the hot path
             from deepreadmapper_tpu.io.fastq import parse_fastq_quals

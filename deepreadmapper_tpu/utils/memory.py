@@ -37,8 +37,13 @@ def estimate_index_memory(
 
 def estimate_window_count(fasta_path: str, ref_len: int, stride: int = 1) -> int:
     """File-size-based window estimate (estimate_token_count semantics:
-    forward + reverse complement, header overhead subtracted)."""
+    forward + reverse complement, header overhead subtracted).  Gzipped
+    inputs use the gzip ISIZE footer (uncompressed length mod 2^32)."""
     size = os.path.getsize(fasta_path)
+    with open(fasta_path, "rb") as f:
+        if f.read(2) == b"\x1f\x8b" and size >= 8:
+            f.seek(-4, 2)
+            size = int.from_bytes(f.read(4), "little")
     if size < 100:
         return 0
     bases = size - 100
