@@ -67,6 +67,15 @@ def _add_pipeline(sub):
                         "(overrides the index-recorded encoder.npz; "
                         "default: index-matched weights if recorded, else "
                         "the shipped pretrained model)")
+    p.add_argument("--paired2", default=None, metavar="R2_FASTQ",
+                   help="paired-end mode: mate (R2) FASTQ; FR proper-pair "
+                        "resolution, full paired SAM FLAG/RNEXT/PNEXT/"
+                        "TLEN, pair-margin MAPQ (the reference maps every "
+                        "read independently)")
+    p.add_argument("--max-isize", type=int, default=1000,
+                   help="paired-end: maximum outer insert size")
+    p.add_argument("--min-isize", type=int, default=0,
+                   help="paired-end: minimum outer insert size")
 
 
 def _add_build(sub):
@@ -243,6 +252,33 @@ def main(argv=None) -> int:
             )
 
             vectorizer = Vectorizer(load_params(args.weights))
+        if args.paired2:
+            from deepreadmapper_tpu.pipeline.search import run_pipeline_paired
+
+            res = run_pipeline_paired(
+                args.index_prefix,
+                args.query_file,
+                args.paired2,
+                args.ref_file,
+                ef=args.ef,
+                k=args.k,
+                k_clusters=args.k_clusters,
+                output_dir=args.output_dir,
+                rerank=args.rerank,
+                dense_rerank=args.dense_rerank,
+                write_sam=not args.no_sam,
+                mapq=args.mapq,
+                qual=args.qual,
+                max_isize=args.max_isize,
+                min_isize=args.min_isize,
+                vectorizer=vectorizer,
+            )
+            print(
+                f"[MAIN] {res['num_queries']} reads | "
+                f"{res['n_proper']}/{res['num_pairs']} proper pairs | "
+                f"embed {res['t_embed']:.2f}s | search {res['t_search']:.2f}s"
+            )
+            return 0
         res = run_pipeline(
             args.index_prefix,
             args.query_file,

@@ -74,6 +74,7 @@ def format_sam_records(
     mapq: np.ndarray | None = None,
     supplementary: dict | None = None,
     quals: list[str] | None = None,
+    mate: dict | None = None,
 ) -> Iterable[str]:
     """Yield SAM lines for queries [query_offset, query_offset+len(query_seqs))
     whose flattened candidate ids are ``cand_ids`` ([nq * k], row-major).
@@ -107,6 +108,11 @@ def format_sam_records(
     quals (per GLOBAL query): base-quality strings to emit in QUAL
     (reversed whenever SEQ is reverse-complemented, so bases and
     qualities stay paired).  Default None keeps the reference's '*'.
+
+    mate (paired-end): {global_query: (flag_extra, rnext, pnext, tlen)} —
+    primary lines OR the extra paired FLAG bits (0x1/0x2/0x20/0x40/0x80/
+    0x8) and fill RNEXT/PNEXT/TLEN; secondary lines get only the
+    flag_extra bits masked to 0x1|0x40|0x80 (mate fields stay '*').
 
     supplementary: {global_query: [(seq_id, cigar, mapq)]} — FLAG-2048
     split-read segments (long-read chimera halves); their soft-clip
@@ -167,8 +173,11 @@ def format_sam_records(
             seq_id = int(cand_ids[idx])
             if seq_id < 0:
                 if j == 0:
+                    uflag = 4
+                    if mate is not None and gq in mate:
+                        uflag |= mate[gq][0] & 0xE9  # paired bits + mate info
                     yield (
-                        f"{qname}\t4\t*\t0\t0\t*\t*\t0\t0\t{clean}\t"
+                        f"{qname}\t{uflag}\t*\t0\t0\t*\t*\t0\t0\t{clean}\t"
                         f"{qual_fwd}\n"
                     )
                 continue  # drop -1 secondaries
@@ -193,9 +202,18 @@ def format_sam_records(
                     f"{cigar},{q},0;"
                 )
                 tag = f"\tSA:Z:{sa_primary}"
+            rnext, pnext, tlen = "*", 0, 0
+            if mate is not None and gq in mate:
+                mflag, mrnext, mpnext, mtlen = mate[gq]
+                if j == 0:
+                    flag |= mflag
+                    rnext, pnext, tlen = mrnext, mpnext, mtlen
+                else:
+                    flag |= mflag & 0xC1  # paired + first/second only
             qual_out = qual_rev if seq_out is not clean else qual_fwd
             yield (
-                f"{qname}\t{flag}\t{rname}\t{pos}\t{q}\t{cigar}\t*\t0\t0\t"
+                f"{qname}\t{flag}\t{rname}\t{pos}\t{q}\t{cigar}\t"
+                f"{rnext}\t{pnext}\t{tlen}\t"
                 f"{seq_out}\t{qual_out}{tag}\n"
             )
         for seq_id, cig, q, rname_s, pos_s in supp_fields:
@@ -230,6 +248,7 @@ def write_sam(
     supplementary: dict | None = None,
     pg: str | None = None,
     quals: list[str] | None = None,
+    mate: dict | None = None,
 ) -> None:
     mode = "a" if append else "w"
     with open(output_file, mode) as f:
@@ -241,6 +260,6 @@ def write_sam(
         for line in format_sam_records(
             query_seqs, query_ids, cand_ids, k, ref_name, query_offset,
             record_names, dense_off, primary_cigars, primary_pos_off,
-            mapq, supplementary, quals,
+            mapq, supplementary, quals, mate,
         ):
             f.write(line)

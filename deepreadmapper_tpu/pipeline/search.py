@@ -526,6 +526,7 @@ def run_pipeline(
                 neighbors, q_mat, q_lens, fetch_windows, stride, k,
                 k_clusters, bound, sparse_off=sparse_off, dense_off=dense_off,
             )
+            final_d = final_scores  # SW scores (descending-better)
             if sam_out:
                 mq = (
                     compute_mapq(
@@ -660,7 +661,8 @@ def run_pipeline(
                 os.path.join(output_dir, "distances.npy"),
                 k,
             )
-        elif dense_rerank and stride == 1 and final_d is not None:
+        elif (dense_rerank and stride == 1 and rerank != "sw"
+                and final_d is not None):
             # Extension path: surface the exactly-reranked results (the
             # reference always saves raw ANN output, main.cpp:371-384, and
             # routes reranked results to SAM only).
@@ -693,8 +695,198 @@ def run_pipeline(
         "neighbors": neighbors,
         "distances": distances,
         "final_ids": final_ids,
+        "final_d": final_d,
         "t_index": t_index,
         "t_embed": t_embed,
         "t_search": t_search,
         "t_post": t_post,
+    }
+
+
+def run_pipeline_paired(
+    index_prefix: str,
+    query_file1: str,
+    query_file2: str,
+    ref_file: str,
+    ef: int | None = None,
+    k: int | None = None,
+    k_clusters: int | None = None,
+    output_dir: str = ".",
+    rerank: str = "l2",
+    dense_rerank: bool = False,
+    write_sam: bool = True,
+    mapq: bool = False,
+    qual: bool = False,
+    max_isize: int = 1000,
+    min_isize: int = 0,
+    vectorizer: Vectorizer | None = None,
+    search_cfg: SearchConfig | None = None,
+    preloaded: tuple | None = None,
+) -> dict:
+    """Paired-end mapping (beyond the reference, which maps every read
+    independently): both ends run the normal single-end pipeline against
+    one resident engine, then pipeline/paired.resolve_pairs picks the
+    FR-proper candidate combination per pair.  SAM gets the full paired
+    vocabulary — FLAG 0x1/0x2/0x20/0x40/0x80/0x8, RNEXT '=' / mate rname,
+    PNEXT, signed TLEN — and the chosen pair members become the primary
+    lines (pairing may promote a non-top single-end candidate).  --mapq
+    uses the PAIR margin for proper pairs (pairing disambiguates repeats:
+    a repeat locus rarely ties together with the mate's locus);
+    indices.npy / distances.npy stack R1's rows then R2's."""
+    from deepreadmapper_tpu.pipeline.paired import resolve_pairs
+
+    engine, config = preloaded if preloaded else load_index(index_prefix)
+    vectorizer = vectorizer_for_index(index_prefix, config, vectorizer)
+    ref_len = int(config["ref_len"])
+    common = dict(
+        ef=ef, k=k, k_clusters=k_clusters, output_dir=output_dir,
+        rerank=rerank, dense_rerank=dense_rerank, write_sam=False,
+        vectorizer=vectorizer, search_cfg=search_cfg,
+        preloaded=(engine, config),
+    )
+    res1 = run_pipeline(index_prefix, query_file1, ref_file, **common)
+    res2 = run_pipeline(index_prefix, query_file2, ref_file, **common)
+
+    def _final(res):
+        if res["final_ids"] is not None:
+            return np.asarray(res["final_ids"]), np.asarray(res["final_d"])
+        return np.asarray(res["neighbors"]), np.asarray(res["distances"])
+
+    ids1, d1 = _final(res1)
+    ids2, d2 = _final(res2)
+    if ids1.shape[0] != ids2.shape[0]:
+        raise ValueError(
+            f"paired inputs differ in read count: {ids1.shape[0]} vs "
+            f"{ids2.shape[0]}"
+        )
+
+    from deepreadmapper_tpu.io.fastq import parse_fastq
+
+    seqs1, qids1 = parse_fastq(query_file1)
+    seqs2, qids2 = parse_fastq(query_file2)
+    lens1 = np.array([len(s) - 2 for s in seqs1], np.int64)
+    lens2 = np.array([len(s) - 2 for s in seqs2], np.int64)
+
+    records = fasta_io.parse_fasta_records(ref_file)
+    multi = len(records) > 1
+    if multi:
+        dense_off, _base_off = fasta_io.record_window_table(
+            records, ref_len, 1
+        )
+        rec_names = fasta_io.parse_fasta_names(ref_file)
+        rec_lens = [int(len(r)) for r in records]
+    else:
+        dense_off = None
+        rec_names = rec_lens = None
+
+    pair = resolve_pairs(
+        ids1, d1, ids2, d2, lens1, lens2, max_isize, min_isize, ref_len,
+        dense_off=dense_off,
+    )
+
+    def _promote(ids, d, chosen):
+        """Swap each row's chosen pair member into the primary column."""
+        ids = ids.copy()
+        d = d.copy()
+        for i in range(ids.shape[0]):
+            if chosen[i] < 0 or ids[i, 0] == chosen[i]:
+                continue
+            js = np.flatnonzero(ids[i] == chosen[i])
+            if js.size:
+                j = int(js[0])
+                ids[i, 0], ids[i, j] = ids[i, j], ids[i, 0]
+                d[i, 0], d[i, j] = d[i, j], d[i, 0]
+        return ids, d
+
+    ids1p, d1p = _promote(ids1, d1, pair["a_id"])
+    ids2p, d2p = _promote(ids2, d2, pair["b_id"])
+
+    def _rname_pos(wid):
+        if wid < 0:
+            return "*", 0
+        w = int(wid) >> 1
+        if multi:
+            r, loc = fasta_io.record_of(np.asarray([w]), dense_off)
+            return rec_names[int(r[0])], int(loc[0]) + 1
+        return "ref", w + 1
+
+    def _mate_dict(my_ids, other_ids, first, tl_sign):
+        out = {}
+        base = 0x1 | (0x40 if first else 0x80)
+        for i in range(my_ids.shape[0]):
+            o = int(other_ids[i, 0])
+            flag = base
+            if pair["proper"][i]:
+                flag |= 0x2
+            if o < 0:
+                flag |= 0x8
+                rnext, pnext = "=", 0
+            else:
+                if o & 1:
+                    flag |= 0x20
+                rn_o, pn_o = _rname_pos(o)
+                rn_m, _ = _rname_pos(int(my_ids[i, 0]))
+                rnext = "=" if rn_o == rn_m else rn_o
+                pnext = pn_o
+            tlen = tl_sign * int(pair["tlen"][i])
+            out[i] = (flag, rnext, pnext, tlen)
+        return out
+
+    mate1 = _mate_dict(ids1p, ids2p, first=True, tl_sign=1)
+    mate2 = _mate_dict(ids2p, ids1p, first=False, tl_sign=-1)
+
+    mq1 = mq2 = None
+    if mapq:
+        s1 = compute_mapq(ids1p, d1p, ref_len, dense_off=dense_off)
+        s2 = compute_mapq(ids2p, d2p, ref_len, dense_off=dense_off)
+        mq1 = np.where(pair["proper"], pair["mapq"], s1).astype(np.int32)
+        mq2 = np.where(pair["proper"], pair["mapq"], s2).astype(np.int32)
+
+    import jax as _jax
+
+    is_main = _jax.process_index() == 0
+    os.makedirs(output_dir, exist_ok=True)
+    if write_sam and is_main:
+        from deepreadmapper_tpu.io.fastq import parse_fastq_quals
+
+        quals1 = parse_fastq_quals(query_file1) if qual else None
+        quals2 = parse_fastq_quals(query_file2) if qual else None
+        pg = (
+            f"pipeline-paired {index_prefix} {query_file1} {query_file2} "
+            f"max_isize={max_isize}"
+        )
+        sam_file = os.path.join(output_dir, "results.sam")
+        out_k = ids1p.shape[1]
+        sam_io.write_sam(
+            seqs1, qids1, ids1p.ravel(), "ref", ref_len, out_k, sam_file,
+            record_names=rec_names, record_lens=rec_lens,
+            dense_off=dense_off, mapq=mq1, quals=quals1, mate=mate1, pg=pg,
+        )
+        sam_io.write_sam(
+            seqs2, qids2, ids2p.ravel(), "ref", ref_len, out_k, sam_file,
+            append=True, write_header=False,
+            record_names=rec_names, record_lens=rec_lens,
+            dense_off=dense_off, mapq=mq2, quals=quals2, mate=mate2,
+        )
+    if is_main:
+        save_results(
+            np.vstack([ids1p, ids2p]),
+            np.vstack([d1p, d2p]),
+            os.path.join(output_dir, "indices.npy"),
+            os.path.join(output_dir, "distances.npy"),
+            ids1p.shape[1],
+        )
+    n_proper = int(pair["proper"].sum())
+    print(
+        f"[MAIN] paired: {n_proper}/{ids1.shape[0]} proper pairs "
+        f"(max_isize {max_isize})"
+    )
+    return {
+        "num_pairs": int(ids1.shape[0]),
+        "n_proper": n_proper,
+        "pair": pair,
+        "t_embed": res1["t_embed"] + res2["t_embed"],
+        "t_search": res1["t_search"] + res2["t_search"],
+        "t_post": res1["t_post"] + res2["t_post"],
+        "num_queries": int(ids1.shape[0]) * 2,
     }

@@ -98,11 +98,33 @@ def serve(
         kwargs.update({k: req[k] for k in _REQ_KEYS if k in req})
         try:
             with contextlib.redirect_stdout(sys.stderr):
-                res = run_pipeline(
-                    index_prefix, req["fastq"], ref_file,
-                    vectorizer=vectorizer, search_cfg=search_cfg,
-                    preloaded=(engine, config), **kwargs,
-                )
+                if "fastq2" in req:
+                    # paired-end request: R1 = fastq, R2 = fastq2
+                    from deepreadmapper_tpu.pipeline.search import (
+                        run_pipeline_paired,
+                    )
+
+                    pkw = {
+                        kk: vv for kk, vv in kwargs.items()
+                        if kk in (
+                            "ef", "k", "k_clusters", "output_dir", "rerank",
+                            "dense_rerank", "write_sam", "mapq", "qual",
+                        )
+                    }
+                    for kk in ("max_isize", "min_isize"):
+                        if kk in req:
+                            pkw[kk] = req[kk]
+                    res = run_pipeline_paired(
+                        index_prefix, req["fastq"], req["fastq2"], ref_file,
+                        vectorizer=vectorizer, search_cfg=search_cfg,
+                        preloaded=(engine, config), **pkw,
+                    )
+                else:
+                    res = run_pipeline(
+                        index_prefix, req["fastq"], ref_file,
+                        vectorizer=vectorizer, search_cfg=search_cfg,
+                        preloaded=(engine, config), **kwargs,
+                    )
             served += 1
             reply({
                 **tag,
