@@ -271,6 +271,9 @@ def main(argv=None) -> int:
                 qual=args.qual,
                 max_isize=args.max_isize,
                 min_isize=args.min_isize,
+                cigar=args.cigar,
+                long_reads=args.long_reads,
+                use_streaming=bool(args.use_streaming),
                 vectorizer=vectorizer,
             )
             print(

@@ -1,5 +1,5 @@
 """Paired-end resolution: pick the (R1, R2) candidate pair that forms a
-proper FR pair, score it, and derive pair-aware MAPQ.
+proper FR pair, score it, and derive pair-aware per-end MAPQ.
 
 The reference has no pairing at all (single FASTQ in, independent reads
 out) even though its fixture reads carry wgsim `/1` pair suffixes.  Here
@@ -9,12 +9,15 @@ FR-oriented within the insert-size bound — which both fixes orientation
 errors and disambiguates repeats: a repeat locus that ties on one end
 almost never ties TOGETHER with the mate's locus.
 
-Conventions: candidate ids are dense window ids (2*pos + strand, pos in
-the concatenated base stream for single-record refs / record-cumulative
-window space for multi — pairing operates on the raw id>>1 coordinate,
-which is monotone within a record either way).  Proper FR pair: ends on
-opposite strands, forward end's position <= reverse end's position, and
-outer distance (TLEN) within [min_isize, max_isize].
+Conventions: candidate ids are dense window ids (2*pos + strand); scores
+are ASCENDING-better (callers negate SW scores).  Proper FR pair: ends on
+opposite strands, the forward end not to the right of the reverse end,
+outer distance within [min_isize, max_isize], same record.
+
+Everything is vectorized over a block of pairs at once and blocks are
+capped so the [B, k1, k2] temporaries stay bounded regardless of read
+count (the single-end pipeline streams in bounded batches for the same
+reason).
 """
 
 from __future__ import annotations
@@ -22,6 +25,25 @@ from __future__ import annotations
 import numpy as np
 
 PAD_ID = -1
+
+# [B, k1, k2] float64 is the biggest temporary; 64 MB at k=128
+_BLOCK_ELEMS = 8_000_000
+
+
+def _end_same_locus(ids: np.ndarray, chosen: np.ndarray, ref_len: int,
+                    dense_off: np.ndarray | None) -> np.ndarray:
+    """[n, k] bool: candidate is the SAME locus as this end's chosen
+    placement (same strand, same record, within ref_len) — the same
+    definition search.compute_mapq uses."""
+    pos = ids >> 1
+    cp = (chosen >> 1)[:, None]
+    same = (np.abs(pos - cp) <= ref_len) & ((ids & 1) == (chosen & 1)[:, None])
+    if dense_off is not None:
+        rec = np.searchsorted(dense_off, pos, side="right") - 1
+        crec = np.searchsorted(dense_off, np.maximum(chosen, 0) >> 1,
+                               side="right") - 1
+        same &= rec == crec[:, None]
+    return same & (ids >= 0)
 
 
 def resolve_pairs(
@@ -37,51 +59,75 @@ def resolve_pairs(
     dense_off: np.ndarray | None = None,
 ) -> dict:
     """Choose the best proper pair per row from the two ends' candidate
-    lists ([n, k] dense ids + ascending distances).
+    lists ([n, k] dense ids + ascending-better scores).
 
     Returns dict of arrays [n]: a_id / b_id (chosen primary per end —
     falls back to each end's own best when no proper pair exists),
-    proper (bool), tlen (signed template length, R1's sign convention),
-    mapq (pair-margin quality: margin between the best and the
-    second-best proper pair at a DIFFERENT locus; single-end margins
-    when improper)."""
+    proper (bool), tlen (signed template length, R1 positive when R1 is
+    the forward end), mapq1 / mapq2 (per-end pair-margin qualities: the
+    margin to the best proper pair that places THIS end at a different
+    locus — so a unique R1 keeps 60 even when its mate ties a tandem
+    repeat, and vice versa; 0s when improper — callers fall back to
+    single-end margins)."""
     ids1 = np.asarray(ids1, np.int64)
     ids2 = np.asarray(ids2, np.int64)
     d1 = np.asarray(d1, np.float64)
     d2 = np.asarray(d2, np.float64)
+    l1 = np.asarray(read_len1, np.int64)
+    l2 = np.asarray(read_len2, np.int64)
     n, k1 = ids1.shape
     k2 = ids2.shape[1]
+    block = max(1, _BLOCK_ELEMS // max(k1 * k2, 1))
 
+    out = {
+        "a_id": np.empty(n, np.int64),
+        "b_id": np.empty(n, np.int64),
+        "proper": np.zeros(n, bool),
+        "tlen": np.zeros(n, np.int64),
+        "mapq1": np.zeros(n, np.int32),
+        "mapq2": np.zeros(n, np.int32),
+    }
+    for s in range(0, n, block):
+        e = min(s + block, n)
+        _resolve_block(
+            ids1[s:e], d1[s:e], ids2[s:e], d2[s:e], l1[s:e], l2[s:e],
+            max_isize, min_isize, ref_len, dense_off, out, s,
+        )
+    return out
+
+
+def _resolve_block(ids1, d1, ids2, d2, l1, l2, max_isize, min_isize,
+                   ref_len, dense_off, out, base):
+    n, k1 = ids1.shape
+    k2 = ids2.shape[1]
     pos1 = ids1 >> 1
     pos2 = ids2 >> 1
     rev1 = (ids1 & 1).astype(bool)
     rev2 = (ids2 & 1).astype(bool)
-    v1 = ids1 >= 0
-    v2 = ids2 >= 0
 
-    # all candidate combinations per pair: [n, k1, k2]
-    fwd_first = ~rev1[:, :, None] & rev2[:, None, :]
-    fwd_second = rev1[:, :, None] & ~rev2[:, None, :]
-    l1 = np.asarray(read_len1, np.int64)[:, None, None]
-    l2 = np.asarray(read_len2, np.int64)[:, None, None]
     p1 = pos1[:, :, None]
     p2 = pos2[:, None, :]
-    # outer span for the two FR orientations
-    span12 = p2 + l2 - p1          # R1 forward, R2 reverse
-    span21 = p1 + l1 - p2          # R2 forward, R1 reverse
-    ok12 = fwd_first & (span12 >= max(min_isize, 1)) & (span12 <= max_isize)
-    ok21 = fwd_second & (span21 >= max(min_isize, 1)) & (span21 <= max_isize)
-    proper_mat = (ok12 | ok21) & v1[:, :, None] & v2[:, None, :]
+    span12 = p2 + l2[:, None, None] - p1   # R1 forward, R2 reverse
+    span21 = p1 + l1[:, None, None] - p2   # R2 forward, R1 reverse
+    ok12 = (
+        ~rev1[:, :, None] & rev2[:, None, :]
+        & (p1 <= p2)                        # FR: forward end on the left
+        & (span12 >= max(min_isize, 1)) & (span12 <= max_isize)
+    )
+    ok21 = (
+        rev1[:, :, None] & ~rev2[:, None, :]
+        & (p2 <= p1)
+        & (span21 >= max(min_isize, 1)) & (span21 <= max_isize)
+    )
+    proper_mat = (ok12 | ok21) & (ids1 >= 0)[:, :, None] & (
+        ids2 >= 0
+    )[:, None, :]
     if dense_off is not None:
-        # multi-record: both mates must sit on the same chromosome —
-        # adjacency in the concatenated window-id space across a record
-        # boundary is not physical proximity
         r1 = np.searchsorted(dense_off, pos1, side="right") - 1
         r2 = np.searchsorted(dense_off, pos2, side="right") - 1
         proper_mat &= r1[:, :, None] == r2[:, None, :]
-    score = d1[:, :, None] + d2[:, None, :]
-    score = np.where(proper_mat, score, np.inf)
 
+    score = np.where(proper_mat, d1[:, :, None] + d2[:, None, :], np.inf)
     flat = score.reshape(n, k1 * k2)
     best_flat = np.argmin(flat, axis=1)
     best_score = flat[np.arange(n), best_flat]
@@ -96,38 +142,31 @@ def resolve_pairs(
     ap = a_id >> 1
     bp = b_id >> 1
     a_rev = (a_id & 1).astype(bool)
-    tlen_abs = np.where(
-        a_rev,
-        ap + np.asarray(read_len1, np.int64) - bp,
-        bp + np.asarray(read_len2, np.int64) - ap,
-    )
+    tlen_abs = np.where(a_rev, ap + l1 - bp, bp + l2 - ap)
     tlen = np.where(proper, np.where(a_rev, -tlen_abs, tlen_abs), 0)
 
-    # pair MAPQ: best proper pair vs best proper pair at a DIFFERENT locus
-    mapq = np.zeros(n, np.int32)
-    for i in range(n):
-        if not proper[i]:
-            continue
-        s = flat[i]
-        order = np.argsort(s)
-        s0 = s[order[0]]
-        second = np.inf
-        a0 = int(pos1[i, order[0] // k2])
-        for oi in order[1:]:
-            if not np.isfinite(s[oi]):
-                break
-            if abs(int(pos1[i, oi // k2]) - a0) > ref_len:
-                second = s[oi]
-                break
-        if not np.isfinite(second):
-            mapq[i] = 60
-        else:
-            margin = (second - s0) / max(abs(second), 1e-9)
-            mapq[i] = int(np.clip(np.rint(60.0 * margin), 0, 60))
-    return {
-        "a_id": a_id,
-        "b_id": b_id,
-        "proper": proper,
-        "tlen": tlen.astype(np.int64),
-        "mapq": mapq,
-    }
+    # per-end pair MAPQ: margin to the best proper pair that places THIS
+    # end at a DIFFERENT locus (same-locus test mirrors compute_mapq:
+    # strand + record + ref_len window)
+    same1 = _end_same_locus(ids1, a_id, ref_len, dense_off)
+    same2 = _end_same_locus(ids2, b_id, ref_len, dense_off)
+    for key, same_mask, axis_expand in (
+        ("mapq1", same1, 2),
+        ("mapq2", same2, 1),
+    ):
+        diff = ~same_mask
+        comp = np.where(
+            np.expand_dims(diff, axis_expand) & proper_mat, score, np.inf
+        )
+        second = comp.reshape(n, k1 * k2).min(axis=1)
+        fin = np.isfinite(second) & proper
+        ssafe = np.where(fin, second, 1.0)
+        bsafe = np.where(proper, best_score, 0.0)
+        margin = (ssafe - bsafe) / np.maximum(np.abs(ssafe), 1e-9)
+        q = np.where(fin, np.clip(np.rint(60.0 * margin), 0, 60), 60.0)
+        out[key][base: base + n] = np.where(proper, q, 0).astype(np.int32)
+
+    out["a_id"][base: base + n] = a_id
+    out["b_id"][base: base + n] = b_id
+    out["proper"][base: base + n] = proper
+    out["tlen"][base: base + n] = tlen.astype(np.int64)

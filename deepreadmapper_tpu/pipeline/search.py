@@ -369,6 +369,7 @@ def run_pipeline(
         + (" mapq" if mapq else "")
         + (" long_reads" if long_reads else "")
     )
+    records = None
     if have_seqs:
         records = fasta_io.parse_fasta_records(ref_file)
         multi = len(records) > 1
@@ -696,6 +697,9 @@ def run_pipeline(
         "distances": distances,
         "final_ids": final_ids,
         "final_d": final_d,
+        "query_seqs": query_seqs,
+        "query_ids": query_ids,
+        "records": records,
         "t_index": t_index,
         "t_embed": t_embed,
         "t_search": t_search,
@@ -719,6 +723,9 @@ def run_pipeline_paired(
     qual: bool = False,
     max_isize: int = 1000,
     min_isize: int = 0,
+    cigar: bool = False,
+    long_reads: bool = False,
+    use_streaming: bool = False,
     vectorizer: Vectorizer | None = None,
     search_cfg: SearchConfig | None = None,
     preloaded: tuple | None = None,
@@ -735,6 +742,11 @@ def run_pipeline_paired(
     indices.npy / distances.npy stack R1's rows then R2's."""
     from deepreadmapper_tpu.pipeline.paired import resolve_pairs
 
+    for flag, name in ((cigar, "--cigar"), (long_reads, "--long-reads"),
+                       (use_streaming, "use_streaming")):
+        if flag:
+            print(f"[MAIN] WARNING: {name} not supported in paired-end "
+                  "mode yet; ignored")
     engine, config = preloaded if preloaded else load_index(index_prefix)
     vectorizer = vectorizer_for_index(index_prefix, config, vectorizer)
     ref_len = int(config["ref_len"])
@@ -760,14 +772,17 @@ def run_pipeline_paired(
             f"{ids2.shape[0]}"
         )
 
-    from deepreadmapper_tpu.io.fastq import parse_fastq
-
-    seqs1, qids1 = parse_fastq(query_file1)
-    seqs2, qids2 = parse_fastq(query_file2)
+    seqs1, qids1 = res1["query_seqs"], res1["query_ids"]
+    seqs2, qids2 = res2["query_seqs"], res2["query_ids"]
+    if qids1 and qids2 and qids1 != qids2:
+        raise ValueError(
+            "paired FASTQs disagree on read names/order (mates must share "
+            "QNAME row by row; ids are /1 /2-suffix-stripped at parse)"
+        )
     lens1 = np.array([len(s) - 2 for s in seqs1], np.int64)
     lens2 = np.array([len(s) - 2 for s in seqs2], np.int64)
 
-    records = fasta_io.parse_fasta_records(ref_file)
+    records = res1["records"] or fasta_io.parse_fasta_records(ref_file)
     multi = len(records) > 1
     if multi:
         dense_off, _base_off = fasta_io.record_window_table(
@@ -779,9 +794,12 @@ def run_pipeline_paired(
         dense_off = None
         rec_names = rec_lens = None
 
+    # resolve_pairs expects ASCENDING-better scores; SW rerank scores are
+    # descending-better
+    sgn = -1.0 if rerank == "sw" else 1.0
     pair = resolve_pairs(
-        ids1, d1, ids2, d2, lens1, lens2, max_isize, min_isize, ref_len,
-        dense_off=dense_off,
+        ids1, sgn * d1, ids2, sgn * d2, lens1, lens2, max_isize, min_isize,
+        ref_len, dense_off=dense_off,
     )
 
     def _promote(ids, d, chosen):
@@ -837,10 +855,13 @@ def run_pipeline_paired(
 
     mq1 = mq2 = None
     if mapq:
-        s1 = compute_mapq(ids1p, d1p, ref_len, dense_off=dense_off)
-        s2 = compute_mapq(ids2p, d2p, ref_len, dense_off=dense_off)
-        mq1 = np.where(pair["proper"], pair["mapq"], s1).astype(np.int32)
-        mq2 = np.where(pair["proper"], pair["mapq"], s2).astype(np.int32)
+        hib = rerank == "sw"
+        s1 = compute_mapq(ids1p, d1p, ref_len, dense_off=dense_off,
+                          higher_is_better=hib)
+        s2 = compute_mapq(ids2p, d2p, ref_len, dense_off=dense_off,
+                          higher_is_better=hib)
+        mq1 = np.where(pair["proper"], pair["mapq1"], s1).astype(np.int32)
+        mq2 = np.where(pair["proper"], pair["mapq2"], s2).astype(np.int32)
 
     import jax as _jax
 

@@ -109,6 +109,7 @@ def serve(
                         if kk in (
                             "ef", "k", "k_clusters", "output_dir", "rerank",
                             "dense_rerank", "write_sam", "mapq", "qual",
+                            "cigar", "long_reads", "use_streaming",
                         )
                     }
                     for kk in ("max_isize", "min_isize"):

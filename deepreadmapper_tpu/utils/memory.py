@@ -38,12 +38,22 @@ def estimate_index_memory(
 def estimate_window_count(fasta_path: str, ref_len: int, stride: int = 1) -> int:
     """File-size-based window estimate (estimate_token_count semantics:
     forward + reverse complement, header overhead subtracted).  Gzipped
-    inputs use the gzip ISIZE footer (uncompressed length mod 2^32)."""
+    inputs stream-decompress to count bytes — the ISIZE footer is useless
+    for multi-member gzip (BGZF ends with an empty member whose ISIZE is
+    0, and concatenated .gz files only report the last member)."""
     size = os.path.getsize(fasta_path)
     with open(fasta_path, "rb") as f:
-        if f.read(2) == b"\x1f\x8b" and size >= 8:
-            f.seek(-4, 2)
-            size = int.from_bytes(f.read(4), "little")
+        if f.read(2) == b"\x1f\x8b":
+            import gzip
+
+            f.seek(0)
+            size = 0
+            with gzip.open(f, "rb") as g:
+                while True:
+                    chunk = g.read(1 << 22)
+                    if not chunk:
+                        break
+                    size += len(chunk)
     if size < 100:
         return 0
     bases = size - 100

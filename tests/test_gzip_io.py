@@ -38,9 +38,21 @@ def test_parsers_identical_through_gzip(data_dir, tmp_path):
         np.testing.assert_array_equal(a, b)
     assert parse_fastq(fq) == parse_fastq(fq_gz)
     assert parse_fastq_quals(fq) == parse_fastq_quals(fq_gz)
-    # window estimate uses the gzip ISIZE footer, not the compressed size
+    # window estimate streams the decompressed bytes, not the compressed
+    # size or the (multi-member-useless) ISIZE footer
     est = estimate_window_count(fna_gz, 150)
     assert est == estimate_window_count(fna, 150)
+    # multi-member gzip (BGZF/pigz/cat-of-gz style, whose LAST member is
+    # tiny): reading only the footer would report the last member's size
+    raw = open(fna, "rb").read()
+    multi = str(tmp_path / "multi.fna.gz")
+    with open(multi, "wb") as f:
+        f.write(gzip.compress(raw[:300]))
+        f.write(gzip.compress(raw[300:]))
+        f.write(gzip.compress(b""))  # BGZF-style empty EOF member
+    for a, b in zip(parse_fasta_records(fna), parse_fasta_records(multi)):
+        np.testing.assert_array_equal(a, b)
+    assert estimate_window_count(multi, 150) == est
 
 
 def test_gz_pipeline_end_to_end(data_dir, tmp_path):

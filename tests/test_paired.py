@@ -53,7 +53,32 @@ def test_pair_mapq_disambiguates_repeat():
     out = resolve_pairs(ids1, d1, ids2, d2, [150], [150], max_isize=1000,
                         ref_len=REF_LEN)
     assert out["proper"][0] and out["a_id"][0] == 2 * 1000
-    assert out["mapq"][0] == 60  # no competing proper pair at all
+    assert out["mapq1"][0] == 60 and out["mapq2"][0] == 60
+
+
+def test_dovetail_rf_pairs_are_not_proper():
+    # reverse mate LEFT of the forward read ("outie"): must not be proper
+    ids1 = np.array([[2 * 1000]])
+    d1 = np.array([[1.0]])
+    ids2 = np.array([[2 * 900 + 1]])
+    d2 = np.array([[1.0]])
+    out = resolve_pairs(ids1, d1, ids2, d2, [150], [150], max_isize=1000,
+                        ref_len=REF_LEN)
+    assert not out["proper"][0]
+
+
+def test_per_end_mapq_tandem_repeat_mate():
+    # R1 unique; R2 exact-ties two tandem loci both within max_isize:
+    # R1 keeps 60, R2 drops to 0 — per-end margins, not one shared value
+    ids1 = np.array([[2 * 1000]])
+    d1 = np.array([[1.0]])
+    ids2 = np.array([[2 * 1300 + 1, 2 * 1600 + 1]])
+    d2 = np.array([[1.0, 1.0]])
+    out = resolve_pairs(ids1, d1, ids2, d2, [150], [150], max_isize=1000,
+                        ref_len=REF_LEN)
+    assert out["proper"][0]
+    assert out["mapq1"][0] == 60
+    assert out["mapq2"][0] == 0
 
 
 def test_cross_record_pairs_are_not_proper():
