@@ -49,6 +49,9 @@ def _add_pipeline(sub):
                    help="emit real base qualities in the SAM QUAL column "
                         "(reversed with SEQ on real-CIGAR reverse lines; "
                         "the reference writes '*')")
+    p.add_argument("--sort", action="store_true",
+                   help="coordinate-sort the SAM (SO:coordinate, samtools "
+                        "order) before returning")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="write a jax profiler trace of the search stage "
                         "(view with tensorboard/xprof)")
@@ -274,6 +277,7 @@ def main(argv=None) -> int:
                 cigar=args.cigar,
                 long_reads=args.long_reads,
                 use_streaming=bool(args.use_streaming),
+                sort=args.sort,
                 vectorizer=vectorizer,
             )
             print(
@@ -300,6 +304,7 @@ def main(argv=None) -> int:
             mapq=args.mapq,
             long_reads=args.long_reads,
             qual=args.qual,
+            sort=args.sort,
             profile_dir=args.profile,
         )
         print(

@@ -228,6 +228,41 @@ def format_sam_records(
             )
 
 
+def sort_sam_file(path: str) -> None:
+    """Coordinate-sort a written SAM in place (samtools sort order: @SQ
+    reference order, then 1-based POS; unmapped records last) and stamp
+    the @HD line SO:coordinate.  Post-pass over the finished file so every
+    write path — batch, paired, long-read — sorts identically; variant
+    callers and `samtools index` expect this ordering."""
+    with open(path) as f:
+        lines = f.readlines()
+    header = [l for l in lines if l.startswith("@")]
+    body = [l for l in lines if not l.startswith("@")]
+    order = {}
+    for h in header:
+        if h.startswith("@SQ"):
+            for fld in h.split("\t"):
+                if fld.startswith("SN:"):
+                    order[fld[3:].strip()] = len(order)
+
+    def key(line):
+        f = line.split("\t", 4)
+        rname = f[2]
+        if rname == "*":
+            return (1, 0, 0)
+        return (0, order.get(rname, len(order)), int(f[3]))
+
+    body.sort(key=key)
+    header = [
+        l.replace("SO:unsorted", "SO:coordinate") if l.startswith("@HD")
+        else l
+        for l in header
+    ]
+    with open(path, "w") as f:
+        f.writelines(header)
+        f.writelines(body)
+
+
 def write_sam(
     query_seqs: list[str],
     query_ids: list[str],

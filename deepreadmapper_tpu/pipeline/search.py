@@ -210,6 +210,7 @@ def run_pipeline(
     mapq: bool = False,
     long_reads: bool = False,
     qual: bool = False,
+    sort: bool = False,
     profile_dir: str | None = None,
     vectorizer: Vectorizer | None = None,
     search_cfg: SearchConfig | None = None,
@@ -647,6 +648,8 @@ def run_pipeline(
                     pg=pg,
                     quals=quals,
                 )
+    if sort and sam_out and os.path.exists(sam_file):
+        sam_io.sort_sam_file(sam_file)
     t_post = time.time() - t0
     if long_reads:
         t_post -= t_search  # the chain path's search ran inside this timer
@@ -726,6 +729,7 @@ def run_pipeline_paired(
     cigar: bool = False,
     long_reads: bool = False,
     use_streaming: bool = False,
+    sort: bool = False,
     vectorizer: Vectorizer | None = None,
     search_cfg: SearchConfig | None = None,
     preloaded: tuple | None = None,
@@ -889,6 +893,8 @@ def run_pipeline_paired(
             record_names=rec_names, record_lens=rec_lens,
             dense_off=dense_off, mapq=mq2, quals=quals2, mate=mate2,
         )
+        if sort:
+            sam_io.sort_sam_file(sam_file)
     if is_main:
         save_results(
             np.vstack([ids1p, ids2p]),

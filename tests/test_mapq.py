@@ -118,6 +118,24 @@ def test_pipeline_qual_passthrough(repeat_genome, tmp_path):
     )
 
 
+def test_pipeline_sort(repeat_genome, tmp_path):
+    """--sort: coordinate order (POS ascending within @SQ order), header
+    stamped SO:coordinate."""
+    from deepreadmapper_tpu.pipeline.build import build_index
+    from deepreadmapper_tpu.pipeline.search import run_pipeline
+
+    ref, fq = repeat_genome
+    prefix = str(tmp_path / "idx")
+    build_index(ref, prefix, REF_LEN, index_type="FLAT")
+    out = str(tmp_path / "outs")
+    run_pipeline(prefix, fq, ref, k=8, output_dir=out, sort=True)
+    lines = open(os.path.join(out, "results.sam")).read().splitlines()
+    assert any("SO:coordinate" in l for l in lines if l.startswith("@HD"))
+    pos = [int(l.split("\t")[3]) for l in lines if not l.startswith("@")]
+    assert pos == sorted(pos)
+    assert len(pos) == 2 * 8
+
+
 @pytest.mark.parametrize("streaming", [False, True])
 def test_pipeline_mapq_separates_repeat_from_unique(
     repeat_genome, tmp_path, streaming
