@@ -52,6 +52,9 @@ def _add_pipeline(sub):
     p.add_argument("--sort", action="store_true",
                    help="coordinate-sort the SAM (SO:coordinate, samtools "
                         "order) before returning")
+    p.add_argument("--bam", action="store_true",
+                   help="also write results.bam (BGZF-compressed binary "
+                        "BAM; with --sort it is samtools-index-ready)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="write a jax profiler trace of the search stage "
                         "(view with tensorboard/xprof)")
@@ -278,6 +281,7 @@ def main(argv=None) -> int:
                 long_reads=args.long_reads,
                 use_streaming=bool(args.use_streaming),
                 sort=args.sort,
+                bam=args.bam,
                 vectorizer=vectorizer,
             )
             print(
@@ -305,6 +309,7 @@ def main(argv=None) -> int:
             long_reads=args.long_reads,
             qual=args.qual,
             sort=args.sort,
+            bam=args.bam,
             profile_dir=args.profile,
         )
         print(

@@ -211,6 +211,7 @@ def run_pipeline(
     long_reads: bool = False,
     qual: bool = False,
     sort: bool = False,
+    bam: bool = False,
     profile_dir: str | None = None,
     vectorizer: Vectorizer | None = None,
     search_cfg: SearchConfig | None = None,
@@ -650,6 +651,10 @@ def run_pipeline(
                 )
     if sort and sam_out and os.path.exists(sam_file):
         sam_io.sort_sam_file(sam_file)
+    if bam and sam_out and os.path.exists(sam_file):
+        from deepreadmapper_tpu.io.bam import sam_to_bam
+
+        sam_to_bam(sam_file, os.path.join(output_dir, "results.bam"))
     t_post = time.time() - t0
     if long_reads:
         t_post -= t_search  # the chain path's search ran inside this timer
@@ -730,6 +735,7 @@ def run_pipeline_paired(
     long_reads: bool = False,
     use_streaming: bool = False,
     sort: bool = False,
+    bam: bool = False,
     vectorizer: Vectorizer | None = None,
     search_cfg: SearchConfig | None = None,
     preloaded: tuple | None = None,
@@ -895,6 +901,10 @@ def run_pipeline_paired(
         )
         if sort:
             sam_io.sort_sam_file(sam_file)
+        if bam:
+            from deepreadmapper_tpu.io.bam import sam_to_bam
+
+            sam_to_bam(sam_file, os.path.join(output_dir, "results.bam"))
     if is_main:
         save_results(
             np.vstack([ids1p, ids2p]),
