@@ -82,6 +82,10 @@ def _add_pipeline(sub):
                    help="paired-end: maximum outer insert size")
     p.add_argument("--min-isize", type=int, default=0,
                    help="paired-end: minimum outer insert size")
+    p.add_argument("--no-rescue", action="store_true",
+                   help="paired-end: disable SW mate rescue (scanning the "
+                        "expected mate interval next to an anchored end "
+                        "when no proper pair exists)")
 
 
 def _add_build(sub):
@@ -282,6 +286,7 @@ def main(argv=None) -> int:
                 use_streaming=bool(args.use_streaming),
                 sort=args.sort,
                 bam=args.bam,
+                rescue=not args.no_rescue,
                 vectorizer=vectorizer,
             )
             print(

@@ -96,6 +96,109 @@ def resolve_pairs(
     return out
 
 
+def rescue_mates(
+    anchor_ids: np.ndarray,
+    target_reads: list[str],
+    anchor_lens: np.ndarray,
+    genome: np.ndarray,
+    max_isize: int,
+    min_isize: int = 0,
+    stride: int = 2,
+    min_frac: float = 0.4,
+    rec_bounds: np.ndarray | None = None,
+    max_windows: int = 2048,
+) -> tuple[np.ndarray, np.ndarray]:
+    """BWA-style mate rescue: for each (anchored end, unplaced mate), scan
+    the expected FR mate interval next to the anchor with the native
+    Smith-Waterman scorer and return the best placement.
+
+    anchor_ids: [n] dense ids of the anchored ends, in BASE coordinates
+    (2*base_pos + strand).  target_reads: the unplaced mates (unwrapped
+    strings, as sequenced).  Returns (ids [n], scores [n]): rescued BASE-
+    coordinate ids (PAD_ID where nothing reached min_frac * mate_len
+    SW score) and their SW scores.  rec_bounds ([n, 2]) clips each scan
+    to the anchor's record.  All (read, window) SW pairs run as ONE
+    native batch call.
+
+    The reference cannot do this at all; BWA rescues exactly this way
+    (SW over the mate window) — here the scan windows come straight from
+    the genome byte array the pipeline already holds."""
+    from deepreadmapper_tpu import native
+
+    anchor_ids = np.asarray(anchor_ids, np.int64)
+    n = len(target_reads)
+    out_ids = np.full(n, PAD_ID, np.int64)
+    out_scores = np.zeros(n, np.int32)
+    if not native.available() or n == 0:
+        return out_ids, out_scores
+
+    a_rows, b_rows, row_read, row_pos, row_strand = [], [], [], [], []
+    for i, read in enumerate(target_reads):
+        aid = int(anchor_ids[i])
+        if aid < 0:
+            continue
+        p1 = aid >> 1
+        lt = len(read)
+        if aid & 1:  # anchor reverse -> mate forward, to the LEFT
+            lo = p1 + int(anchor_lens[i]) - max_isize
+            hi = p1 + int(anchor_lens[i]) - max(min_isize, 1)
+            strand = 0
+            rb = read.encode()
+        else:        # anchor forward -> mate reverse, to the RIGHT
+            lo = p1 + max(min_isize, 1) - lt
+            hi = p1 + max_isize - lt
+            strand = 1
+            # reverse windows hold revcomp(genome): the read matches the
+            # FORWARD genome bytes after revcomp'ing the read itself
+            rb = read.encode().translate(_RC_TABLE)[::-1]
+        glo = 0 if rec_bounds is None else int(rec_bounds[i, 0])
+        ghi = genome.size if rec_bounds is None else int(rec_bounds[i, 1])
+        lo = max(lo, glo)
+        hi = min(hi, ghi - lt)
+        if hi < lo:
+            continue
+        positions = list(range(lo, hi + 1, stride))[:max_windows]
+        a = np.frombuffer(rb, np.uint8)
+        for p in positions:
+            a_rows.append(a)
+            b_rows.append(genome[p: p + lt])
+            row_read.append(i)
+            row_pos.append(p)
+            row_strand.append(strand)
+    if not a_rows:
+        return out_ids, out_scores
+    aw = max(r.size for r in a_rows)
+    bw = max(r.size for r in b_rows)
+    m = len(a_rows)
+    a_mat = np.zeros((m, aw), np.uint8)
+    b_mat = np.zeros((m, bw), np.uint8)
+    a_lens = np.empty(m, np.int64)
+    b_lens = np.empty(m, np.int64)
+    for j in range(m):
+        a_mat[j, : a_rows[j].size] = a_rows[j]
+        b_mat[j, : b_rows[j].size] = b_rows[j]
+        a_lens[j] = a_rows[j].size
+        b_lens[j] = b_rows[j].size
+    scores, _a, _b, _c = native.sw_cigar(a_mat, a_lens, b_mat, b_lens,
+                                         max_ops=1)
+    row_read = np.asarray(row_read)
+    row_pos = np.asarray(row_pos, np.int64)
+    row_strand = np.asarray(row_strand, np.int64)
+    for i in range(n):
+        mask = row_read == i
+        if not mask.any():
+            continue
+        s = scores[mask]
+        j = int(np.argmax(s))
+        if s[j] >= min_frac * len(target_reads[i]):
+            out_ids[i] = 2 * int(row_pos[mask][j]) + int(row_strand[mask][j])
+            out_scores[i] = int(s[j])
+    return out_ids, out_scores
+
+
+_RC_TABLE = bytes.maketrans(b"ACGTNacgtn", b"TGCANtgcan")
+
+
 def _resolve_block(ids1, d1, ids2, d2, l1, l2, max_isize, min_isize,
                    ref_len, dense_off, out, base):
     n, k1 = ids1.shape

@@ -736,6 +736,7 @@ def run_pipeline_paired(
     use_streaming: bool = False,
     sort: bool = False,
     bam: bool = False,
+    rescue: bool = True,
     vectorizer: Vectorizer | None = None,
     search_cfg: SearchConfig | None = None,
     preloaded: tuple | None = None,
@@ -812,8 +813,110 @@ def run_pipeline_paired(
         ref_len, dense_off=dense_off,
     )
 
+    n_rescued = 0
+    if rescue and not pair["proper"].all():
+        from deepreadmapper_tpu.pipeline.paired import PAD_ID, rescue_mates
+
+        # base-coordinate translation for the scan (multi-record ids are
+        # record-cumulative window indices)
+        if multi:
+            _do, base_off = fasta_io.record_window_table(records, ref_len, 1)
+
+            def _to_base(ids_arr):
+                return fasta_io.translate_window_ids(ids_arr, dense_off,
+                                                     base_off)
+
+            def _to_dense(base_id):
+                bpos = base_id >> 1
+                r = int(np.clip(
+                    np.searchsorted(base_off, bpos, side="right") - 1,
+                    0, len(base_off) - 2,
+                ))
+                loc = min(int(bpos - base_off[r]),
+                          int(dense_off[r + 1] - dense_off[r] - 1))
+                return 2 * (int(dense_off[r]) + loc) + (base_id & 1)
+
+            def _bounds(base_id):
+                bpos = base_id >> 1
+                r = int(np.clip(
+                    np.searchsorted(base_off, bpos, side="right") - 1,
+                    0, len(base_off) - 2,
+                ))
+                return int(base_off[r]), int(base_off[r + 1])
+        else:
+            def _to_base(ids_arr):
+                return ids_arr
+
+            def _to_dense(base_id):
+                return int(base_id)
+
+            def _bounds(_base_id):
+                return 0, int(sum(len(r) for r in records))
+        genome_cat = (
+            records[0] if len(records) == 1 else np.concatenate(records)
+        )
+        imp = np.flatnonzero(~pair["proper"])
+        # anchor confidence = its single-end margin (an ambiguous anchor
+        # must not mint a confident rescued pair)
+        se1 = compute_mapq(ids1, sgn * d1, ref_len, dense_off=dense_off)
+        se2 = compute_mapq(ids2, sgn * d2, ref_len, dense_off=dense_off)
+        anchors, targets, alens, bounds, tgt_end = [], [], [], [], []
+        for i in imp:
+            # anchor on the end whose top candidate scores better
+            use1 = sgn * d1[i, 0] <= sgn * d2[i, 0]
+            aid = int(ids1[i, 0] if use1 else ids2[i, 0])
+            if aid < 0:
+                continue
+            base_aid = int(_to_base(np.asarray([aid]))[0])
+            anchors.append(base_aid)
+            alens.append(int(lens1[i] if use1 else lens2[i]))
+            tread = seqs2[i] if use1 else seqs1[i]
+            targets.append(tread[1:-1] if len(tread) > 2 else tread)
+            bounds.append(_bounds(base_aid))
+            tgt_end.append((i, 2 if use1 else 1))
+        if anchors:
+            r_ids, r_scores = rescue_mates(
+                np.asarray(anchors), targets, np.asarray(alens),
+                genome_cat, max_isize, min_isize,
+                rec_bounds=np.asarray(bounds, np.int64),
+            )
+            for (i, end), rid, rsc in zip(tgt_end, r_ids, r_scores):
+                if rid == PAD_ID:
+                    continue
+                did = _to_dense(int(rid))
+                if end == 2:
+                    pair["b_id"][i] = did
+                    pair["a_id"][i] = ids1[i, 0]
+                    lq = int(lens2[i])
+                else:
+                    pair["a_id"][i] = did
+                    pair["b_id"][i] = ids2[i, 0]
+                    lq = int(lens1[i])
+                pair["proper"][i] = True
+                a_id_i = int(pair["a_id"][i])
+                b_id_i = int(pair["b_id"][i])
+                ap, bp = a_id_i >> 1, b_id_i >> 1
+                if a_id_i & 1:
+                    pair["tlen"][i] = -(ap + int(lens1[i]) - bp)
+                else:
+                    pair["tlen"][i] = bp + int(lens2[i]) - ap
+                # rescued end: SW-identity-scaled quality, capped at 40
+                rq = int(min(40, round(60.0 * int(rsc) / max(lq, 1))))
+                if end == 2:
+                    pair["mapq2"][i] = rq
+                    pair["mapq1"][i] = int(se1[i])
+                else:
+                    pair["mapq1"][i] = rq
+                    pair["mapq2"][i] = int(se2[i])
+                n_rescued += 1
+    if n_rescued:
+        print(f"[MAIN] mate rescue: {n_rescued} pairs recovered by SW scan")
+
     def _promote(ids, d, chosen):
-        """Swap each row's chosen pair member into the primary column."""
+        """Swap each row's chosen pair member into the primary column; a
+        rescued id absent from the candidate list overwrites column 0
+        (its npy distance keeps the displaced value — rescue scores live
+        on the SW scale, not the engine's)."""
         ids = ids.copy()
         d = d.copy()
         for i in range(ids.shape[0]):
@@ -824,6 +927,8 @@ def run_pipeline_paired(
                 j = int(js[0])
                 ids[i, 0], ids[i, j] = ids[i, j], ids[i, 0]
                 d[i, 0], d[i, j] = d[i, j], d[i, 0]
+            else:
+                ids[i, 0] = chosen[i]
         return ids, d
 
     ids1p, d1p = _promote(ids1, d1, pair["a_id"])

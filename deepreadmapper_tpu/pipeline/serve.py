@@ -112,7 +112,7 @@ def serve(
                             "cigar", "long_reads", "use_streaming",
                         )
                     }
-                    for kk in ("max_isize", "min_isize"):
+                    for kk in ("max_isize", "min_isize", "rescue"):
                         if kk in req:
                             pkw[kk] = req[kk]
                     res = run_pipeline_paired(

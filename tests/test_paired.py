@@ -119,6 +119,76 @@ def _fq(path, reads):
             f.write(f"@{name}\n{seq}\n+\n{'I' * len(seq)}\n")
 
 
+def test_rescue_mates_unit(pe_setup):
+    from deepreadmapper_tpu.pipeline.paired import PAD_ID, rescue_mates
+
+    genome, _vec, _prefix, _ref = pe_setup
+    g = np.frombuffer(genome.encode(), np.uint8)
+    anchor = np.array([2 * 6000])            # R1 fwd @ 6000
+    mate = genome[6350:6500].translate(_COMP)[::-1]
+    ids, scores = rescue_mates(anchor, [mate], np.array([150]), g,
+                               max_isize=800)
+    assert ids[0] != PAD_ID
+    assert ids[0] & 1 == 1
+    assert abs((ids[0] >> 1) - 6350) <= 2
+    assert scores[0] >= 140  # near-perfect SW identity
+
+    # junk mate: nothing reaches the identity threshold
+    rng = np.random.default_rng(0)
+    junk = "".join(rng.choice(list("ACGT"), size=150))
+    ids2, _ = rescue_mates(anchor, [junk], np.array([150]), g,
+                           max_isize=800)
+    assert ids2[0] == PAD_ID
+
+    # reverse anchor: mate expected FORWARD to the LEFT
+    anchor_r = np.array([2 * 6000 + 1])
+    mate_f = genome[5500:5650]
+    ids3, _ = rescue_mates(anchor_r, [mate_f], np.array([150]), g,
+                           max_isize=800)
+    assert ids3[0] != PAD_ID and ids3[0] & 1 == 0
+    assert abs((ids3[0] >> 1) - 5500) <= 2
+
+
+def test_pipeline_mate_rescue_recovers_embedding_miss(pe_setup, tmp_path):
+    """A mate whose EMBEDDED prefix is garbage (100 junk bases before the
+    real sequence — the encoder only sees ~121 bases) cannot be found by
+    the vector search, but the SW scan next to its anchored mate recovers
+    the placement and the pair goes proper."""
+    from deepreadmapper_tpu.pipeline.search import run_pipeline_paired
+
+    genome, vec, prefix, ref = pe_setup
+    rng = np.random.default_rng(3)
+    junk = "".join(rng.choice(list("ACGT"), size=100))
+    r1 = [("m0", genome[6000:6150])]
+    r2 = [("m0", junk + genome[6350:6500].translate(_COMP)[::-1])]
+    f1 = str(tmp_path / "r1.fastq")
+    f2 = str(tmp_path / "r2.fastq")
+    _fq(f1, r1)
+    _fq(f2, r2)
+    out = str(tmp_path / "out")
+    res = run_pipeline_paired(
+        prefix, f1, f2, ref, k=4, output_dir=out, mapq=True,
+        vectorizer=vec, max_isize=800,
+    )
+    assert res["n_proper"] == 1
+    lines = [l.split("\t") for l in open(os.path.join(out, "results.sam"))
+             if not l.startswith("@")]
+    prim = {bool(int(f[1]) & 0x80): f for f in lines
+            if int(f[1]) & 0x900 == 0}
+    a, b = prim[False], prim[True]
+    assert int(a[1]) & 0x2 and int(b[1]) & 0x2
+    assert int(b[1]) & 0x10  # rescued mate on the reverse strand
+    assert abs(int(b[3]) - 6351) <= 110  # within the soft-clip tolerance
+    assert 1 <= int(b[4]) <= 40  # rescued MAPQ is SW-identity-scaled
+
+    # without rescue the pair stays improper
+    res2 = run_pipeline_paired(
+        prefix, f1, f2, ref, k=4, output_dir=str(tmp_path / "out2"),
+        vectorizer=vec, max_isize=800, rescue=False, write_sam=False,
+    )
+    assert res2["n_proper"] == 0
+
+
 def test_paired_pipeline_end_to_end(pe_setup, tmp_path):
     from deepreadmapper_tpu.pipeline.search import run_pipeline_paired
 
