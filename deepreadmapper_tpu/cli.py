@@ -82,6 +82,10 @@ def _add_pipeline(sub):
                    help="paired-end: maximum outer insert size")
     p.add_argument("--min-isize", type=int, default=0,
                    help="paired-end: minimum outer insert size")
+    p.add_argument("--paired-interleaved", action="store_true",
+                   help="the query FASTQ holds interleaved R1/R2 records "
+                        "(fastq-dump / trimmer output); split and map as "
+                        "pairs")
     p.add_argument("--no-rescue", action="store_true",
                    help="paired-end: disable SW mate rescue (scanning the "
                         "expected mate interval next to an anchored end "
@@ -262,6 +266,27 @@ def main(argv=None) -> int:
             )
 
             vectorizer = Vectorizer(load_params(args.weights))
+        if args.paired_interleaved and not args.paired2:
+            # split interleaved records into two temp FASTQs next to the
+            # outputs (kept for provenance), then run the paired driver
+            import os as _os
+
+            from deepreadmapper_tpu.io.fileio import read_bytes
+
+            data = read_bytes(args.query_file).split(b"\n")
+            recs = [data[i: i + 4] for i in range(0, len(data) - 3, 4)]
+            if len(recs) % 2:
+                print("[MAIN] ERROR: interleaved FASTQ holds an odd "
+                      "number of records")
+                return 1
+            _os.makedirs(args.output_dir, exist_ok=True)
+            p1 = _os.path.join(args.output_dir, "_interleaved_R1.fastq")
+            p2 = _os.path.join(args.output_dir, "_interleaved_R2.fastq")
+            with open(p1, "wb") as f1, open(p2, "wb") as f2:
+                for j, rec in enumerate(recs):
+                    (f1 if j % 2 == 0 else f2).write(b"\n".join(rec) + b"\n")
+            args.paired2 = p2
+            args.query_file = p1
         if args.paired2:
             from deepreadmapper_tpu.pipeline.search import run_pipeline_paired
 

@@ -119,6 +119,31 @@ def _fq(path, reads):
             f.write(f"@{name}\n{seq}\n+\n{'I' * len(seq)}\n")
 
 
+def test_cli_interleaved_paired(pe_setup, tmp_path):
+    """--paired-interleaved splits an interleaved FASTQ and maps as pairs."""
+    from deepreadmapper_tpu import cli
+
+    genome, _vec, prefix, ref = pe_setup
+    isize = 500
+    s = 6_000
+    r1 = genome[s:s + REF_LEN]
+    r2 = genome[s + isize - REF_LEN:s + isize].translate(_COMP)[::-1]
+    inter = str(tmp_path / "inter.fastq")
+    with open(inter, "w") as f:
+        f.write(f"@p0\n{r1}\n+\n{'I' * REF_LEN}\n")
+        f.write(f"@p0\n{r2}\n+\n{'I' * REF_LEN}\n")
+    out = str(tmp_path / "out")
+    rc = cli.main(["pipeline", prefix, inter, ref, "64", "8", "5", out,
+                   "--paired-interleaved"])
+    assert rc == 0
+    flags = sorted(
+        int(l.split("\t")[1])
+        for l in open(os.path.join(out, "results.sam"))
+        if not l.startswith("@") and int(l.split("\t")[1]) & 0x900 == 0
+    )
+    assert flags == [99, 147]
+
+
 def test_rescue_mates_unit(pe_setup):
     from deepreadmapper_tpu.pipeline.paired import PAD_ID, rescue_mates
 
