@@ -282,9 +282,21 @@ def main(argv=None) -> int:
             _os.makedirs(args.output_dir, exist_ok=True)
             p1 = _os.path.join(args.output_dir, "_interleaved_R1.fastq")
             p2 = _os.path.join(args.output_dir, "_interleaved_R2.fastq")
-            with open(p1, "wb") as f1, open(p2, "wb") as f2:
-                for j, rec in enumerate(recs):
-                    (f1 if j % 2 == 0 else f2).write(b"\n".join(rec) + b"\n")
+            # under jax.distributed only process 0 writes the split (all
+            # processes share output_dir on a common filesystem); a barrier
+            # keeps the others from reading a half-written file
+            import jax as _jax
+
+            if _jax.process_index() == 0:
+                with open(p1, "wb") as f1, open(p2, "wb") as f2:
+                    for j, rec in enumerate(recs):
+                        (f1 if j % 2 == 0 else f2).write(
+                            b"\n".join(rec) + b"\n"
+                        )
+            if _jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+
+                multihost_utils.sync_global_devices("interleave-split")
             args.paired2 = p2
             args.query_file = p1
         if args.paired2:

@@ -233,7 +233,11 @@ def sort_sam_file(path: str) -> None:
     reference order, then 1-based POS; unmapped records last) and stamp
     the @HD line SO:coordinate.  Post-pass over the finished file so every
     write path — batch, paired, long-read — sorts identically; variant
-    callers and `samtools index` expect this ordering."""
+    callers and `samtools index` expect this ordering.
+
+    The whole file is buffered in memory (like the BAM conversion): fine
+    up to multi-100MB SAMs; for runs past host RAM, leave --sort off and
+    pipe through `samtools sort`, which external-merge-sorts."""
     with open(path) as f:
         lines = f.readlines()
     header = [l for l in lines if l.startswith("@")]

@@ -141,23 +141,29 @@ def rescue_mates(
         lt = len(read)
         if aid & 1:  # anchor reverse -> mate forward, to the LEFT
             lo = p1 + int(anchor_lens[i]) - max_isize
-            hi = p1 + int(anchor_lens[i]) - max(min_isize, 1)
+            hi = min(p1 + int(anchor_lens[i]) - max(min_isize, 1), p1)
             strand = 0
             rb = read.encode()
         else:        # anchor forward -> mate reverse, to the RIGHT
-            lo = p1 + max(min_isize, 1) - lt
+            lo = max(p1 + max(min_isize, 1) - lt, p1)
             hi = p1 + max_isize - lt
             strand = 1
             # reverse windows hold revcomp(genome): the read matches the
             # FORWARD genome bytes after revcomp'ing the read itself
             rb = read.encode().translate(_RC_TABLE)[::-1]
+        # the min/max clamps above keep the FR ordering invariant the
+        # resolver enforces (forward end never right of the reverse end)
         glo = 0 if rec_bounds is None else int(rec_bounds[i, 0])
         ghi = genome.size if rec_bounds is None else int(rec_bounds[i, 1])
         lo = max(lo, glo)
         hi = min(hi, ghi - lt)
         if hi < lo:
             continue
-        positions = list(range(lo, hi + 1, stride))[:max_windows]
+        # never silently drop interval coverage: coarsen the stride so the
+        # WHOLE mate interval is scanned within the window budget
+        span = hi + 1 - lo
+        eff = max(stride, -(-span // max_windows))
+        positions = list(range(lo, hi + 1, eff))
         a = np.frombuffer(rb, np.uint8)
         for p in positions:
             a_rows.append(a)

@@ -832,6 +832,10 @@ def run_pipeline_paired(
                     np.searchsorted(base_off, bpos, side="right") - 1,
                     0, len(base_off) - 2,
                 ))
+                # clamp into the record's stride-1 window grid; a mate
+                # SHORTER than ref_len rescued within the last (ref_len -
+                # mate_len) bases of a record shifts left by that clamp —
+                # bounded by the read/window length difference
                 loc = min(int(bpos - base_off[r]),
                           int(dense_off[r + 1] - dense_off[r] - 1))
                 return 2 * (int(dense_off[r]) + loc) + (base_id & 1)

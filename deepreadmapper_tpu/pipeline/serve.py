@@ -108,7 +108,7 @@ def serve(
                         kk: vv for kk, vv in kwargs.items()
                         if kk in (
                             "ef", "k", "k_clusters", "output_dir", "rerank",
-                            "dense_rerank", "write_sam", "mapq", "qual", "sort", "bam", "bam",
+                            "dense_rerank", "write_sam", "mapq", "qual", "sort", "bam",
                             "cigar", "long_reads", "use_streaming",
                         )
                     }
