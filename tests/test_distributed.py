@@ -242,6 +242,96 @@ print(f"CHILD{pid}-OK", flush=True)
 """
 
 
+_CHILD_PAIRED = r"""
+import os
+import sys
+
+sys.path.insert(0, os.getcwd())
+port, pid, prefix, outdir = (
+    sys.argv[1], int(sys.argv[2]), sys.argv[3], sys.argv[4]
+)
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=f"127.0.0.1:{port}", num_processes=2, process_id=pid
+)
+import numpy as np
+from jax.experimental import multihost_utils
+
+from deepreadmapper_tpu.io import fasta as fasta_io
+from deepreadmapper_tpu.pipeline.build import build_index_distributed
+from deepreadmapper_tpu.pipeline.search import run_pipeline_paired
+
+ref = "tests/data/ecoli_150.fna"
+build_index_distributed(ref, prefix, 150, index_type="INT8FLAT", n_shards=2)
+multihost_utils.sync_global_devices("built")
+
+# simulate 8 proper FR pairs from the fixture genome (every host writes
+# its own copy of the read files — identical content)
+genome = fasta_io.parse_fasta_records(ref)[0].tobytes().decode()
+comp = str.maketrans("ACGT", "TGCA")
+isize, L = 400, 150
+f1 = os.path.join(outdir + f"_in{pid}", "r1.fastq")
+f2 = os.path.join(outdir + f"_in{pid}", "r2.fastq")
+os.makedirs(os.path.dirname(f1), exist_ok=True)
+starts = [0, 50, 100, 150, 200, 250, 300, 400]
+with open(f1, "w") as a, open(f2, "w") as b:
+    for i, s in enumerate(starts):
+        a.write(f"@p{i}\n{genome[s:s+L]}\n+\n{'I'*L}\n")
+        m = genome[s+isize-L:s+isize].translate(comp)[::-1]
+        b.write(f"@p{i}\n{m}\n+\n{'I'*L}\n")
+
+res = run_pipeline_paired(prefix, f1, f2, ref, k=8, output_dir=outdir)
+assert res["n_proper"] == len(starts), res["n_proper"]
+multihost_utils.sync_global_devices("paired-done")
+print(f"CHILD{pid}-OK", flush=True)
+"""
+
+
+def test_two_process_paired_pipeline(tmp_path):
+    """Paired-end mapping across two jax.distributed processes: per-host
+    shard builds, both ends' SPMD searches merge across hosts, pair
+    resolution runs identically everywhere, process 0 writes the outputs."""
+    prefix = str(tmp_path / "pp_idx")
+    outdir = str(tmp_path / "pp_out")
+    child = tmp_path / "child_paired.py"
+    child.write_text(_CHILD_PAIRED)
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.pop("PYTHONPATH", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(child), str(port), str(pid), prefix, outdir],
+            cwd=os.getcwd(), env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for pid, p in enumerate(procs):
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+        assert p.returncode == 0, f"child {pid} failed:\n{out}"
+    assert "CHILD0-OK" in outs[0] and "CHILD1-OK" in outs[1]
+    import numpy as np
+
+    ids = np.load(os.path.join(outdir, "indices.npy"))
+    assert ids.shape[0] == 16  # 8 R1 rows + 8 R2 rows
+    sam = [l for l in open(os.path.join(outdir, "results.sam"))
+           if not l.startswith("@")]
+    primaries = [l.split("\t") for l in sam
+                 if int(l.split("\t")[1]) & 0x900 == 0]
+    assert len(primaries) == 16
+    assert all(int(f[1]) & 0x2 for f in primaries)  # every pair proper
+
+
 _CHILD_SERVE = r"""
 import io
 import json
