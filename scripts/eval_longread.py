@@ -1,0 +1,161 @@
+"""Long-read mapping accuracy harness: read-length x error-rate grid.
+
+Simulates reads far beyond the encoder's 121-base window (the reference
+truncates; --long-reads chains chunk votes), both strands, substitution +
+indel errors, plus a chimera set to measure split-read detection.  One
+JSON row per config, a JSON document at the end.
+
+    python - [--n-bp 2000000] < scripts/eval_longread.py
+"""
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.getcwd(), "scripts"))
+from demo_genome_scale import make_genome  # noqa: E402
+
+_COMP = str.maketrans("ACGT", "TGCA")
+
+
+def mutate(seq, sub, indel, rng):
+    out = []
+    bases = "ACGT"
+    for ch in seq:
+        r = rng.random()
+        if r < indel / 2:
+            continue  # deletion
+        if r < indel:
+            out.append(rng.choice(list(bases)))  # insertion (keep base too)
+            out.append(ch)
+            continue
+        if r < indel + sub:
+            out.append(rng.choice([b for b in bases if b != ch]))
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-bp", type=int, default=2_000_000)
+    ap.add_argument("--n-reads", type=int, default=256)
+    ap.add_argument("--read-lens", default="1000,5000,20000")
+    ap.add_argument("--errs", default="0.01,0.05,0.10")
+    ap.add_argument("--indel-frac", type=float, default=0.4,
+                    help="fraction of the error budget spent on indels "
+                         "(PacBio/ONT-style)")
+    ap.add_argument("--ref-len", type=int, default=150)
+    ap.add_argument("--index-type", default="INT8FLAT")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default="eval_longread.json")
+    args = ap.parse_args()
+
+    genome = make_genome(args.n_bp, seed=args.seed)
+    from deepreadmapper_tpu.pipeline.build import build_index
+    from deepreadmapper_tpu.pipeline.search import run_pipeline
+
+    rows = []
+    with tempfile.TemporaryDirectory() as tmp:
+        ref = os.path.join(tmp, "ref.fna")
+        with open(ref, "w") as f:
+            f.write("> sim\n")
+            for i in range(0, len(genome), 80):
+                f.write(genome[i: i + 80] + "\n")
+        prefix = os.path.join(tmp, "idx")
+        t0 = time.time()
+        build_index(ref, prefix, args.ref_len, index_type=args.index_type)
+        t_build = time.time() - t0
+
+        for L in [int(x) for x in args.read_lens.split(",")]:
+            for err in [float(x) for x in args.errs.split(",")]:
+                rng = np.random.default_rng(args.seed + L + int(err * 1000))
+                sub = err * (1 - args.indel_frac)
+                indel = err * args.indel_frac
+                reads, starts, strands = [], [], []
+                for i in range(args.n_reads):
+                    s = int(rng.integers(0, args.n_bp - L))
+                    seq = mutate(genome[s: s + L], sub, indel, rng)
+                    st = int(rng.integers(0, 2))
+                    if st:
+                        seq = seq.translate(_COMP)[::-1]
+                    reads.append((f"r{i}", seq))
+                    starts.append(s)
+                    strands.append(st)
+                fq = os.path.join(tmp, f"lr_{L}_{err}.fastq")
+                with open(fq, "w") as f:
+                    for name, seq in reads:
+                        f.write(f"@{name}\n{seq}\n+\n{'I' * len(seq)}\n")
+                out = os.path.join(tmp, f"out_{L}_{err}")
+                t0 = time.time()
+                run_pipeline(prefix, fq, ref, k=4, output_dir=out,
+                             long_reads=True, mapq=True)
+                dt = time.time() - t0
+                ids = np.load(os.path.join(out, "indices.npy"))
+                got = (ids[:, 0] // 2).astype(np.int64)
+                tol = max(20, int(L * err))  # indel drift scales with L*err
+                ok = (np.abs(got - np.asarray(starts)) <= tol) & (
+                    ids[:, 0] % 2 == np.asarray(strands)
+                )
+                mq = []
+                for line in open(os.path.join(out, "results.sam")):
+                    if line.startswith("@"):
+                        continue
+                    f2 = line.split("\t")
+                    if int(f2[1]) & 0x900 == 0:
+                        mq.append(int(f2[4]))
+                mq = np.asarray(mq)
+                hi = mq >= 30
+                row = {
+                    "read_len": L, "err": err,
+                    "top1": round(float(ok.mean()), 4),
+                    "mapq30_precision": round(
+                        float(ok[hi].mean()) if hi.any() else 1.0, 4),
+                    "mapq30_frac": round(float(hi.mean()), 4),
+                    "reads_per_s": round(args.n_reads / dt, 1),
+                }
+                rows.append(row)
+                print(json.dumps(row), flush=True)
+
+        # chimera detection: half-and-half fusion reads
+        rng = np.random.default_rng(args.seed + 99)
+        reads = []
+        for i in range(64):
+            a = int(rng.integers(0, args.n_bp // 2 - 1000))
+            b = int(rng.integers(args.n_bp // 2, args.n_bp - 1000))
+            seq = mutate(genome[a: a + 800], 0.005, 0.005, rng) + mutate(
+                genome[b: b + 700], 0.005, 0.005, rng)
+            reads.append((f"c{i}", seq))
+        fq = os.path.join(tmp, "chim.fastq")
+        with open(fq, "w") as f:
+            for name, seq in reads:
+                f.write(f"@{name}\n{seq}\n+\n{'I' * len(seq)}\n")
+        out = os.path.join(tmp, "out_chim")
+        run_pipeline(prefix, fq, ref, k=4, output_dir=out, long_reads=True)
+        with_supp = set()
+        for line in open(os.path.join(out, "results.sam")):
+            if line.startswith("@"):
+                continue
+            f2 = line.split("\t")
+            if int(f2[1]) & 0x800:
+                with_supp.add(f2[0])
+        row = {"mode": "chimera_64x1500bp",
+               "supplementary_rate": round(len(with_supp) / 64, 4)}
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    doc = {"n_bp": args.n_bp, "n_reads": args.n_reads,
+           "index_type": args.index_type, "t_build_s": round(t_build, 1),
+           "rows": rows}
+    with open(args.out, "w") as f:
+        json.dump(doc, f, indent=2)
+    print(f"[EVAL] wrote {args.out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
