@@ -54,11 +54,20 @@ class _BgzfWriter:
     def __init__(self, path: str):
         self._f = open(path, "wb")
         self._buf = bytearray()
+        self._coffset = 0  # compressed bytes of flushed blocks
+
+    def voffset(self) -> int:
+        """BGZF virtual offset of the next byte: (compressed offset of the
+        containing block) << 16 | (offset inside its uncompressed data).
+        The block payload cap (0xFF00) keeps the low half within 16 bits."""
+        return (self._coffset << 16) | len(self._buf)
 
     def write(self, data: bytes) -> None:
         self._buf += data
         while len(self._buf) >= 0xFF00:
-            self._f.write(_bgzf_block(bytes(self._buf[:0xFF00])))
+            blk = _bgzf_block(bytes(self._buf[:0xFF00]))
+            self._f.write(blk)
+            self._coffset += len(blk)
             del self._buf[:0xFF00]
 
     def close(self) -> None:
@@ -102,7 +111,7 @@ def _parse_cigar(cigar: str):
     return ops, ref_span
 
 
-def _encode_record(fields: list[str], ref_ids: dict[str, int]) -> bytes:
+def _encode_record(fields: list[str], ref_ids: dict[str, int]):
     (qname, flag, rname, pos, mapq, cigar, rnext, pnext, tlen, seq,
      qual) = fields[:11]
     flag = int(flag)
@@ -144,11 +153,20 @@ def _encode_record(fields: list[str], ref_ids: dict[str, int]) -> bytes:
         parts = tag.split(":", 2)
         if len(parts) == 3 and parts[1] == "Z":
             out += parts[0].encode()[:2] + b"Z" + parts[2].encode() + b"\x00"
-    return struct.pack("<i", len(out)) + bytes(out)
+    return (
+        struct.pack("<i", len(out)) + bytes(out),
+        ref_id, pos0, max(end, pos0 + 1),
+    )
 
 
-def sam_to_bam(sam_path: str, bam_path: str) -> int:
-    """Convert our SAM dialect to BAM; returns the record count."""
+def sam_to_bam(sam_path: str, bam_path: str,
+               bai_path: str | None = None) -> int:
+    """Convert our SAM dialect to BAM; returns the record count.
+
+    bai_path: also write the BAI index (UCSC binning + 16 kb linear
+    index over BGZF virtual offsets) — only meaningful when the SAM is
+    coordinate-sorted (--sort); together the pair drops straight into
+    samtools/IGV without an external indexing step."""
     with open(sam_path) as f:
         lines = f.readlines()
     header_lines = [l for l in lines if l.startswith("@")]
@@ -174,8 +192,46 @@ def sam_to_bam(sam_path: str, bam_path: str) -> int:
         nb = name.encode() + b"\x00"
         w.write(struct.pack("<i", len(nb)) + nb + struct.pack("<i", ln))
     n = 0
+    # BAI accumulators: per ref, bin -> [chunk (beg, end) voffsets] and a
+    # 16 kb linear index of minimal record voffsets
+    bins = [dict() for _ in refs]
+    linear = [dict() for _ in refs]
     for line in body:
-        w.write(_encode_record(line.rstrip("\n").split("\t"), ref_ids))
+        blob, ref_id, pos0, end = _encode_record(
+            line.rstrip("\n").split("\t"), ref_ids
+        )
+        v0 = w.voffset()
+        w.write(blob)
+        v1 = w.voffset()
         n += 1
+        if bai_path is not None and ref_id >= 0:
+            b = reg2bin(max(pos0, 0), end)
+            chunks = bins[ref_id].setdefault(b, [])
+            if chunks and chunks[-1][1] == v0:
+                chunks[-1] = (chunks[-1][0], v1)  # merge adjacent
+            else:
+                chunks.append((v0, v1))
+            lin = linear[ref_id]
+            for iv in range(max(pos0, 0) >> 14, ((end - 1) >> 14) + 1):
+                if iv not in lin or v0 < lin[iv]:
+                    lin[iv] = v0
     w.close()
+    if bai_path is not None:
+        with open(bai_path, "wb") as f:
+            f.write(b"BAI\x01" + struct.pack("<i", len(refs)))
+            for r in range(len(refs)):
+                f.write(struct.pack("<i", len(bins[r])))
+                for b in sorted(bins[r]):
+                    chunks = bins[r][b]
+                    f.write(struct.pack("<Ii", b, len(chunks)))
+                    for beg, endv in chunks:
+                        f.write(struct.pack("<QQ", beg, endv))
+                n_intv = (max(linear[r]) + 1) if linear[r] else 0
+                f.write(struct.pack("<i", n_intv))
+                last = 0
+                for iv in range(n_intv):
+                    # empty intervals inherit the previous offset
+                    # (standard practice so lookups never rewind)
+                    last = linear[r].get(iv, last)
+                    f.write(struct.pack("<Q", last))
     return n

@@ -654,7 +654,10 @@ def run_pipeline(
     if bam and sam_out and os.path.exists(sam_file):
         from deepreadmapper_tpu.io.bam import sam_to_bam
 
-        sam_to_bam(sam_file, os.path.join(output_dir, "results.bam"))
+        bam_file = os.path.join(output_dir, "results.bam")
+        # a BAI is only valid over coordinate-sorted records
+        sam_to_bam(sam_file, bam_file,
+                   bai_path=bam_file + ".bai" if sort else None)
     t_post = time.time() - t0
     if long_reads:
         t_post -= t_search  # the chain path's search ran inside this timer
@@ -1013,7 +1016,9 @@ def run_pipeline_paired(
         if bam:
             from deepreadmapper_tpu.io.bam import sam_to_bam
 
-            sam_to_bam(sam_file, os.path.join(output_dir, "results.bam"))
+            bam_file = os.path.join(output_dir, "results.bam")
+            sam_to_bam(sam_file, bam_file,
+                       bai_path=bam_file + ".bai" if sort else None)
     if is_main:
         save_results(
             np.vstack([ids1p, ids2p]),

@@ -144,6 +144,81 @@ def test_bam_records_match_sam(sam_and_bam):
     assert pos == sorted(pos)
 
 
+def test_bai_index(sam_and_bam):
+    """--sort --bam writes a BAI; validate structure + that every record's
+    voffset is reachable: its bin's chunks cover it and the linear index
+    entry for its 16 kb interval points at or before it."""
+    from deepreadmapper_tpu.io.bam import reg2bin
+
+    _sam, bam = sam_and_bam
+    bai = bam + ".bai"
+    assert os.path.exists(bai)
+    raw = open(bai, "rb").read()
+    assert raw[:4] == b"BAI\x01"
+    (n_ref,) = struct.unpack_from("<i", raw, 4)
+    assert n_ref == 1
+    off = 8
+    (n_bin,) = struct.unpack_from("<i", raw, off)
+    off += 4
+    bins = {}
+    for _ in range(n_bin):
+        b, n_chunk = struct.unpack_from("<Ii", raw, off)
+        off += 8
+        chunks = []
+        for _ in range(n_chunk):
+            beg, end = struct.unpack_from("<QQ", raw, off)
+            off += 16
+            assert beg < end
+            chunks.append((beg, end))
+        bins[b] = chunks
+    (n_intv,) = struct.unpack_from("<i", raw, off)
+    off += 4
+    linear = list(struct.unpack_from(f"<{n_intv}Q", raw, off))
+    assert off + 8 * n_intv == len(raw)
+
+    # decode the BAM with record voffsets via the BSIZE walk
+    data = open(bam, "rb").read()
+    blocks = []  # (compressed_offset, uncompressed_start)
+    coff = uoff = 0
+    while coff < len(data):
+        xlen = struct.unpack_from("<H", data, coff + 10)[0]
+        bsize = struct.unpack_from("<H", data, coff + 16)[0] + 1
+        isize = struct.unpack_from("<I", data, coff + bsize - 4)[0]
+        blocks.append((coff, uoff))
+        coff += bsize
+        uoff += isize
+    import bisect
+    import gzip
+
+    raw_all = gzip.decompress(data)
+
+    def voffset_of(upos):
+        i = bisect.bisect_right([u for _c, u in blocks], upos) - 1
+        c, u = blocks[i]
+        return (c << 16) | (upos - u)
+
+    (l_text,) = struct.unpack_from("<i", raw_all, 4)
+    p = 8 + l_text
+    (nr,) = struct.unpack_from("<i", raw_all, p)
+    p += 4
+    for _ in range(nr):
+        (ln,) = struct.unpack_from("<i", raw_all, p)
+        p += 4 + ln + 4
+    checked = 0
+    while p < len(raw_all):
+        v = voffset_of(p)
+        (bs,) = struct.unpack_from("<i", raw_all, p)
+        ref_id, pos, _lrn, _mq, bin_, ncig = struct.unpack_from(
+            "<iiBBHH", raw_all, p + 4
+        )
+        if ref_id >= 0:
+            assert any(beg <= v < end for beg, end in bins[bin_]), (v, bin_)
+            assert linear[pos >> 14] <= v
+            checked += 1
+        p += 4 + bs
+    assert checked > 100
+
+
 def test_bam_sa_tags_roundtrip(tmp_path, data_dir):
     """Split-read SA:Z tags pass through to BAM tags."""
     from deepreadmapper_tpu.io.sam import sam_header, write_sam
