@@ -655,7 +655,10 @@ def run_pipeline(
         from deepreadmapper_tpu.io.bam import sam_to_bam
 
         bam_file = os.path.join(output_dir, "results.bam")
-        # a BAI is only valid over coordinate-sorted records
+        # a BAI is only valid over coordinate-sorted records; drop any
+        # stale index from a previous sorted run into the same dir
+        if not sort and os.path.exists(bam_file + ".bai"):
+            os.remove(bam_file + ".bai")
         sam_to_bam(sam_file, bam_file,
                    bai_path=bam_file + ".bai" if sort else None)
     t_post = time.time() - t0
@@ -1017,6 +1020,8 @@ def run_pipeline_paired(
             from deepreadmapper_tpu.io.bam import sam_to_bam
 
             bam_file = os.path.join(output_dir, "results.bam")
+            if not sort and os.path.exists(bam_file + ".bai"):
+                os.remove(bam_file + ".bai")
             sam_to_bam(sam_file, bam_file,
                        bai_path=bam_file + ".bai" if sort else None)
     if is_main:

@@ -219,6 +219,82 @@ def test_bai_index(sam_and_bam):
     assert checked > 100
 
 
+def test_bai_multibin_synthetic(tmp_path):
+    """Multi-bin / multi-interval BAI paths: records spread over 5 Mbp
+    with 35 kb reference spans (crossing 16 kb linear intervals and
+    multiple reg2bin levels) plus gaps that exercise the empty-interval
+    fill.  Every record voffset must be reachable through its bin and
+    its linear-index entries."""
+    from deepreadmapper_tpu.io.bam import reg2bin, sam_to_bam
+
+    sam = str(tmp_path / "wide.sam")
+    rng = np.random.default_rng(5)
+    poss = np.sort(rng.integers(1, 5_000_000, 300))
+    with open(sam, "w") as f:
+        f.write("@HD\tVN:1.0\tSO:coordinate\n@SQ\tSN:chr1\tLN:6000000\n")
+        for i, p in enumerate(poss):
+            # 500M pseudo + occasional 35 kb N-span (spliced-style)
+            cig = "500M" if i % 5 else "100M34900N400M"
+            f.write(f"r{i}\t0\tchr1\t{p}\t60\t{cig}\t*\t0\t0\t"
+                    f"{'A' * 500}\t*\n")
+    bam = str(tmp_path / "wide.bam")
+    n = sam_to_bam(sam, bam, bai_path=bam + ".bai")
+    assert n == 300
+    raw = open(bam + ".bai", "rb").read()
+    (n_ref,) = struct.unpack_from("<i", raw, 4)
+    assert n_ref == 1
+    off = 8
+    (n_bin,) = struct.unpack_from("<i", raw, off)
+    off += 4
+    bins = {}
+    for _ in range(n_bin):
+        b, n_chunk = struct.unpack_from("<Ii", raw, off)
+        off += 8
+        bins[b] = [struct.unpack_from("<QQ", raw, off + 16 * j)
+                   for j in range(n_chunk)]
+        off += 16 * n_chunk
+    (n_intv,) = struct.unpack_from("<i", raw, off)
+    off += 4
+    linear = list(struct.unpack_from(f"<{n_intv}Q", raw, off))
+    assert len(bins) > 3  # multiple bins actually used
+    assert n_intv > 100   # many 16 kb intervals, most filled by inheritance
+    assert all(linear[i] <= linear[i + 1] or linear[i + 1] >= linear[0]
+               for i in range(n_intv - 1))
+    # decode records and verify reachability
+    header, _refs, records = _decode_bam(bam)
+    data = open(bam, "rb").read()
+    blocks, coff, uoff = [], 0, 0
+    while coff < len(data):
+        bsize = struct.unpack_from("<H", data, coff + 16)[0] + 1
+        isize = struct.unpack_from("<I", data, coff + bsize - 4)[0]
+        blocks.append((coff, uoff))
+        coff += bsize
+        uoff += isize
+    import bisect
+    import gzip
+    raw_all = gzip.decompress(data)
+    (l_text,) = struct.unpack_from("<i", raw_all, 4)
+    p = 8 + l_text
+    (nr,) = struct.unpack_from("<i", raw_all, p)
+    p += 4
+    for _ in range(nr):
+        (ln,) = struct.unpack_from("<i", raw_all, p)
+        p += 4 + ln + 4
+    i = 0
+    while p < len(raw_all):
+        v = ((blocks[bisect.bisect_right([u for _c, u in blocks], p) - 1][0])
+             << 16) | (p - blocks[
+                 bisect.bisect_right([u for _c, u in blocks], p) - 1][1])
+        (bs,) = struct.unpack_from("<i", raw_all, p)
+        _rid, pos, _lrn, _mq, bin_, _nc = struct.unpack_from(
+            "<iiBBHH", raw_all, p + 4)
+        assert any(beg <= v < end for beg, end in bins[bin_]), (i, bin_)
+        assert linear[pos >> 14] <= v
+        p += 4 + bs
+        i += 1
+    assert i == 300
+
+
 def test_bam_sa_tags_roundtrip(tmp_path, data_dir):
     """Split-read SA:Z tags pass through to BAM tags."""
     from deepreadmapper_tpu.io.sam import sam_header, write_sam
