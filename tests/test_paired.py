@@ -119,6 +119,31 @@ def _fq(path, reads):
             f.write(f"@{name}\n{seq}\n+\n{'I' * len(seq)}\n")
 
 
+def test_paired_with_sw_rerank(pe_setup, tmp_path):
+    """--paired2 --rerank sw: pairing must run on NEGATED SW scores
+    (ascending-better) — the proper pair still wins and MAPQ stays sane."""
+    from deepreadmapper_tpu.pipeline.search import run_pipeline_paired
+
+    genome, vec, prefix, ref = pe_setup
+    isize, s = 500, 6_000
+    f1 = str(tmp_path / "r1.fastq")
+    f2 = str(tmp_path / "r2.fastq")
+    _fq(f1, [("p0", genome[s:s + REF_LEN])])
+    _fq(f2, [("p0", genome[s + isize - REF_LEN:s + isize]
+              .translate(_COMP)[::-1])])
+    out = str(tmp_path / "out")
+    res = run_pipeline_paired(
+        prefix, f1, f2, ref, k=8, output_dir=out, mapq=True,
+        rerank="sw", vectorizer=vec, max_isize=800,
+    )
+    assert res["n_proper"] == 1
+    prim = [l.split("\t") for l in open(os.path.join(out, "results.sam"))
+            if not l.startswith("@") and int(l.split("\t")[1]) & 0x900 == 0]
+    poss = sorted(int(f[3]) for f in prim)
+    assert poss == [s + 1, s + isize - REF_LEN + 1]
+    assert all(int(f[4]) >= 40 for f in prim)
+
+
 def test_cli_interleaved_paired(pe_setup, tmp_path):
     """--paired-interleaved splits an interleaved FASTQ and maps as pairs."""
     from deepreadmapper_tpu import cli
