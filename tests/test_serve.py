@@ -71,6 +71,38 @@ def test_serve_survives_bad_requests(idx, data_dir, tmp_path):
     assert ok["ok"] and ok["num_queries"] == 150
 
 
+def test_serve_paired_request(idx, data_dir, tmp_path):
+    """A request carrying fastq2 routes through the paired driver on the
+    RESIDENT engine and reports pair stats."""
+    from deepreadmapper_tpu.io import fasta as fasta_io
+
+    genome = fasta_io.parse_fasta_records(
+        str(data_dir / "ecoli_150.fna")
+    )[0].tobytes().decode()
+    comp = str.maketrans("ACGT", "TGCA")
+    isize, L = 400, 150
+    f1 = str(tmp_path / "r1.fastq")
+    f2 = str(tmp_path / "r2.fastq")
+    with open(f1, "w") as a, open(f2, "w") as b:
+        for i, s in enumerate((0, 150, 300)):
+            a.write(f"@q{i}\n{genome[s:s+L]}\n+\n{'I'*L}\n")
+            m = genome[s+isize-L:s+isize].translate(comp)[::-1]
+            b.write(f"@q{i}\n{m}\n+\n{'I'*L}\n")
+    out = str(tmp_path / "pe_out")
+    n, lines = _run(idx, data_dir, [
+        {"id": "pe", "fastq": f1, "fastq2": f2, "output_dir": out, "k": 8,
+         "max_isize": 600, "mapq": True},
+        {"cmd": "quit"},
+    ])
+    assert n == 1
+    r = lines[1]
+    assert r["ok"] and r["num_queries"] == 6
+    flags = [int(l.split("\t")[1])
+             for l in open(os.path.join(out, "results.sam"))
+             if not l.startswith("@")]
+    assert sum(1 for f in flags if f & 0x900 == 0 and f & 0x2) == 6
+
+
 def test_cli_serve_dispatch(idx, data_dir, monkeypatch, capsys):
     from deepreadmapper_tpu import cli
 
