@@ -55,6 +55,10 @@ def _add_pipeline(sub):
     p.add_argument("--bam", action="store_true",
                    help="also write results.bam (BGZF-compressed binary "
                         "BAM; with --sort it is samtools-index-ready)")
+    p.add_argument("--mark-duplicates", action="store_true",
+                   help="mark PCR duplicates (FLAG 0x400, samtools "
+                        "markdup rule: same RNAME/POS/strand[/TLEN]; "
+                        "best MAPQ stays unmarked)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="write a jax profiler trace of the search stage "
                         "(view with tensorboard/xprof)")
@@ -323,6 +327,7 @@ def main(argv=None) -> int:
                 use_streaming=bool(args.use_streaming),
                 sort=args.sort,
                 bam=args.bam,
+                mark_dups=args.mark_duplicates,
                 rescue=not args.no_rescue,
                 vectorizer=vectorizer,
             )
@@ -352,6 +357,7 @@ def main(argv=None) -> int:
             qual=args.qual,
             sort=args.sort,
             bam=args.bam,
+            mark_dups=args.mark_duplicates,
             profile_dir=args.profile,
         )
         print(

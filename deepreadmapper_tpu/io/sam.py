@@ -267,6 +267,44 @@ def sort_sam_file(path: str) -> None:
         f.writelines(body)
 
 
+def mark_duplicates(path: str) -> int:
+    """Mark PCR/optical duplicates (FLAG 0x400) in a written SAM —
+    `samtools markdup`'s core rule: primary alignments sharing the same
+    (RNAME, POS, strand[, TLEN for paired]) are one molecule; the
+    highest-MAPQ copy stays unmarked, the rest get 0x400.  Secondary /
+    supplementary / unmapped lines are left untouched.  Returns the
+    number of lines marked.  The reference has no duplicate handling."""
+    with open(path) as f:
+        lines = f.readlines()
+    groups: dict[tuple, list[int]] = {}
+    for i, line in enumerate(lines):
+        if line.startswith("@"):
+            continue
+        f_ = line.split("\t")
+        flag = int(f_[1])
+        if flag & 0x904 or f_[2] == "*":
+            continue  # only mapped primaries define molecules
+        key = (f_[2], int(f_[3]), flag & 0x10,
+               int(f_[8]) if flag & 0x1 else None,
+               flag & 0xC0)  # first/second-in-pair kept separate
+        groups.setdefault(key, []).append(i)
+    n_marked = 0
+    for idxs in groups.values():
+        if len(idxs) < 2:
+            continue
+        best = max(idxs, key=lambda i: int(lines[i].split("\t")[4]))
+        for i in idxs:
+            if i == best:
+                continue
+            f_ = lines[i].split("\t")
+            f_[1] = str(int(f_[1]) | 0x400)
+            lines[i] = "\t".join(f_)
+            n_marked += 1
+    with open(path, "w") as f:
+        f.writelines(lines)
+    return n_marked
+
+
 def write_sam(
     query_seqs: list[str],
     query_ids: list[str],

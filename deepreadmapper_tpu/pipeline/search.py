@@ -212,6 +212,7 @@ def run_pipeline(
     qual: bool = False,
     sort: bool = False,
     bam: bool = False,
+    mark_dups: bool = False,
     profile_dir: str | None = None,
     vectorizer: Vectorizer | None = None,
     search_cfg: SearchConfig | None = None,
@@ -651,6 +652,10 @@ def run_pipeline(
                 )
     if sort and sam_out and os.path.exists(sam_file):
         sam_io.sort_sam_file(sam_file)
+    if mark_dups and sam_out and os.path.exists(sam_file):
+        nd = sam_io.mark_duplicates(sam_file)
+        if nd:
+            print(f"[MAIN] marked {nd} duplicate lines (FLAG 0x400)")
     if bam and sam_out and os.path.exists(sam_file):
         from deepreadmapper_tpu.io.bam import sam_to_bam
 
@@ -742,6 +747,7 @@ def run_pipeline_paired(
     use_streaming: bool = False,
     sort: bool = False,
     bam: bool = False,
+    mark_dups: bool = False,
     rescue: bool = True,
     vectorizer: Vectorizer | None = None,
     search_cfg: SearchConfig | None = None,
@@ -1016,6 +1022,10 @@ def run_pipeline_paired(
         )
         if sort:
             sam_io.sort_sam_file(sam_file)
+        if mark_dups:
+            nd = sam_io.mark_duplicates(sam_file)
+            if nd:
+                print(f"[MAIN] marked {nd} duplicate lines (FLAG 0x400)")
         if bam:
             from deepreadmapper_tpu.io.bam import sam_to_bam
 

@@ -43,7 +43,7 @@ from deepreadmapper_tpu.pipeline.search import (
 _REQ_KEYS = (
     "ef", "k", "k_clusters", "output_dir", "use_dynamic", "use_streaming",
     "rerank", "dense_rerank", "write_sam", "cigar", "mapq", "long_reads",
-    "qual", "sort", "bam",
+    "qual", "sort", "bam", "mark_dups",
 )
 
 
@@ -108,7 +108,7 @@ def serve(
                         kk: vv for kk, vv in kwargs.items()
                         if kk in (
                             "ef", "k", "k_clusters", "output_dir", "rerank",
-                            "dense_rerank", "write_sam", "mapq", "qual", "sort", "bam",
+                            "dense_rerank", "write_sam", "mapq", "qual", "sort", "bam", "mark_dups",
                             "cigar", "long_reads", "use_streaming",
                         )
                     }

@@ -118,6 +118,52 @@ def test_pipeline_qual_passthrough(repeat_genome, tmp_path):
     )
 
 
+def test_mark_duplicates_unit(tmp_path):
+    from deepreadmapper_tpu.io.sam import mark_duplicates
+
+    sam = str(tmp_path / "d.sam")
+    with open(sam, "w") as f:
+        f.write("@HD\tVN:1.0\tSO:unsorted\n@SQ\tSN:ref\tLN:1000\n")
+        # three copies of one molecule (MAPQ 60/40/50), one distinct, one
+        # secondary at the same spot (untouched)
+        f.write("a\t0\tref\t100\t60\t50M\t*\t0\t0\t" + "A" * 50 + "\t*\n")
+        f.write("b\t0\tref\t100\t40\t50M\t*\t0\t0\t" + "A" * 50 + "\t*\n")
+        f.write("c\t0\tref\t100\t50\t50M\t*\t0\t0\t" + "A" * 50 + "\t*\n")
+        f.write("d\t16\tref\t100\t60\t50M\t*\t0\t0\t" + "A" * 50 + "\t*\n")
+        f.write("e\t256\tref\t100\t0\t50M\t*\t0\t0\t" + "A" * 50 + "\t*\n")
+    assert mark_duplicates(sam) == 2
+    flags = {l.split("\t")[0]: int(l.split("\t")[1])
+             for l in open(sam) if not l.startswith("@")}
+    assert flags["a"] == 0          # best MAPQ survives
+    assert flags["b"] & 0x400 and flags["c"] & 0x400
+    assert flags["d"] == 16         # opposite strand: different molecule
+    assert flags["e"] == 256        # secondary untouched
+
+
+def test_pipeline_mark_duplicates(repeat_genome, tmp_path):
+    """--mark-duplicates end-to-end: a FASTQ with the same read twice
+    yields one unmarked and one FLAG-0x400 primary."""
+    from deepreadmapper_tpu.pipeline.build import build_index
+    from deepreadmapper_tpu.pipeline.search import run_pipeline
+
+    ref, fq = repeat_genome
+    dup_fq = str(tmp_path / "dup.fastq")
+    lines = open(fq).read().splitlines()
+    with open(dup_fq, "w") as f:
+        f.write("\n".join(lines[:4]) + "\n")   # uniq read once
+        f.write("\n".join(lines[:4]) + "\n")   # and again (PCR duplicate)
+    prefix = str(tmp_path / "idx")
+    build_index(ref, prefix, REF_LEN, index_type="FLAT")
+    out = str(tmp_path / "outd")
+    run_pipeline(prefix, dup_fq, ref, k=4, output_dir=out, sort=True,
+                 mark_dups=True)
+    prim = [int(l.split("\t")[1])
+            for l in open(os.path.join(out, "results.sam"))
+            if not l.startswith("@") and int(l.split("\t")[1]) & 0x100 == 0]
+    assert len(prim) == 2
+    assert sum(1 for f in prim if f & 0x400) == 1
+
+
 def test_pipeline_sort(repeat_genome, tmp_path):
     """--sort: coordinate order (POS ascending within @SQ order), header
     stamped SO:coordinate."""
