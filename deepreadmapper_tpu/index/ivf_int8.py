@@ -196,6 +196,22 @@ def _split_and_pack(codes: np.ndarray, assign: np.ndarray, cent0: np.ndarray,
     return clusters, slab_of, hi
 
 
+@jax.jit
+def _slab_row_norms(c3):
+    """Squared row norms of [S, cap, D] int8 codes -> [S, cap] fp32,
+    one slab at a time (lax.scan) so the int32 square temporaries never
+    exceed one slab's footprint."""
+
+    def step(_, cc):
+        return 0, jnp.sum(
+            cc.astype(jnp.int32) * cc.astype(jnp.int32), axis=-1,
+            dtype=jnp.int32,
+        ).astype(jnp.float32)
+
+    _, rn = jax.lax.scan(step, 0, c3)
+    return rn
+
+
 def scan_probed_slabs(q8, codes_cm, rn_cm, step_cluster, step_qidx, ratio,
                       cap: int, d: int, kp: int):
     """The IVF hot loop: one lax.scan over (slab, query-tile) steps.
@@ -314,12 +330,16 @@ class IVFInt8Index:
     def _device(self):
         if self._dev is None:
             c = jnp.asarray(self.codes_cm)
-            rn = jnp.sum(
-                c.astype(jnp.int32) * c.astype(jnp.int32), axis=-1,
-                dtype=jnp.int32,
-            ).astype(jnp.float32)
-            # empty slots never win
-            rn = jnp.where(jnp.asarray(self.row_ids) >= 0, rn, _BIGF)
+            # per-slab chunked norm pass: a whole-matrix int32 cast needs
+            # 8x the codes' HBM transiently (50.5 GB of int32 args at 40M
+            # rows — OOM'd on a 16 GB chip); scanning slab-by-slab keeps
+            # the temporaries at one slab
+            rn = _slab_row_norms(
+                c.reshape(-1, self.cap, c.shape[1])
+            ).reshape(-1)
+            # empty slots never win; host bool mask (row_ids stays on host
+            # — an int64 upload would be 8x the mask's bytes)
+            rn = jnp.where(jnp.asarray(self.row_ids >= 0), rn, _BIGF)
             cent = jnp.asarray(self.centroids)
             cn = jnp.sum(cent * cent, axis=-1)
             self._dev = (c, rn, cent, cn)
