@@ -112,11 +112,14 @@ def _add_build(sub):
                         "capped 0.72-0.82, and 17x faster on TPU; see "
                         "scripts/eval_hnswpq.py) | FLAT | IVFINT8 "
                         "(cluster-pruned int8 scan, sub-linear — the "
-                        ">100M-row tier; EF acts as nprobe) | PQFLAT "
+                        ">100M-row tier; EF acts as nprobe) | IVFPQ "
+                        "(cluster-pruned ADC scan over PQ codes: sub-"
+                        "linear at 8-16 B/row — the >1B-row tier; EF "
+                        "acts as nprobe, honors --opq) | PQFLAT "
                         "(16x less HBM) | HNSWPQ (reference-parity "
                         "engine) | HNSWFLAT")
     p.add_argument("--nlist", type=int, default=0,
-                   help="IVFINT8 coarse clusters (0 = auto ~sqrt(N))")
+                   help="IVFINT8/IVFPQ coarse clusters (0 = auto ~sqrt(N))")
     p.add_argument("--level-mode", default="rng", choices=["rng", "centroid"],
                    help="HNSW level assignment: seeded exponential RNG "
                         "(default) or hnswm's deterministic centroid-"

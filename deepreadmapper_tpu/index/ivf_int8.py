@@ -149,13 +149,19 @@ def _two_means(sub: np.ndarray, rng, iters: int = 8):
 
 
 def _split_and_pack(codes: np.ndarray, assign: np.ndarray, cent0: np.ndarray,
-                    cap: int, seed: int):
+                    cap: int, seed: int, fetch=None):
     """Recursively split oversized clusters, then bin-pack clusters into
     fixed-capacity slabs (first-fit decreasing).
+
+    fetch(rows) -> fp32 vectors for the 2-means split; defaults to reading
+    `codes` rows directly (IVFPQ passes a PQ-reconstruction callback so
+    only oversized clusters ever materialize as vectors).
 
     Returns (row_order_per_slot, slot_per_row omitted), concretely:
     clusters as (rows, centroid) in pack order, slab_of [C] int32, n_slabs.
     """
+    if fetch is None:
+        fetch = lambda rows: codes[rows].astype(np.float32)  # noqa: E731
     nlist0 = cent0.shape[0]
     order = np.argsort(assign, kind="stable")
     counts = np.bincount(assign, minlength=nlist0)
@@ -172,7 +178,7 @@ def _split_and_pack(codes: np.ndarray, assign: np.ndarray, cent0: np.ndarray,
         if len(rows) <= cap:
             clusters.append((rows, cc))
             continue
-        b, ca, cb = _two_means(codes[rows].astype(np.float32), rng)
+        b, ca, cb = _two_means(fetch(rows), rng)
         stack.append((rows[~b], ca))
         stack.append((rows[b], cb))
 

@@ -33,6 +33,10 @@ from deepreadmapper_tpu.index.ivf_int8 import (
     QTILE as _IVF_QTILE,
     scan_probed_slabs,
 )
+from deepreadmapper_tpu.index.ivf_pq import (
+    pack_codes_t,
+    scan_probed_slabs_pq,
+)
 from deepreadmapper_tpu.index.registry import _REGISTRY
 from deepreadmapper_tpu.ops import pq as pq_ops
 from deepreadmapper_tpu.ops import scan_kernel as sk
@@ -123,6 +127,10 @@ class ShardedANNIndex:
             self.kind = "ivfint8"
             # real rows per shard (the slab layout is bigger and per-shard;
             # merge validity + global-id composition live in row space)
+            self.n_local = subs[0].ntotal
+            self.mode = None
+        elif index_type == "IVFPQ":
+            self.kind = "ivfpq"
             self.n_local = subs[0].ntotal
             self.mode = None
         else:
@@ -318,6 +326,73 @@ class ShardedANNIndex:
             )
             self._dev = (None, (), None, codes,
                          (rn, rowid, cent, cn, scales))
+            return self._dev
+        if self.kind == "ivfpq":
+            # Same common-slab-layout contract as IVFINT8 (one program over
+            # all shards; padded slabs are all-empty), with PQ storage:
+            # byte-packed transposed codes + HOST-computed recon norms (the
+            # per-shard codebooks are host arrays anyway) + per-shard
+            # int8-valued centroid tables and OPQ rotations, exactly like
+            # the sharded PQFLAT conventions.
+            caps = {sub.cap for sub in self.subs}
+            cap_max = self._global_max(max(caps))
+            cap_min = -self._global_max(-min(caps))
+            if cap_max != cap_min:
+                raise ValueError(
+                    "sharded IVFPQ needs one slab capacity across shards "
+                    f"(equal shard sizes / nlist); got {sorted(caps)} "
+                    f"locally, [{cap_min}, {cap_max}] globally"
+                )
+            cap = cap_max
+            m = self.subs[0].codes_cm.shape[1]
+            mp = -(-m // 4)
+            s_cnt = len(self.subs)
+            max_slabs = self._global_max(max(s.n_slabs for s in self.subs))
+            space = (max_slabs + 1) * cap
+            packed_np = np.zeros((s_cnt, mp, space), np.int32)
+            rn_np = np.full((s_cnt, space), _IVF_BIGF, np.float32)
+            rowid_np = np.full((s_cnt, space), -1, np.int32)
+            cmax = self._global_max(
+                max(sub.centroids.shape[0] for sub in self.subs)
+            )
+            d = self.subs[0].centroids.shape[1]
+            cent_np = np.zeros((s_cnt, cmax, d), np.float32)
+            cmask_np = np.zeros((s_cnt, cmax), bool)
+            cent_bf_np = np.stack(
+                [sub.cb8.cent8.astype(np.float32) for sub in self.subs]
+            )
+            rot_np = np.stack([
+                sub.rot if sub.rot is not None else np.eye(d, dtype=np.float32)
+                for sub in self.subs
+            ])
+            for si, sub in enumerate(self.subs):
+                cols = sub.codes_cm.shape[0]
+                packed_np[si, :, :cols] = pack_codes_t(sub.codes_cm)
+                rn = pq_ops.recon_norms(
+                    sub.codes_cm, sub.cb8.cent_norms
+                ).astype(np.float32)
+                rn_np[si, :cols] = np.where(sub.row_ids >= 0, rn, _IVF_BIGF)
+                rowid_np[si, :cols] = sub.row_ids.astype(np.int32)
+                c = sub.centroids.shape[0]
+                cent_np[si, :c] = sub.centroids
+                cmask_np[si, :c] = True
+            codes = self._put(packed_np, "shard", None, None)
+            rn = self._put(rn_np, "shard", None)
+            rowid = self._put(rowid_np, "shard", None)
+            cent = self._put(cent_np, "shard", None, None)
+            cn = jnp.where(self._put(cmask_np, "shard", None),
+                           jnp.sum(cent * cent, axis=-1), _IVF_BIGF)
+            scales = self._put(
+                np.array([sub.scale for sub in self.subs], np.float32),
+                "shard",
+            )
+            cent_bf = jnp.asarray(
+                self._put(cent_bf_np, "shard", None, None, None),
+                jnp.bfloat16,
+            )
+            rots = self._put(rot_np, "shard", None, None)
+            self._dev = (None, (), None, codes,
+                         (rn, rowid, cent, cn, scales, cent_bf, rots))
             return self._dev
         if self.kind == "int8flat":
             # Pad n_local to a chunk multiple so the per-shard scan can bound
@@ -518,6 +593,107 @@ class ShardedANNIndex:
         self._fns[key] = fn
         return fn
 
+    def _ivfpq_probe_fn(self, nprobe: int):
+        """IVFPQ probe: identical to the IVFINT8 probe plus the per-shard
+        OPQ rotation applied BEFORE quantization (coarse centroids live in
+        the rotated code space)."""
+        key = ("ivfpq_probe", nprobe)
+        fn = self._fns.get(key)
+        if fn is not None:
+            return fn
+        mesh = self.mesh
+
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(
+                P("data", None),
+                P("shard", None, None),
+                P("shard", None),
+                P("shard"),
+                P("shard"),
+                P("shard", None, None),
+            ),
+            out_specs=P("data", None, "shard"),
+            check_vma=False,
+        )
+        def body(q, cent_s, cn_s, qscale_s, ratio_s, rot_s):
+            q8f = jnp.round((q @ rot_s[0]) / qscale_s[0])
+            d2 = cn_s[0][None, :] - 2.0 * ratio_s[0] * (q8f @ cent_s[0].T)
+            _, ids = jax.lax.top_k(-d2, nprobe)
+            return ids.astype(jnp.int32)[:, :, None]
+
+        fn = jax.jit(
+            lambda q, dev, qscale, ratio: body(
+                q, dev[4][2], dev[4][3], qscale, ratio, dev[4][6]
+            )
+        )
+        self._fns[key] = fn
+        return fn
+
+    def _ivfpq_scan_fn(self, k: int, k_local: int, kp: int, nprobe: int,
+                       s_pad: int, qb_local: int):
+        """IVFPQ per-shard probed-slab scan: the IVFINT8 body with PQ slab
+        reconstruction (scan_probed_slabs_pq) and per-shard rotation."""
+        key = ("ivfpq_scan", k, k_local, kp, nprobe, s_pad, qb_local)
+        fn = self._fns.get(key)
+        if fn is not None:
+            return fn
+        mesh = self.mesh
+        cap = self.subs[0].cap
+        merge = self._merge_fn(k)
+
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(
+                P("data", None),
+                P("shard", None, None),    # packed codes stack
+                P("shard", None),          # slab-space recon norms
+                P("shard", None),          # slab-space -> local row ids
+                P("shard"),                # codebook scales
+                P("shard"),                # host-computed query scales
+                P("shard"),                # sq/sc ratios
+                P("shard", None, None, None),      # int8 centroid tables
+                P("shard", None, None),            # OPQ rotations
+                P("data", "shard", None),          # step_cluster
+                P("data", "shard", None, None),    # step query tiles
+                P("data", "shard", None, None),    # (query, probe) -> slot
+            ),
+            out_specs=(P("data", None), P("data", None), P("data", None)),
+            check_vma=False,
+        )
+        def body(q, codes_s, rn_s, rowid_s, scale_s, qscale_s, ratio_s,
+                 cent_bf_s, rot_s, stepc_s, qidx_s, slot_s):
+            sc = scale_s[0]
+            rat = ratio_s[0]
+            q8f = jnp.round((q @ rot_s[0]) / qscale_s[0])
+            qn = jnp.sum(q8f * q8f, axis=-1)
+            q8 = jnp.concatenate(
+                [q8f.astype(jnp.int8),
+                 jnp.zeros((1, q.shape[1]), jnp.int8)]
+            )
+            ds, rs = scan_probed_slabs_pq(
+                q8, codes_s[0], rn_s[0], cent_bf_s[0], stepc_s[0, 0],
+                qidx_s[0, 0], rat, cap, kp,
+            )
+            cat_d = ds[slot_s[0, 0]].reshape(qb_local, nprobe * kp)
+            cat_i = rs[slot_s[0, 0]].reshape(qb_local, nprobe * kp)
+            neg, sel = jax.lax.top_k(-cat_d, k_local)
+            slots = jnp.take_along_axis(cat_i, sel, axis=1)
+            rows = rowid_s[0][slots]
+            d_loc = (-neg + rat * rat * qn[:, None]) * (sc * sc)
+            return merge(d_loc, rows)
+
+        fn = jax.jit(
+            lambda q, dev, qscale, ratio, stepc, qidx, slot: body(
+                q, dev[3], dev[4][0], dev[4][1], dev[4][4], qscale, ratio,
+                dev[4][5], dev[4][6], stepc, qidx, slot,
+            )
+        )
+        self._fns[key] = fn
+        return fn
+
     def _fetch_probe_local(self, arr):
         """[Q, nprobe, S] probe output -> host.  Single-controller: the
         whole array.  Multi-process: only this process's shard columns (in
@@ -556,13 +732,26 @@ class ShardedANNIndex:
         kp = min(k_eff, cap)
         k_local = min(k_eff, nprobe * kp, self.n_local)
         k_merge = min(k, self.mesh.shape["shard"] * k_local)
-        probe_fn = self._ivf_probe_fn(nprobe)
+        pq_kind = self.kind == "ivfpq"
+        probe_fn = (
+            self._ivfpq_probe_fn(nprobe) if pq_kind
+            else self._ivf_probe_fn(nprobe)
+        )
         # Host-side per-shard query quantization scales over the FULL batch
         # — every data position (and the single-chip engine, bit-for-bit)
         # quantizes queries identically.  Zero pad rows don't move the max.
+        # IVFPQ scales are over the ROTATED queries (rotation happens before
+        # quantization on device too).
         from deepreadmapper_tpu.index.int8_flat import query_scale_ratio
 
-        sr = [query_scale_ratio(queries, sub.scale) for sub in self.subs]
+        sr = [
+            query_scale_ratio(
+                queries @ sub.rot
+                if pq_kind and sub.rot is not None else queries,
+                sub.scale,
+            )
+            for sub in self.subs
+        ]
         qscale = self._put(np.array([x[0] for x in sr], np.float32), "shard")
         ratio = self._put(np.array([x[1] for x in sr], np.float32), "shard")
         q_super = _Q_SUPER_PER_DATA * n_data
@@ -615,9 +804,10 @@ class ShardedANNIndex:
                     stepc[db, li, : sc.shape[0]] = sc
                     qidx[db, li, : qi.shape[0]] = qi
                     slot[db, li] = so
-            fn = self._ivf_scan_fn(
-                k_merge, k_local, kp, nprobe, s_pad, qb_local
+            scan_fn = (
+                self._ivfpq_scan_fn if pq_kind else self._ivf_scan_fn
             )
+            fn = scan_fn(k_merge, k_local, kp, nprobe, s_pad, qb_local)
             # dispatch only — results fetch after the loop so batch i+1's
             # probe overlaps batch i's scan (the probe fetch itself must
             # block: the plan depends on it)
@@ -913,7 +1103,7 @@ class ShardedANNIndex:
         Queries are data-parallel over the 'data' axis and replicated over
         'shard'; Q is padded up to a multiple of the 'data' axis."""
         queries = np.asarray(queries, np.float32)
-        if self.kind == "ivfint8":
+        if self.kind in ("ivfint8", "ivfpq"):
             # ef acts as nprobe (engine convention, index/ivf_int8.py)
             return self._search_ivf(queries, k, ef)
         nq = queries.shape[0]
@@ -1002,7 +1192,7 @@ class ShardedANNIndex:
         the contiguous device block of the process that loaded it, and each
         data row one device per column — so every host sees the complete
         merged answer.  Falls back to single-controller behavior with one
-        process.  All four scan engines (FLAT / INT8FLAT / IVFINT8 /
+        process.  All five scan engines (FLAT / INT8FLAT / IVFINT8 / IVFPQ /
         PQFLAT); the graph parity engines stay single-controller."""
         from deepreadmapper_tpu.parallel.distributed import load_own_shards
         from deepreadmapper_tpu.parallel.mesh import make_distributed_mesh
@@ -1015,7 +1205,7 @@ class ShardedANNIndex:
         if obj._local_only and obj.kind == "graph":
             raise NotImplementedError(
                 "multi-process sharded search supports the scan engines "
-                f"(FLAT/INT8FLAT/IVFINT8/PQFLAT); got {meta['inner']} — "
+                f"(FLAT/INT8FLAT/IVFINT8/IVFPQ/PQFLAT); got {meta['inner']} — "
                 "load per-host and merge on host (tests/test_distributed.py "
                 "pattern)"
             )

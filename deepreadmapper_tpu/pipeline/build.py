@@ -493,16 +493,17 @@ def build_index(
 
         vectorizer = Vectorizer(load_params(weights))
     vectorizer = vectorizer or Vectorizer()
-    if cfg.opq and index_type != "PQFLAT":
+    if cfg.opq and index_type not in ("PQFLAT", "IVFPQ"):
         print(
-            f"[BUILD INDEX] WARNING: --opq only applies to PQFLAT; "
+            f"[BUILD INDEX] WARNING: --opq only applies to PQFLAT/IVFPQ; "
             f"ignored for {index_type}"
         )
 
     # Quantizing engines consume embeddings on device (only the 8-128 B/window
     # codes ever download); graph builds need host vectors anyway.
     device_out = (
-        index_type in ("PQFLAT", "INT8FLAT", "IVFINT8") and n_shards == 1
+        index_type in ("PQFLAT", "IVFPQ", "INT8FLAT", "IVFINT8")
+        and n_shards == 1
     )
     from deepreadmapper_tpu.io.fileio import true_ext
 
@@ -529,6 +530,10 @@ def build_index(
         elif index_type == "PQFLAT":
             total = nv * cfg.m_pq + (1 << cfg.nbits) * dim * 4
             detail = f"pq codes {nv*cfg.m_pq/1e6:.1f}"
+        elif index_type == "IVFPQ":
+            # packed codes + fp32 recon norms, over the ~0.8 slab fill
+            total = int(nv * (cfg.m_pq + 4) / 0.8)
+            detail = f"pq slabs {total/1e6:.1f}"
         else:  # HNSW variants: PQ/flat storage + graph
             est = estimate_index_memory(
                 nv, m_pq=cfg.m_pq, nbits=cfg.nbits, m_hnsw=cfg.m_hnsw,
@@ -552,15 +557,15 @@ def build_index(
             "index_type": index_type,
             "m_pq": cfg.m_pq,
             "nbits": cfg.nbits,
-            "opq": bool(cfg.opq and index_type == "PQFLAT"),
+            "opq": bool(cfg.opq and index_type in ("PQFLAT", "IVFPQ")),
             "seed": cfg.seed,
         },
         resume
         and ext in FASTA_EXTS
-        and index_type in ("PQFLAT", "INT8FLAT", "IVFINT8"),
+        and index_type in ("PQFLAT", "IVFPQ", "INT8FLAT", "IVFINT8"),
     )
 
-    pq_stream = index_type == "PQFLAT" and ext in FASTA_EXTS
+    pq_stream = index_type in ("PQFLAT", "IVFPQ") and ext in FASTA_EXTS
     if pq_stream:
         # Two-pass stream-encode (PQ is the >10M-window engine, where even
         # device-resident fp32 embeddings would not fit HBM — 40M windows =
@@ -696,7 +701,20 @@ def build_index(
         from deepreadmapper_tpu.index.pq_flat import PQFlatIndex
 
         n = codes.shape[0]
-        if n_shards > 1:
+        if index_type == "IVFPQ":
+            from deepreadmapper_tpu.index.ivf_pq import IVFPQIndex
+
+            if n_shards > 1:
+                # shards share one codebook/rotation, build per-shard
+                # coarse quantizers (the IVFINT8 sharding convention)
+                engine = _build_sharded_from_rows(
+                    codes, n, n_shards,
+                    lambda c: IVFPQIndex.build_from_codes(c, cb, cfg, rot=rot),
+                    "IVFPQ",
+                )
+            else:
+                engine = IVFPQIndex.build_from_codes(codes, cb, cfg, rot=rot)
+        elif n_shards > 1:
             # shards share one codebook (and OPQ rotation, if any)
             engine = _build_sharded_from_rows(
                 codes, n, n_shards,
