@@ -287,8 +287,10 @@ class IVFInt8Index:
         n, d = codes.shape
         nlist = cfg.nlist if cfg.nlist else auto_nlist(n)
         nlist = min(nlist, max(n, 1))
-        cap = -(-int(np.ceil(n / nlist * 1.25)) // 8) * 8
-        cap = max(cap, 8)
+        # cap rounds to the Pallas kernel's KP (ops/ivf_kernel.py) so the
+        # strided-window selection tiles exactly; cap == KP makes it exact
+        cap = -(-int(np.ceil(n / nlist * 1.25)) // 128) * 128
+        cap = max(cap, 128)
 
         # --- coarse k-means on an evenly spaced sample (scaled domain) ---
         target = min(n, max(nlist * 24, 4096), 131_072)
@@ -333,22 +335,36 @@ class IVFInt8Index:
 
     # ------------------------------------------------------------ device
 
+    def _use_kernel(self) -> bool:
+        """Pallas slab-scan eligibility: TPU backend + KP-tiled capacity
+        (builds round cap to KP; older/odd indexes fall back to lax.scan)."""
+        from deepreadmapper_tpu.ops import ivf_kernel as ik
+
+        return ik.use_kernel() and self.cap % ik.KP == 0
+
     def _device(self):
+        """Device residency for the active scan path.  The kernel path keeps
+        codes/norms SLAB-MAJOR 3D (the scalar-prefetched block index map
+        picks whole slabs); the lax.scan path keeps them flat.  Only one
+        form is ever uploaded — both would double the 5 GB codes at 40M
+        rows."""
         if self._dev is None:
             c = jnp.asarray(self.codes_cm)
+            c3 = c.reshape(-1, self.cap, c.shape[1])
             # per-slab chunked norm pass: a whole-matrix int32 cast needs
             # 8x the codes' HBM transiently (50.5 GB of int32 args at 40M
             # rows — OOM'd on a 16 GB chip); scanning slab-by-slab keeps
             # the temporaries at one slab
-            rn = _slab_row_norms(
-                c.reshape(-1, self.cap, c.shape[1])
-            ).reshape(-1)
+            rn = _slab_row_norms(c3).reshape(-1)
             # empty slots never win; host bool mask (row_ids stays on host
             # — an int64 upload would be 8x the mask's bytes)
             rn = jnp.where(jnp.asarray(self.row_ids >= 0), rn, _BIGF)
             cent = jnp.asarray(self.centroids)
             cn = jnp.sum(cent * cent, axis=-1)
-            self._dev = (c, rn, cent, cn)
+            if self._use_kernel():
+                self._dev = (c3, rn.reshape(c3.shape[0], self.cap), cent, cn)
+            else:
+                self._dev = (c, rn, cent, cn)
         return self._dev
 
     # ------------------------------------------------------------ search
@@ -401,11 +417,58 @@ class IVFInt8Index:
             fn = self._fns[key] = scan
         return fn
 
-    def _build_plan(self, probe: np.ndarray):
+    def _kernel_fn(self, k: int, nprobe: int):
+        """Jitted Pallas slab-scan + slot merge (ops/ivf_kernel.py): the
+        query gather, kernel, slot gather and top-k run as ONE program per
+        (k, nprobe, s_pad-bucket) signature."""
+        key = ("kscan", k, nprobe)
+        fn = self._fns.get(key)
+        if fn is None:
+            from deepreadmapper_tpu.ops import ivf_kernel as ik
+
+            cap = self.cap
+
+            @jax.jit
+            def run(step_slab, q8_pad, qidx, codes3, rn2, slot_of, ratio):
+                qsteps = q8_pad[qidx]  # [s_pad, QTK, D] int8 gather
+                vals, args, vals2, args2 = ik.ivf_slab_scan_int8(
+                    step_slab, qsteps, codes3, rn2, 2.0 * ratio, cap,
+                    interpret=ik.INTERPRET,
+                )
+                q = slot_of.shape[0]
+                # best + second-best per window: 2*KP columns per probe
+                cat_d = jnp.concatenate([
+                    vals.reshape(-1, ik.KP)[slot_of].reshape(
+                        q, nprobe * ik.KP),
+                    vals2.reshape(-1, ik.KP)[slot_of].reshape(
+                        q, nprobe * ik.KP),
+                ], axis=1)
+                cat_i = jnp.concatenate([
+                    args.reshape(-1, ik.KP)[slot_of].reshape(
+                        q, nprobe * ik.KP),
+                    args2.reshape(-1, ik.KP)[slot_of].reshape(
+                        q, nprobe * ik.KP),
+                ], axis=1)
+                if nprobe * ik.KP < 1024:
+                    neg, sel = jax.lax.top_k(-cat_d, k)
+                else:
+                    # fp32 top_k lowers to a full sort; the windowed scan is
+                    # already approximate, so the cheap reduction wins
+                    neg, sel = jax.lax.approx_max_k(
+                        -cat_d, k, recall_target=0.99
+                    )
+                return -neg, jnp.take_along_axis(cat_i, sel, axis=1)
+
+            fn = self._fns[key] = run
+        return fn
+
+    def _build_plan(self, probe: np.ndarray, qtile: int = QTILE):
         """Invert probed clusters [Q, nprobe] -> steps of (slab, query-tile),
         padded to geometric S buckets so step counts share compiled programs.
-        Also returns slot_of [Q, nprobe]: the slot in the [S*QTILE, kp]
+        Also returns slot_of [Q, nprobe]: the slot in the [S*qtile, kp]
         stacked step output that holds each (query, probe) pair's results.
+        qtile = QTILE for the lax.scan path, ops/ivf_kernel.QTK for the
+        Pallas slab-scan kernel (less dump-lane waste per step).
 
         Clusters map to slabs first; duplicate slabs within a query (two
         small probed clusters bin-packed together) are redirected to the
@@ -430,7 +493,7 @@ class IVFInt8Index:
         cs = pairs_c[order]
         qs = pairs_q[order]
         counts = np.bincount(cs, minlength=self.n_slabs + 1)
-        steps_per = -(-counts // QTILE)
+        steps_per = -(-counts // qtile)
         s_real = int(steps_per.sum())
         # geometric bucket: power-of-two steps, floor 64
         s_pad = 64
@@ -441,26 +504,30 @@ class IVFInt8Index:
         step_cluster[:s_real] = np.repeat(
             np.nonzero(used)[0].astype(np.int32), steps_per[used]
         )
-        qidx = np.full(s_pad * QTILE, q, np.int32)  # q = dump row
+        qidx = np.full(s_pad * qtile, q, np.int32)  # q = dump row
         seg_start = np.concatenate([[0], np.cumsum(counts)[:-1]])
         step_base = np.concatenate([[0], np.cumsum(steps_per)[:-1]])
         r = np.arange(cs.size) - seg_start[cs]
-        slot = (step_base[cs] + r // QTILE) * QTILE + r % QTILE
+        slot = (step_base[cs] + r // qtile) * qtile + r % qtile
         qidx[slot] = qs
         slot_of = np.empty(q * nprobe, np.int32)
         slot_of[order] = slot
-        return step_cluster, qidx.reshape(s_pad, QTILE), slot_of.reshape(
+        return step_cluster, qidx.reshape(s_pad, qtile), slot_of.reshape(
             q, nprobe
         )
 
     def search(self, queries: np.ndarray, k: int, ef: int = 32,
                exact: bool = False, approx_probe: bool = False):
-        """ef = nprobe (clusters scanned per query); exact ignored (parity).
-        approx_probe selects clusters with approx_max_k instead of the
-        full-sort top_k (faster probe, >=0.99 per-row cluster recall).
-        Returns (ids [Q, k] int64 original row ids, dists [Q, k] fp32
-        squared-L2 estimates, same convention as Int8FlatIndex)."""
-        del exact
+        """ef = nprobe (clusters scanned per query).  exact=True forces
+        the lax.scan path with full per-slab approx selection and a
+        full-sort merge (the probe set remains the only real
+        approximation).  approx_probe selects clusters with
+        approx_max_k instead of the full-sort top_k (faster probe, >=0.99
+        per-row cluster recall).  On TPU the probed-slab scan runs as the
+        Pallas kernel (ops/ivf_kernel.py); elsewhere as the lax.scan
+        formulation.  Returns (ids [Q, k] int64 original row ids, dists
+        [Q, k] fp32 squared-L2 estimates, same convention as
+        Int8FlatIndex)."""
         queries = np.asarray(queries, np.float32)
         nq = queries.shape[0]
         if self.ntotal == 0 or nq == 0:
@@ -468,9 +535,14 @@ class IVFInt8Index:
                 np.full((nq, k), -1, np.int64),
                 np.full((nq, k), np.inf, np.float32),
             )
+        from deepreadmapper_tpu.ops import ivf_kernel as ik
+
+        # exact=True keeps the per-slab approx_max_k path (full top-kp per
+        # probed slab — the parity escape from the kernel's windowed top-2)
+        use_k = self._use_kernel() and not exact
         nprobe = int(np.clip(ef if ef else 32, 1, self.nlist))
         k_eff = min(k, self.ntotal)
-        kp = min(k_eff, self.cap)
+        kp = ik.KP if use_k else min(k_eff, self.cap)
         # the merge sees nprobe*kp candidate columns; k cannot exceed that
         k_scan = min(k_eff, nprobe * kp)
         c, rn, cent, cn = self._device()
@@ -478,7 +550,10 @@ class IVFInt8Index:
         q8_all = quantize_host(queries, sq)
         qn_all = (q8_all.astype(np.int64) ** 2).sum(1).astype(np.float32)
         probe_fn = self._probe_fn(nprobe, approx=approx_probe)
-        scan_fn = self._scan_fn(k_scan, kp, nprobe)
+        if use_k:
+            kfn = self._kernel_fn(k_scan, nprobe)
+        else:
+            scan_fn = self._scan_fn(k_scan, kp, nprobe)
         s2 = np.float32(self.scale) ** 2
         r2 = np.float32(ratio) ** 2
         out_d = np.empty((nq, k_scan), np.float32)
@@ -491,12 +566,22 @@ class IVFInt8Index:
                 probe_fn(jnp.asarray(q8, jnp.float32), cent, cn,
                          jnp.float32(ratio))
             )
-            step_cluster, qidx, slot_of = self._build_plan(probe)
-            q8_pad = np.concatenate([q8, np.zeros((1, q8.shape[1]), np.int8)])
-            d_b, i_b = scan_fn(
-                jnp.asarray(q8_pad), c, rn, jnp.asarray(step_cluster),
-                jnp.asarray(qidx), jnp.asarray(slot_of), jnp.float32(ratio),
+            step_cluster, qidx, slot_of = self._build_plan(
+                probe, ik.QTK if use_k else QTILE
             )
+            q8_pad = np.concatenate([q8, np.zeros((1, q8.shape[1]), np.int8)])
+            if use_k:
+                d_b, i_b = kfn(
+                    jnp.asarray(step_cluster), jnp.asarray(q8_pad),
+                    jnp.asarray(qidx), c, rn, jnp.asarray(slot_of),
+                    jnp.float32(ratio),
+                )
+            else:
+                d_b, i_b = scan_fn(
+                    jnp.asarray(q8_pad), c, rn, jnp.asarray(step_cluster),
+                    jnp.asarray(qidx), jnp.asarray(slot_of),
+                    jnp.float32(ratio),
+                )
             d_b = np.asarray(d_b)
             i_b = np.asarray(i_b)
             # slot ids -> original row ids; unfilled (-1 / empty-slot hits)

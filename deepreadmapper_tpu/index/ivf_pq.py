@@ -194,8 +194,10 @@ class IVFPQIndex(IVFInt8Index):
         d = cb8.cent8.shape[0] * cb8.cent8.shape[2]
         nlist = cfg.nlist if cfg.nlist else auto_nlist(n)
         nlist = min(nlist, max(n, 1))
-        cap = -(-int(np.ceil(n / nlist * 1.25)) // 8) * 8
-        cap = max(cap, 8)
+        # cap rounds to the Pallas kernel's KP (ops/ivf_kernel.py) so the
+        # strided-window selection tiles exactly; cap == KP makes it exact
+        cap = -(-int(np.ceil(n / nlist * 1.25)) // 128) * 128
+        cap = max(cap, 128)
 
         # --- coarse k-means on a reconstruction sample (int8 domain) ---
         target = min(n, max(nlist * 24, 4096), 131_072)
@@ -251,20 +253,87 @@ class IVFPQIndex(IVFInt8Index):
     # ------------------------------------------------------------ device
 
     def _device(self):
+        """Kernel path: slab-major packed codes [(S+1), mp, cap] (the
+        scalar-prefetched block index map picks whole slabs); lax.scan
+        path: flat transposed [mp, (S+1)*cap].  Same bytes either way."""
         if self._dev is None:
-            c = jnp.asarray(pack_codes_t(self.codes_cm))
-            rn = pq_ops.recon_norms(self.codes_cm, self.cb8.cent_norms)
-            rn = jnp.asarray(
-                np.where(self.row_ids >= 0, rn.astype(np.float32), _BIGF)
-            )
+            packed = pack_codes_t(self.codes_cm)  # [mp, (S+1)*cap]
+            mp = packed.shape[0]
+            rn_np = pq_ops.recon_norms(self.codes_cm, self.cb8.cent_norms)
+            rn_np = np.where(self.row_ids >= 0, rn_np.astype(np.float32),
+                             _BIGF)
             cent = jnp.asarray(self.centroids)
             cn = jnp.sum(cent * cent, axis=-1)
+            if self._use_kernel():
+                c = jnp.asarray(np.ascontiguousarray(
+                    packed.reshape(mp, -1, self.cap).transpose(1, 0, 2)
+                ))
+                rn = jnp.asarray(rn_np.reshape(-1, self.cap))
+            else:
+                c = jnp.asarray(packed)
+                rn = jnp.asarray(rn_np)
             # int8-valued centroid tables for in-step reconstruction
+            # ([m, ksub, dsub] for the lax.scan path; the kernel consumes
+            # the flattened [m*ksub, dsub] view)
             self._cent_dev = jnp.asarray(
                 self.cb8.cent8.astype(np.float32), jnp.bfloat16
             )
             self._dev = (c, rn, cent, cn)
         return self._dev
+
+    def _kernel_fn(self, k: int, nprobe: int):
+        """IVFPQ Pallas slab-scan + slot merge: the int8 kernel fn with
+        in-kernel PQ reconstruction (ops/ivf_kernel.ivf_slab_scan_pq)."""
+        key = ("kscan", k, nprobe)
+        fn = self._fns.get(key)
+        if fn is None:
+            from deepreadmapper_tpu.ops import ivf_kernel as ik
+
+            cap = self.cap
+            m = self.codes_cm.shape[1]
+
+            @jax.jit
+            def run(step_slab, q8_pad, qidx, packed3, rn2, cent_bf, slot_of,
+                    ratio):
+                qsteps = q8_pad[qidx]  # [s_pad, QTK, D] int8 gather
+                vals, args, vals2, args2 = ik.ivf_slab_scan_pq(
+                    step_slab, qsteps, packed3, rn2,
+                    cent_bf.reshape(-1, cent_bf.shape[-1]), 2.0 * ratio,
+                    cap, m, interpret=ik.INTERPRET,
+                )
+                q = slot_of.shape[0]
+                # best + second-best per window: 2*KP columns per probe
+                cat_d = jnp.concatenate([
+                    vals.reshape(-1, ik.KP)[slot_of].reshape(
+                        q, nprobe * ik.KP),
+                    vals2.reshape(-1, ik.KP)[slot_of].reshape(
+                        q, nprobe * ik.KP),
+                ], axis=1)
+                cat_i = jnp.concatenate([
+                    args.reshape(-1, ik.KP)[slot_of].reshape(
+                        q, nprobe * ik.KP),
+                    args2.reshape(-1, ik.KP)[slot_of].reshape(
+                        q, nprobe * ik.KP),
+                ], axis=1)
+                if nprobe * ik.KP < 1024:
+                    neg, sel = jax.lax.top_k(-cat_d, k)
+                else:
+                    neg, sel = jax.lax.approx_max_k(
+                        -cat_d, k, recall_target=0.99
+                    )
+                return -neg, jnp.take_along_axis(cat_i, sel, axis=1)
+
+            jit_run = run
+
+            def fn(step_slab, q8_pad, qidx, c, rn, slot_of, ratio):
+                # base-class calling convention; the centroid tables ride
+                # as a real argument (never a closure capture — illegal
+                # across processes, CLAUDE.md #14)
+                return jit_run(step_slab, q8_pad, qidx, c, rn,
+                               self._cent_dev, slot_of, ratio)
+
+            self._fns[key] = fn
+        return fn
 
     # ------------------------------------------------------------ search
 

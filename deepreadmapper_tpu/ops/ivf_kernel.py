@@ -1,0 +1,247 @@
+"""Pallas slab-scan kernel for the IVF engines (IVFINT8 / IVFPQ).
+
+The XLA formulation (index/ivf_int8.scan_probed_slabs) runs the probed-slab
+plan as one lax.scan: measured at 40M rows / nlist 10935 / 8192 queries it
+spent ~0.5 ms PER STEP on loop machinery (gathers, dynamic slices, per-step
+approx_max_k) against ~2 µs of real matmul+DMA work — the IVF engine came
+out SLOWER than the exhaustive fused scan it prunes (BENCH r3: 0.7x).
+
+This kernel runs the same plan as a Pallas grid, one step per grid cell:
+
+* step -> slab DMA is driven by a SCALAR-PREFETCH index map
+  (pltpu.PrefetchScalarGridSpec): the plan's step_slab array lives in SMEM
+  and block index maps read it, so Mosaic double-buffers each step's slab
+  block like any dense scan — the loop overhead disappears.
+* QTILE drops 128 -> 32: the plan pads each slab's queries to a tile, and
+  at genome-scale fan-out most slabs see only tens of queries — 32 lanes
+  of padding waste ~25% instead of ~75%.
+* Per-step selection is a STRIDED-window top-1 over the score tile's lane
+  axis: survivor k of KP keeps min over columns {k, KP+k, 2KP+k, ...} — an
+  unrolled VPU min/select ladder, no reshape of the lane axis (Mosaic) and
+  no per-step approx_max_k.  Columns of the same window sit cap/KP apart,
+  so ADJACENT rows (shifted windows of one genome locus — the common
+  near-duplicates) always land in different windows.  cap % KP == 0 by
+  build-time rounding; w == 1 (cap == KP) makes the step exact.
+* Output layout [S, QTILE, KP] row-major makes each (query, probe) pair's
+  KP survivors one contiguous row — the engines' existing stacked-slot
+  merge (`vals.reshape(S*QTILE, KP)[slot_of]`) applies unchanged.
+
+The IVFPQ variant reconstructs the slab from byte-packed codes in-kernel
+(per-subspace one-hot matmuls, the ops/scan_kernel.py PQ trick) instead of
+DMA-ing int8 rows.  Distance math is identical to the XLA paths:
+rn - 2*(sq/sc)*(q8 . r8), exact int32 values in fp32.
+
+Reference role being replaced: FAISS IndexHNSWPQ's sub-linear search
+(/root/reference/src/hnswpq/search.cpp:6-57) at TPU-native throughput.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+QTK = 32     # queries per step (sublane multiple; 4x less pad waste than 128)
+KP = 128     # survivors per (query, probed slab): one per strided lane window
+_BIG = 3.4e38
+
+
+INTERPRET = False  # tests flip this to run the kernel path on CPU
+
+
+def use_kernel() -> bool:
+    return INTERPRET or jax.default_backend() == "tpu"
+
+
+def _select_strided(s, slab, cap: int):
+    """[QTK, cap] scores -> (vals, args, vals2, args2), each [QTK, KP]:
+    the BEST and SECOND-BEST score per strided lane window (survivor k
+    covers columns {j*KP + k}; args are row ids in codes_cm space).
+
+    Two survivors per window because one is measurably lossy when a
+    query's whole neighborhood lands in one slab (the common case for
+    clustered genome data): 128 true neighbors thrown into 128 windows
+    collide birthday-style, keeping only ~63% — measured as 0.67 top-128
+    overlap vs the per-slab approx_max_k path.  The second slot lifts the
+    single-slab ceiling to ~86% and the merge simply sees 2*KP columns
+    per probe.  Unset second slots keep _BIG scores (the host masks them);
+    best/second are distinct columns by construction, so the merge can
+    never emit a duplicate row."""
+    base = slab * cap
+    lane = jax.lax.broadcasted_iota(jnp.int32, (s.shape[0], KP), 1)
+    cur = s[:, :KP]
+    arg = base + lane
+    cur2 = jnp.full_like(cur, _BIG)
+    arg2 = arg
+    for j in range(1, cap // KP):
+        blk = s[:, j * KP : (j + 1) * KP]
+        cand = base + j * KP + lane
+        upd = blk < cur
+        upd2 = jnp.logical_and(jnp.logical_not(upd), blk < cur2)
+        arg2 = jnp.where(upd, arg, jnp.where(upd2, cand, arg2))
+        cur2 = jnp.where(upd, cur, jnp.where(upd2, blk, cur2))
+        arg = jnp.where(upd, cand, arg)
+        cur = jnp.where(upd, blk, cur)
+    return cur, arg, cur2, arg2
+
+
+def _int8_slab_kernel(slab_ref, rat_ref, q_ref, codes_ref, rn_ref,
+                      vals_ref, args_ref, vals2_ref, args2_ref, *,
+                      cap: int):
+    """One plan step: q_ref [1, QTK, D] int8, codes_ref [1, cap, D] int8
+    (block chosen by the scalar-prefetched slab id), rn_ref [1, 1, cap]
+    fp32 (+inf on empty slots; the middle singleton keeps the block's
+    sublane dim equal to the array's — Mosaic's (8,128) block rule),
+    rat_ref [1, 1] SMEM = 2*sq/sc."""
+    i = pl.program_id(0)
+    qbf = q_ref[0].astype(jnp.bfloat16)       # int8 values exact in bf16
+    cbf = codes_ref[0].astype(jnp.bfloat16)
+    dot = jax.lax.dot_general(
+        qbf, cbf,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [QTK, cap] exact
+    s = rn_ref[0] - rat_ref[0, 0] * dot       # [1, cap] broadcasts over QTK
+    vals, args, vals2, args2 = _select_strided(s, slab_ref[i], cap)
+    vals_ref[0] = vals
+    args_ref[0] = args
+    vals2_ref[0] = vals2
+    args2_ref[0] = args2
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "interpret"))
+def ivf_slab_scan_int8(step_slab, qsteps, codes3, rn2, ratio2, cap: int,
+                       interpret: bool = False):
+    """step_slab [S] int32 (scalar prefetch), qsteps [S, QTK, D] int8
+    (queries pre-gathered per step; dump rows are zeros), codes3
+    [(n_slabs+1), cap, D] int8, rn2 [(n_slabs+1), cap] fp32, ratio2 scalar
+    -> (vals, args, vals2, args2): best and second-best per strided
+    window, [S, QTK, KP] fp32 / int32 codes_cm row ids.
+    """
+    s_steps, _, d = qsteps.shape
+    grid = (s_steps,)
+    return pl.pallas_call(
+        functools.partial(_int8_slab_kernel, cap=cap),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, QTK, d), lambda i, sref: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, cap, d), lambda i, sref: (sref[i], 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, cap), lambda i, sref: (sref[i], 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, QTK, KP), lambda i, sref: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+            ] * 4,
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((s_steps, QTK, KP), jnp.float32),
+            jax.ShapeDtypeStruct((s_steps, QTK, KP), jnp.int32),
+            jax.ShapeDtypeStruct((s_steps, QTK, KP), jnp.float32),
+            jax.ShapeDtypeStruct((s_steps, QTK, KP), jnp.int32),
+        ],
+        interpret=interpret,
+    )(
+        step_slab,
+        jnp.asarray(ratio2, jnp.float32).reshape(1, 1),
+        qsteps,
+        codes3,
+        rn2.reshape(rn2.shape[0], 1, rn2.shape[-1]) if rn2.ndim == 2 else rn2,
+    )
+
+
+def _pq_slab_kernel(slab_ref, rat_ref, q_ref, packed_ref, rn_ref, cent_ref,
+                    vals_ref, args_ref, vals2_ref, args2_ref, recon_ref, *,
+                    cap: int, m: int):
+    """IVFPQ step: packed_ref [mp, cap] int32 byte-packed codes (block
+    chosen by the scalar-prefetched slab id), cent_ref [m*ksub, dsub] bf16
+    int8-valued tables; the slab reconstructs into recon_ref [D, cap]
+    (transposed: the one-hot is [ksub, cap], contraction lands candidates
+    on lanes with zero in-kernel transposes — ops/scan_kernel.py trick)."""
+    i = pl.program_id(0)
+    ksub = cent_ref.shape[0] // m
+    dsub = cent_ref.shape[1]
+    for j in range(m):
+        byte = jnp.bitwise_and(
+            jax.lax.shift_right_logical(
+                packed_ref[0, j // 4 : j // 4 + 1, :], 8 * (j % 4)
+            ),
+            255,
+        )  # [1, cap] int32
+        oh_t = (
+            jax.lax.broadcasted_iota(jnp.int32, (ksub, cap), 0) == byte
+        ).astype(jnp.bfloat16)  # [ksub, cap]
+        part = jax.lax.dot_general(
+            cent_ref[j * ksub : (j + 1) * ksub, :], oh_t,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [dsub, cap] exact int8-valued
+        recon_ref[j * dsub : (j + 1) * dsub, :] = part.astype(jnp.bfloat16)
+    qbf = q_ref[0].astype(jnp.bfloat16)
+    dot = jax.lax.dot_general(
+        qbf, recon_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [QTK, cap] exact
+    s = rn_ref[0] - rat_ref[0, 0] * dot
+    vals, args, vals2, args2 = _select_strided(s, slab_ref[i], cap)
+    vals_ref[0] = vals
+    args_ref[0] = args
+    vals2_ref[0] = vals2
+    args2_ref[0] = args2
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "m", "interpret"))
+def ivf_slab_scan_pq(step_slab, qsteps, packed3, rn2, cent2d, ratio2,
+                     cap: int, m: int, interpret: bool = False):
+    """packed3 [(n_slabs+1), mp, cap] int32 byte-packed PQ codes (slab-major
+    3D so the block index map picks whole slabs), cent2d [m*ksub, dsub] bf16;
+    rest as ivf_slab_scan_int8."""
+    s_steps, _, d = qsteps.shape
+    mp = packed3.shape[1]
+    grid = (s_steps,)
+    return pl.pallas_call(
+        functools.partial(_pq_slab_kernel, cap=cap, m=m),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, QTK, d), lambda i, sref: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, mp, cap), lambda i, sref: (sref[i], 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, cap), lambda i, sref: (sref[i], 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(cent2d.shape, lambda i, sref: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, QTK, KP), lambda i, sref: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+            ] * 4,
+            scratch_shapes=[pltpu.VMEM((d, cap), jnp.bfloat16)],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((s_steps, QTK, KP), jnp.float32),
+            jax.ShapeDtypeStruct((s_steps, QTK, KP), jnp.int32),
+            jax.ShapeDtypeStruct((s_steps, QTK, KP), jnp.float32),
+            jax.ShapeDtypeStruct((s_steps, QTK, KP), jnp.int32),
+        ],
+        interpret=interpret,
+    )(
+        step_slab,
+        jnp.asarray(ratio2, jnp.float32).reshape(1, 1),
+        qsteps,
+        packed3,
+        rn2.reshape(rn2.shape[0], 1, rn2.shape[-1]) if rn2.ndim == 2 else rn2,
+        cent2d,
+    )

@@ -45,92 +45,107 @@ def ivf_mode(args):
 
     k = 128
     genome = make_genome(args.n_bp)
-    reads, _names, _starts, _strands = simulate_reads(
+    reads, _names, starts, strands = simulate_reads(
         genome, args.n_queries, 150, err=0.01
     )
-    with tempfile.TemporaryDirectory() as tmp:
+    tmp = args.keep_dir or tempfile.mkdtemp(prefix="bench_ivf_")
+    os.makedirs(tmp, exist_ok=True)
+    if True:
         ref = os.path.join(tmp, "ref.fna")
         fq = os.path.join(tmp, "reads.fastq")
-        with open(ref, "w") as f:
-            f.write("> synthetic\n")
-            for i in range(0, args.n_bp, 80):
-                f.write(genome[i:i + 80] + "\n")
-        with open(fq, "w") as f:
-            for i, r in enumerate(reads):
-                f.write(f"@r{i}\n{r}\n+\n{'I' * 150}\n")
+        if not os.path.exists(ref):
+            with open(ref, "w") as f:
+                f.write("> synthetic\n")
+                for i in range(0, args.n_bp, 80):
+                    f.write(genome[i:i + 80] + "\n")
+        if not os.path.exists(fq):
+            with open(fq, "w") as f:
+                for i, r in enumerate(reads):
+                    f.write(f"@r{i}\n{r}\n+\n{'I' * 150}\n")
 
         vec = Vectorizer()
         prefix = os.path.join(tmp, "idx")
         t0 = time.time()
         # one embedding pass: the INT8FLAT stream-quantize build produces
-        # the int8 codes both engines serve
-        build_index(ref, prefix, 150, index_type="INT8FLAT", vectorizer=vec)
-        print(f"[IVF] codes built in {time.time()-t0:.0f}s", flush=True)
+        # the int8 codes both engines serve (resumable for bench iteration)
+        if not os.path.exists(os.path.join(prefix, "config.txt")):
+            build_index(ref, prefix, 150, index_type="INT8FLAT",
+                        vectorizer=vec, resume=bool(args.keep_dir))
+            print(f"[IVF] codes built in {time.time()-t0:.0f}s", flush=True)
 
         flat, _cfg = load_index(prefix)
         n = flat.ntotal
         mat, lengths, _ = parse_fastq_bytes(fq)
         emb = np.asarray(vec.vectorize_wrapped_bytes(mat, lengths))
 
-        # Transfer floor: engine.search() fetches [Q,k] int64 ids + fp32
-        # dists through the tunnel for BOTH engines (CLAUDE.md trap: a full
-        # fetch measures the tunnel).  Time that fetch alone and report
-        # device-side qps with it subtracted, so the >=3x criterion is
-        # judged on scan time, not a constant transfer term.
-        import jax.numpy as jnp
+        def truth_top1(ids):
+            """Planted-truth hit rate: the pipeline metric (strand-aware
+            window id within +-2 of the simulated origin)."""
+            pos = (ids[:, 0] // 2).astype(np.int64)
+            return float(np.mean(
+                (np.abs(pos - starts) <= 2) & (ids[:, 0] % 2 == strands)
+            ))
 
-        di = jnp.zeros((args.n_queries, k), jnp.int64).block_until_ready()
-        dd = jnp.zeros((args.n_queries, k), jnp.float32)
-        np.asarray(di), np.asarray(dd)  # warm the path
+        ids_f, d_f = flat.search(emb, k)  # warm: index upload + compile
         t0 = time.time()
-        np.asarray(di), np.asarray(dd)
-        t_fetch = time.time() - t0
-        print(json.dumps({"transfer_floor_s": round(t_fetch, 3)}), flush=True)
-
-        ids_f, _ = flat.search(emb, k)  # warm: index upload + compile
-        t0 = time.time()
-        ids_f, _ = flat.search(emb, k)
+        ids_f, d_f = flat.search(emb, k)
         dt_flat = time.time() - t0
         print(json.dumps({
             "engine": "INT8FLAT", "n_rows": n,
             "qps": round(args.n_queries / dt_flat, 0),
-            "device_qps": round(
-                args.n_queries / max(dt_flat - t_fetch, 1e-9), 0
-            ),
+            "truth_top1": round(truth_top1(ids_f), 4),
         }), flush=True)
         truth = [set(row.tolist()) for row in ids_f]
+        # int8 scores tie heavily at genome scale: the flat top-128 is an
+        # arbitrary 128 of a larger equal-score class, so set overlap
+        # understates IVF recall.  Tie-aware recall counts an IVF candidate
+        # as a hit when its distance dominates the flat kth distance (both
+        # engines share one quantized-L2 convention).
+        kth = d_f[:, k - 1:k]
         del flat  # drop device residency before the IVF copy uploads
 
-        codes = np.load(os.path.join(prefix, "int8.npz"))
-        t0 = time.time()
-        ivf = IVFInt8Index.build_from_codes(
-            codes["codes"], float(codes["scale"]),
-            BuildConfig(nlist=args.nlist),
-        )
-        print(f"[IVF] coarse build {time.time()-t0:.0f}s "
-              f"(nlist={ivf.nlist} slabs={ivf.n_slabs} cap={ivf.cap})",
-              flush=True)
+        ivf_dir = os.path.join(tmp, f"ivf_nlist{args.nlist}")
+        if os.path.exists(os.path.join(ivf_dir, "ivf_int8.npz")):
+            ivf = IVFInt8Index.load(ivf_dir)
+            print(f"[IVF] loaded cached coarse layout "
+                  f"(nlist={ivf.nlist} slabs={ivf.n_slabs} cap={ivf.cap})",
+                  flush=True)
+        else:
+            codes = np.load(os.path.join(prefix, "int8.npz"))
+            t0 = time.time()
+            ivf = IVFInt8Index.build_from_codes(
+                codes["codes"], float(codes["scale"]),
+                BuildConfig(nlist=args.nlist),
+            )
+            print(f"[IVF] coarse build {time.time()-t0:.0f}s "
+                  f"(nlist={ivf.nlist} slabs={ivf.n_slabs} cap={ivf.cap})",
+                  flush=True)
+            if args.keep_dir:
+                ivf.save(ivf_dir)
 
         for nprobe in args.nprobe:
-            ids_v, _ = ivf.search(emb, k, ef=nprobe,
-                                  approx_probe=args.approx_probe)  # warm
+            ids_v, d_v = ivf.search(emb, k, ef=nprobe,
+                                    approx_probe=args.approx_probe)  # warm
             t0 = time.time()
-            ids_v, _ = ivf.search(emb, k, ef=nprobe,
-                                  approx_probe=args.approx_probe)
+            ids_v, d_v = ivf.search(emb, k, ef=nprobe,
+                                    approx_probe=args.approx_probe)
             dt = time.time() - t0
             rr = float(np.mean([
                 len(truth[i] & set(ids_v[i].tolist())) / len(truth[i])
                 for i in range(args.n_queries)
             ]))
+            tol = 1e-3 + 1e-5 * np.abs(kth)
+            rr_tie = float(np.mean(
+                np.sum((d_v <= kth + tol) & (ids_v >= 0), axis=1)
+                / k
+            ))
             print(json.dumps({
                 "engine": "IVFINT8", "nprobe": nprobe,
                 "qps": round(args.n_queries / dt, 0),
                 "rel_recall_at_128": round(rr, 4),
+                "tie_aware_recall_at_128": round(min(rr_tie, 1.0), 4),
+                "truth_top1": round(truth_top1(ids_v), 4),
                 "speedup_vs_flat": round(dt_flat / dt, 2),
-                "device_speedup": round(
-                    max(dt_flat - t_fetch, 1e-9)
-                    / max(dt - t_fetch, 1e-9), 2
-                ),
             }), flush=True)
     print("DONE", flush=True)
 
@@ -199,6 +214,9 @@ if __name__ == "__main__":
                          "top_k) — A/B the probe cost at large nlist")
     ap.add_argument("--cpu", action="store_true",
                     help="force the host CPU backend (smoke tests)")
+    ap.add_argument("--keep-dir", default="",
+                    help="persist codes + coarse layout here so bench "
+                         "iterations skip the 950 s embed pass")
     cli = ap.parse_args()
     if cli.cpu:
         jax.config.update("jax_platforms", "cpu")

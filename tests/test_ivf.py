@@ -177,3 +177,33 @@ def test_approx_probe_matches_exact_probe(clustered):
         [len(set(ie[i]) & set(ia[i])) / 10 for i in range(len(q))]
     )
     assert overlap >= 0.95, f"approx-probe overlap {overlap}"
+
+
+def test_kernel_path_matches_oracle(clustered, monkeypatch):
+    """The Pallas slab-scan path (interpret mode on CPU): at cap == KP the
+    strided-window selection is exact, so a full probe must reproduce the
+    exhaustive int8 engine exactly; a pruned probe must agree with the
+    lax.scan path's candidates."""
+    from deepreadmapper_tpu.ops import ivf_kernel as ik
+
+    x = clustered
+    q = x[:24] + np.float32(0.01)
+    idx_s = IVFInt8Index.build(x)
+    ii_s, _ = idx_s.search(q, 10, ef=8)
+
+    monkeypatch.setattr(ik, "INTERPRET", True)
+    idx_k = IVFInt8Index.build(x)  # deterministic: same layout as idx_s
+    assert idx_k._use_kernel() and idx_k.cap % ik.KP == 0
+    oi, od = Int8FlatIndex.build(x).search(q, 10)
+    ik_i, ik_d = idx_k.search(q, 10, ef=idx_k.nlist)
+    recall = np.mean(
+        [len(set(oi[i]) & set(ik_i[i])) / 10 for i in range(len(q))]
+    )
+    assert recall >= 0.99, recall
+    np.testing.assert_allclose(ik_d[:, 0], od[:, 0], rtol=1e-5, atol=1e-5)
+    # pruned probe: same plan as the lax.scan path -> same candidates
+    ik_i8, _ = idx_k.search(q, 10, ef=8)
+    overlap = np.mean(
+        [len(set(ii_s[i]) & set(ik_i8[i])) / 10 for i in range(len(q))]
+    )
+    assert overlap >= 0.9, overlap

@@ -174,3 +174,25 @@ def test_e2e_pipeline_ecoli(tmp_path, data_dir):
     fids = np.load(tmp_path / "fout" / "indices.npy")
     agree = np.mean(ids[:, 0] == fids[:, 0])
     assert agree >= 0.95, agree
+
+
+def test_kernel_path_matches_oracle(clustered, monkeypatch):
+    """IVFPQ Pallas slab-scan (interpret mode on CPU): full probe at
+    cap == KP reproduces the exhaustive same-codebook ADC scan exactly."""
+    from deepreadmapper_tpu.ops import ivf_kernel as ik
+
+    x = clustered[:4000]
+    q = x[:24] + np.float32(0.01)
+    monkeypatch.setattr(ik, "INTERPRET", True)
+    idx = IVFPQIndex.build(x)
+    assert idx._use_kernel() and idx.cap % ik.KP == 0
+    oracle = PQFlatIndex(
+        _codes_in_row_order(idx), idx.codebook, idx.ntotal, rot=idx.rot
+    )
+    oi, od = oracle.search(q, 10, exact=True)
+    ii, dd = idx.search(q, 10, ef=idx.nlist)
+    recall = np.mean(
+        [len(set(oi[i]) & set(ii[i])) / 10 for i in range(len(q))]
+    )
+    assert recall >= 0.99, recall
+    np.testing.assert_allclose(dd[:, 0], od[:, 0], rtol=1e-4, atol=1e-4)
