@@ -60,6 +60,78 @@ def sam_header_multi(
     return "@HD\tVN:1.0\tSO:unsorted\n" + sq + _pg_line(pg)
 
 
+
+
+_MD_COMP = {"A": "T", "C": "G", "G": "C", "T": "A", "N": "N"}
+
+
+def alignment_tags(a, b, a0, b0, runs, reverse=False):
+    """NM:i / MD:Z / AS:i values from one local alignment.
+
+    a/b: query/reference byte rows (np.uint8) in the ALIGNMENT's
+    orientation; a0/b0: alignment span starts; runs: [(count, 'M'|'I'|'D')]
+    op runs (soft clips excluded).  reverse=True re-expresses MD in the
+    opposite orientation (reversed event order, complemented bases): the
+    short-read aligner works in sequenced-read-vs-strand-matched-window
+    space while SAM's MD walks the FORWARD reference.  NM and AS are
+    orientation-invariant.  AS uses the reference scoring (+1 match /
+    -1 mismatch / -1 per gap base, metrics.cpp:17-43).  The reference
+    emits no tags at all (utils.cpp:336-404); NM/MD let samtools calmd /
+    variant callers consume the alignments without the reference genome.
+    """
+    import numpy as np_
+
+    i, j = int(a0), int(b0)
+    nm = 0
+    matches = 0
+    events = []  # ("=", n) | ("X", ref_base) | ("D", ref_bases)
+    for n, op in runs:
+        if op == "M":
+            qa = np_.asarray(a[i : i + n])
+            rb = np_.asarray(b[j : j + n])
+            mism = np_.nonzero(qa != rb)[0]
+            prev = 0
+            for t in mism.tolist():
+                if t > prev:
+                    events.append(("=", t - prev))
+                events.append(("X", chr(int(rb[t]))))
+                prev = t + 1
+            if n > prev:
+                events.append(("=", n - prev))
+            nm += len(mism)
+            matches += n - len(mism)
+            i += n
+            j += n
+        elif op == "I":
+            nm += n
+            i += n
+        elif op == "D":
+            events.append(
+                ("D", bytes(np_.asarray(b[j : j + n])).decode("ascii"))
+            )
+            nm += n
+            j += n
+    if reverse:
+        events.reverse()
+        events = [
+            (kind, val) if kind == "="
+            else (kind, "".join(_MD_COMP.get(c, "N") for c in reversed(val)))
+            for kind, val in events
+        ]
+    md = []
+    run = 0
+    for kind, val in events:
+        if kind == "=":
+            run += val
+        else:
+            md.append(str(run))
+            run = 0
+            md.append(val if kind == "X" else "^" + val)
+    md.append(str(run))
+    as_ = matches - nm
+    return nm, "".join(md), as_
+
+
 def format_sam_records(
     query_seqs: list[str],
     query_ids: list[str],
@@ -75,6 +147,7 @@ def format_sam_records(
     supplementary: dict | None = None,
     quals: list[str] | None = None,
     mate: dict | None = None,
+    primary_tags: list[str] | None = None,
 ) -> Iterable[str]:
     """Yield SAM lines for queries [query_offset, query_offset+len(query_seqs))
     whose flattened candidate ids are ``cand_ids`` ([nq * k], row-major).
@@ -120,7 +193,11 @@ def format_sam_records(
     same orientation rule as real-CIGAR primaries.  Primary and
     supplementary lines of a split read cross-reference through standard
     SA:Z tags (rname,pos,strand,CIGAR,mapQ,NM;) so samtools/SV callers
-    can reassemble the chimera; NM is 0 (edit distance not computed)."""
+    can reassemble the chimera; NM is 0 (edit distance not computed).
+
+    primary_tags (per GLOBAL query): preformatted tag suffix (e.g.
+    "\tNM:i:2\tMD:Z:49A100\tAS:i:144" from alignment_tags) appended to
+    the PRIMARY line when its real CIGAR is attached."""
     cand_ids = np.asarray(list(cand_ids), dtype=np.int64)
     if record_names is not None:
         # one vectorized lookup for every line (not one searchsorted per
@@ -196,12 +273,19 @@ def format_sam_records(
             else:
                 q = int(mapq[gq]) if j == 0 else 0
             tag = ""
+            if (
+                j == 0
+                and primary_tags is not None
+                and cigar is not pseudo
+                and primary_tags[gq]
+            ):
+                tag += primary_tags[gq]
             if j == 0 and supp_fields:
                 primary_desc = (
                     f"{rname},{pos},{'-' if seq_id % 2 else '+'},"
                     f"{cigar},{q},0;"
                 )
-                tag = f"\tSA:Z:{sa_primary}"
+                tag += f"\tSA:Z:{sa_primary}"
             rnext, pnext, tlen = "*", 0, 0
             if mate is not None and gq in mate:
                 mflag, mrnext, mpnext, mtlen = mate[gq]
@@ -326,6 +410,7 @@ def write_sam(
     pg: str | None = None,
     quals: list[str] | None = None,
     mate: dict | None = None,
+    primary_tags: list[str] | None = None,
 ) -> None:
     mode = "a" if append else "w"
     with open(output_file, mode) as f:
@@ -337,6 +422,6 @@ def write_sam(
         for line in format_sam_records(
             query_seqs, query_ids, cand_ids, k, ref_name, query_offset,
             record_names, dense_off, primary_cigars, primary_pos_off,
-            mapq, supplementary, quals, mate,
+            mapq, supplementary, quals, mate, primary_tags,
         ):
             f.write(line)

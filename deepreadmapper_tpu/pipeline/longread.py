@@ -155,11 +155,14 @@ def banded_primary_cigars(
     the read to within the vote tolerance, so the true alignment diagonal
     sits inside the band.
 
-    Returns (cigars, pos_off) in the primary_cigars/primary_pos_off
-    convention of io.sam.format_sam_records: reference-orientation CIGARs
-    with soft clips, '' for invalid/overflowed rows (pseudo fallback), and
-    POS shifts relative to the chained start.  Segments are clipped to
-    record boundaries on multi-record references."""
+    Returns (cigars, pos_off, tags) in the primary_cigars/primary_pos_off/
+    primary_tags convention of io.sam.format_sam_records: reference-
+    orientation CIGARs with soft clips, '' for invalid/overflowed rows
+    (pseudo fallback), POS shifts relative to the chained start, and
+    preformatted NM/MD/AS tag suffixes (io.sam.alignment_tags; the aligner
+    already works in forward-reference orientation here, so no reversal).
+    Segments are clipped to record boundaries on multi-record
+    references."""
     from deepreadmapper_tpu import native
     from deepreadmapper_tpu.io.fasta import record_of
 
@@ -201,12 +204,19 @@ def banded_primary_cigars(
     _s, a_span, b_span, bodies = native.banded_cigar(
         a_mat, a_lens, s_mat, s_lens, band
     )
+    import re
+
+    from deepreadmapper_tpu.io.sam import alignment_tags
+
+    run_re = re.compile(r"(\d+)([MID])")
     cigars: list[str] = []
+    tags: list[str] = []
     pos_off = np.zeros(n, np.int64)
     for i in range(n):
         body = bodies[i]
         if not body or ids[i] < 0:
             cigars.append("")
+            tags.append("")
             continue
         L = len(reads[i])
         a0, a1 = int(a_span[i, 0]), int(a_span[i, 1])
@@ -216,8 +226,13 @@ def banded_primary_cigars(
             + (f"{L - a1}S" if L - a1 else "")
         )
         cigars.append(cig)
+        runs = [(int(c), op) for c, op in run_re.findall(body)]
+        nm, md, as_ = alignment_tags(
+            a_mat[i], s_mat[i], a0, int(b_span[i, 0]), runs, reverse=False
+        )
+        tags.append(f"\tNM:i:{nm}\tMD:Z:{md}\tAS:i:{as_}")
         pos_off[i] = seg_los[i] + int(b_span[i, 0]) - int(base[i])
-    return cigars, pos_off
+    return cigars, pos_off, tags
 
 
 def map_long_reads(

@@ -72,16 +72,19 @@ def _primary_alignment_cigars(
     """Real SW-traceback CIGARs (native) for each query's primary hit, in
     REFERENCE orientation: reverse-strand alignments reverse their op runs
     and swap soft clips, and the returned pos_off shifts the SAM POS to the
-    alignment's leftmost reference base.  Returns (cigars [Q], pos_off [Q])
-    or (None, None) when the native library is unavailable."""
+    alignment's leftmost reference base.  Returns (cigars [Q], pos_off [Q],
+    tags [Q] — preformatted "\tNM:i:..\tMD:Z:..\tAS:i:.." suffixes from
+    io.sam.alignment_tags) or (None, None, None) when the native library
+    is unavailable."""
     import re
 
     from deepreadmapper_tpu import native
+    from deepreadmapper_tpu.io.sam import alignment_tags
     from deepreadmapper_tpu.tokenizer import strings_to_bytes
 
     if not native.available():
         print("[MAIN] WARNING: --cigar needs the native library; skipping")
-        return None, None
+        return None, None, None
     ids = np.asarray(primary_ids, np.int64)
     fetch_ids = (
         fasta_io.translate_window_ids(ids, dense_off, base_off)
@@ -98,18 +101,26 @@ def _primary_alignment_cigars(
     a_mat, a_lens = strings_to_bytes(reads)
     _, a_span, b_span, cigs = native.sw_cigar(a_mat, a_lens, w_mat, w_lens)
     cigars: list[str] = []
+    tags: list[str] = []
     pos_off = np.zeros(len(reads), np.int64)
     run_re = re.compile(r"(\d+)([MID])")
     for i in range(len(reads)):
         body = cigs[i]
         if not body or ids[i] < 0:
             cigars.append("")  # overflow / invalid -> pseudo CIGAR
+            tags.append("")
             continue
         alen = int(a_lens[i])
         a0, a1 = int(a_span[i, 0]), int(a_span[i, 1])
         b0, b1 = int(b_span[i, 0]), int(b_span[i, 1])
+        runs = [(int(n), op) for n, op in run_re.findall(body)]
+        # NM/MD/AS from the native-orientation alignment; reverse-strand MD
+        # re-expresses in forward-reference orientation inside the helper
+        nm, md, as_ = alignment_tags(
+            a_mat[i], w_mat[i], a0, b0, runs, reverse=bool(ids[i] & 1)
+        )
+        tags.append(f"\tNM:i:{nm}\tMD:Z:{md}\tAS:i:{as_}")
         if ids[i] & 1:  # reverse strand: reference orientation reverses ops
-            runs = run_re.findall(body)
             body = "".join(f"{n}{op}" for n, op in reversed(runs))
             left, right = alen - a1, a0
             pos_off[i] = ref_len - b1
@@ -118,7 +129,7 @@ def _primary_alignment_cigars(
             pos_off[i] = b0
         cig = (f"{left}S" if left else "") + body + (f"{right}S" if right else "")
         cigars.append(cig)
-    return cigars, pos_off
+    return cigars, pos_off, tags
 
 
 def compute_mapq(
@@ -493,11 +504,11 @@ def run_pipeline(
                     "supplementary (FLAG 2048) segments"
                 )
             if sam_out:
-                pc = po = None
+                pc = po = pt = None
                 if cigar:
                     # real long-read CIGARs: banded native alignment along
                     # the chained diagonal (band = one window length)
-                    pc, po = lr_mod.banded_primary_cigars(
+                    pc, po, pt = lr_mod.banded_primary_cigars(
                         clean, final_ids[:, 0], genome, band=ref_len,
                         dense_off=dense_off if multi else None,
                         base_off=base_off if multi else None,
@@ -508,7 +519,7 @@ def run_pipeline(
                     record_lens=rec_lens, dense_off=dense_off,
                     mapq=lr_mapq if mapq else None,
                     supplementary=lr_supp, pg=pg, quals=quals,
-                    primary_cigars=pc, primary_pos_off=po,
+                    primary_cigars=pc, primary_pos_off=po, primary_tags=pt,
                 )
         elif rerank == "sw":
             # SW rerank path (reference post_process_sw_*, plumbed but
@@ -568,9 +579,9 @@ def run_pipeline(
                     dense_off=dense_off,
                 )
                 if sam_out:
-                    pc = po = mq = None
+                    pc = po = mq = pt = None
                     if cigar:
-                        pc_b, po_b = _primary_alignment_cigars(
+                        pc_b, po_b, pt_b = _primary_alignment_cigars(
                             query_seqs[start:end], ids_b[:, 0], genome,
                             ref_len, multi, dense_off, base_off,
                         )
@@ -578,6 +589,7 @@ def run_pipeline(
                             # per-batch lists are indexed by the GLOBAL query
                             # number inside format_sam_records
                             pc = [""] * start + pc_b
+                            pt = [""] * start + pt_b
                             po = np.concatenate(
                                 [np.zeros(start, np.int64), po_b]
                             )
@@ -603,6 +615,7 @@ def run_pipeline(
                         dense_off=dense_off,
                         primary_cigars=pc,
                         primary_pos_off=po,
+                        primary_tags=pt,
                         mapq=mq,
                         pg=pg,
                         quals=quals,
@@ -624,9 +637,9 @@ def run_pipeline(
                 dense_off=dense_off,
             )
             if sam_out:
-                pc = po = mq = None
+                pc = po = mq = pt = None
                 if cigar:
-                    pc, po = _primary_alignment_cigars(
+                    pc, po, pt = _primary_alignment_cigars(
                         query_seqs, final_ids[:, 0], genome, ref_len, multi,
                         dense_off, base_off,
                     )
@@ -646,6 +659,7 @@ def run_pipeline(
                     dense_off=dense_off,
                     primary_cigars=pc,
                     primary_pos_off=po,
+                    primary_tags=pt,
                     mapq=mq,
                     pg=pg,
                     quals=quals,
