@@ -180,6 +180,15 @@ class ShardedANNIndex:
 
     # -------------------------------------------------------------- device
 
+    def _ivf_kernel_ok(self) -> bool:
+        """Pallas slab-scan eligibility for the sharded IVF kinds: TPU (or
+        interpret-forced) backend + KP-tiled slab capacity.  Backend and cap
+        are identical on every process, so the decision is globally
+        consistent (no collective needed)."""
+        from deepreadmapper_tpu.ops import ivf_kernel as ik
+
+        return ik.use_kernel() and self.subs[0].cap % ik.KP == 0
+
     def _global_max(self, v: int) -> int:
         """Max of a per-process host scalar across processes (identity in
         single-controller mode).  Multi-process SPMD needs one shape
@@ -286,11 +295,14 @@ class ShardedANNIndex:
             d = self.subs[0].codes_cm.shape[1]
             s_cnt = len(self.subs)
             max_slabs = self._global_max(max(s.n_slabs for s in self.subs))
+            use_k = self._ivf_kernel_ok()
             space = (max_slabs + 1) * cap
-            if space >= _INT8_CHUNK:
+            if not use_k and space >= _INT8_CHUNK:
                 # round up to _row_norms' chunk so the norm pass stays
                 # chunked (whole-matrix int32 cast = 8x transient HBM at
-                # genome scale); the extra rows are plain empty slots
+                # genome scale); the extra rows are plain empty slots.
+                # (The kernel form keeps space == slabs*cap exactly and
+                # computes norms per slab instead.)
                 space += (-space) % _INT8_CHUNK
             codes_np = np.zeros((s_cnt, space, d), np.int8)
             rowid_np = np.full((s_cnt, space), -1, np.int32)
@@ -308,13 +320,27 @@ class ShardedANNIndex:
                 c = sub.centroids.shape[0]
                 cent_np[si, :c] = sub.centroids
                 cmask_np[si, :c] = True
-            codes = self._put(codes_np, "shard", None, None)
             rowid = self._put(rowid_np, "shard", None)
-            from deepreadmapper_tpu.index.int8_flat import _row_norms
+            if use_k:
+                # SLAB-MAJOR 4D for the Pallas slab-scan kernel; norms per
+                # slab (bounded temporaries, no chunk-rounding needed)
+                from deepreadmapper_tpu.index.ivf_int8 import _slab_row_norms
 
-            # eager SPMD ops over the sharded global arrays; layouts inherit
-            rn = jnp.where(rowid >= 0,
-                           jax.vmap(_row_norms)(codes), _IVF_BIGF)
+                codes = self._put(
+                    codes_np.reshape(s_cnt, space // cap, cap, d),
+                    "shard", None, None, None,
+                )
+                rn = jnp.where(
+                    rowid.reshape(s_cnt, space // cap, cap) >= 0,
+                    jax.vmap(_slab_row_norms)(codes), _IVF_BIGF,
+                )
+            else:
+                from deepreadmapper_tpu.index.int8_flat import _row_norms
+
+                codes = self._put(codes_np, "shard", None, None)
+                # eager SPMD ops over the sharded global arrays
+                rn = jnp.where(rowid >= 0,
+                               jax.vmap(_row_norms)(codes), _IVF_BIGF)
             cent = self._put(cent_np, "shard", None, None)
             # centroid norms on DEVICE in fp32 — the same op the single-chip
             # engine runs, so probe ordering cannot diverge at rounding
@@ -376,8 +402,21 @@ class ShardedANNIndex:
                 c = sub.centroids.shape[0]
                 cent_np[si, :c] = sub.centroids
                 cmask_np[si, :c] = True
-            codes = self._put(packed_np, "shard", None, None)
-            rn = self._put(rn_np, "shard", None)
+            if self._ivf_kernel_ok():
+                # slab-major 4D [S, slabs, mp, cap] for the Pallas kernel
+                n_sl = space // cap
+                codes = self._put(
+                    np.ascontiguousarray(
+                        packed_np.reshape(s_cnt, mp, n_sl, cap)
+                        .transpose(0, 2, 1, 3)
+                    ),
+                    "shard", None, None, None,
+                )
+                rn = self._put(rn_np.reshape(s_cnt, n_sl, cap),
+                               "shard", None, None)
+            else:
+                codes = self._put(packed_np, "shard", None, None)
+                rn = self._put(rn_np, "shard", None)
             rowid = self._put(rowid_np, "shard", None)
             cent = self._put(cent_np, "shard", None, None)
             cn = jnp.where(self._put(cmask_np, "shard", None),
@@ -540,14 +579,21 @@ class ShardedANNIndex:
         cap = self.subs[0].cap
         d_dim = self.subs[0].codes_cm.shape[1]
         merge = self._merge_fn(k)
+        use_kern = self._ivf_kernel_ok()
+        codes_spec = (
+            P("shard", None, None, None) if use_kern
+            else P("shard", None, None)
+        )
+        rn_spec = P("shard", None, None) if use_kern else P("shard", None)
 
         @functools.partial(
             jax.shard_map,
             mesh=mesh,
             in_specs=(
                 P("data", None),
-                P("shard", None, None),    # codes_cm stack
-                P("shard", None),          # slab-space row norms
+                codes_spec,                # codes stack (4D slab-major for
+                                           # the kernel, flat otherwise)
+                rn_spec,                   # slab-space row norms
                 P("shard", None),          # slab-space -> local row ids
                 P("shard"),                # int8 scales
                 P("shard"),                # host-computed query scales
@@ -561,6 +607,8 @@ class ShardedANNIndex:
         )
         def body(q, codes_s, rn_s, rowid_s, scale_s, qscale_s, ratio_s,
                  stepc_s, qidx_s, slot_s):
+            from deepreadmapper_tpu.ops import ivf_kernel as ik
+
             s = scale_s[0]
             rat = ratio_s[0]
             q8f = jnp.round(q / qscale_s[0])
@@ -570,12 +618,28 @@ class ShardedANNIndex:
                 [q8f.astype(jnp.int8),
                  jnp.zeros((1, q.shape[1]), jnp.int8)]
             )
-            ds, rs = scan_probed_slabs(
-                q8, codes_s[0], rn_s[0], stepc_s[0, 0], qidx_s[0, 0], rat,
-                cap, d_dim, kp,
-            )
-            cat_d = ds[slot_s[0, 0]].reshape(qb_local, nprobe * kp)
-            cat_i = rs[slot_s[0, 0]].reshape(qb_local, nprobe * kp)
+            if use_kern:
+                qsteps = q8[qidx_s[0, 0]]  # [s_pad, QTK, D]
+                vals, args, vals2, args2 = ik.ivf_slab_scan_int8(
+                    stepc_s[0, 0], qsteps, codes_s[0], rn_s[0], 2.0 * rat,
+                    cap, interpret=ik.INTERPRET,
+                )
+                sl = slot_s[0, 0]
+                cat_d = jnp.concatenate([
+                    vals.reshape(-1, kp)[sl].reshape(qb_local, nprobe * kp),
+                    vals2.reshape(-1, kp)[sl].reshape(qb_local, nprobe * kp),
+                ], axis=1)
+                cat_i = jnp.concatenate([
+                    args.reshape(-1, kp)[sl].reshape(qb_local, nprobe * kp),
+                    args2.reshape(-1, kp)[sl].reshape(qb_local, nprobe * kp),
+                ], axis=1)
+            else:
+                ds, rs = scan_probed_slabs(
+                    q8, codes_s[0], rn_s[0], stepc_s[0, 0], qidx_s[0, 0],
+                    rat, cap, d_dim, kp,
+                )
+                cat_d = ds[slot_s[0, 0]].reshape(qb_local, nprobe * kp)
+                cat_i = rs[slot_s[0, 0]].reshape(qb_local, nprobe * kp)
             neg, sel = jax.lax.top_k(-cat_d, k_local)
             slots = jnp.take_along_axis(cat_i, sel, axis=1)
             rows = rowid_s[0][slots]  # -1 for empty slots -> merge-masked
@@ -642,14 +706,20 @@ class ShardedANNIndex:
         mesh = self.mesh
         cap = self.subs[0].cap
         merge = self._merge_fn(k)
+        use_kern = self._ivf_kernel_ok()
+        codes_spec = (
+            P("shard", None, None, None) if use_kern
+            else P("shard", None, None)
+        )
+        rn_spec = P("shard", None, None) if use_kern else P("shard", None)
 
         @functools.partial(
             jax.shard_map,
             mesh=mesh,
             in_specs=(
                 P("data", None),
-                P("shard", None, None),    # packed codes stack
-                P("shard", None),          # slab-space recon norms
+                codes_spec,                # packed codes stack
+                rn_spec,                   # slab-space recon norms
                 P("shard", None),          # slab-space -> local row ids
                 P("shard"),                # codebook scales
                 P("shard"),                # host-computed query scales
@@ -665,6 +735,8 @@ class ShardedANNIndex:
         )
         def body(q, codes_s, rn_s, rowid_s, scale_s, qscale_s, ratio_s,
                  cent_bf_s, rot_s, stepc_s, qidx_s, slot_s):
+            from deepreadmapper_tpu.ops import ivf_kernel as ik
+
             sc = scale_s[0]
             rat = ratio_s[0]
             q8f = jnp.round((q @ rot_s[0]) / qscale_s[0])
@@ -673,12 +745,30 @@ class ShardedANNIndex:
                 [q8f.astype(jnp.int8),
                  jnp.zeros((1, q.shape[1]), jnp.int8)]
             )
-            ds, rs = scan_probed_slabs_pq(
-                q8, codes_s[0], rn_s[0], cent_bf_s[0], stepc_s[0, 0],
-                qidx_s[0, 0], rat, cap, kp,
-            )
-            cat_d = ds[slot_s[0, 0]].reshape(qb_local, nprobe * kp)
-            cat_i = rs[slot_s[0, 0]].reshape(qb_local, nprobe * kp)
+            if use_kern:
+                qsteps = q8[qidx_s[0, 0]]
+                cb = cent_bf_s[0]
+                vals, args, vals2, args2 = ik.ivf_slab_scan_pq(
+                    stepc_s[0, 0], qsteps, codes_s[0], rn_s[0],
+                    cb.reshape(-1, cb.shape[-1]), 2.0 * rat, cap,
+                    cb.shape[0], interpret=ik.INTERPRET,
+                )
+                sl = slot_s[0, 0]
+                cat_d = jnp.concatenate([
+                    vals.reshape(-1, kp)[sl].reshape(qb_local, nprobe * kp),
+                    vals2.reshape(-1, kp)[sl].reshape(qb_local, nprobe * kp),
+                ], axis=1)
+                cat_i = jnp.concatenate([
+                    args.reshape(-1, kp)[sl].reshape(qb_local, nprobe * kp),
+                    args2.reshape(-1, kp)[sl].reshape(qb_local, nprobe * kp),
+                ], axis=1)
+            else:
+                ds, rs = scan_probed_slabs_pq(
+                    q8, codes_s[0], rn_s[0], cent_bf_s[0], stepc_s[0, 0],
+                    qidx_s[0, 0], rat, cap, kp,
+                )
+                cat_d = ds[slot_s[0, 0]].reshape(qb_local, nprobe * kp)
+                cat_i = rs[slot_s[0, 0]].reshape(qb_local, nprobe * kp)
             neg, sel = jax.lax.top_k(-cat_d, k_local)
             slots = jnp.take_along_axis(cat_i, sel, axis=1)
             rows = rowid_s[0][slots]
@@ -728,8 +818,11 @@ class ShardedANNIndex:
             np.clip(ef if ef else 32, 1, self._global_max(max(ccounts)))
         )
         cap = self.subs[0].cap
+        use_kern = self._ivf_kernel_ok()
         k_eff = min(k, self.ntotal)
-        kp = min(k_eff, cap)
+        from deepreadmapper_tpu.ops import ivf_kernel as ik
+
+        kp = ik.KP if use_kern else min(k_eff, cap)
         k_local = min(k_eff, nprobe * kp, self.n_local)
         k_merge = min(k, self.mesh.shape["shard"] * k_local)
         pq_kind = self.kind == "ivfpq"
@@ -772,6 +865,7 @@ class ShardedANNIndex:
             qb_local = width // n_data
             # host plan inversion per (data position, local shard); pad
             # every plan to one step count so all devices run one program
+            qtile = ik.QTK if use_kern else _IVF_QTILE
             plans = [
                 [
                     self.subs[li]._build_plan(
@@ -782,7 +876,8 @@ class ShardedANNIndex:
                         np.minimum(
                             probe[db * qb_local:(db + 1) * qb_local, :, li],
                             ccounts[li] - 1,
-                        )
+                        ),
+                        qtile,
                     )
                     for li in range(s_loc)
                 ]
@@ -793,7 +888,7 @@ class ShardedANNIndex:
             )
             stepc = np.zeros((n_data, s_loc, s_pad), np.int32)
             qidx = np.full(
-                (n_data, s_loc, s_pad, _IVF_QTILE), qb_local, np.int32
+                (n_data, s_loc, s_pad, qtile), qb_local, np.int32
             )
             slot = np.zeros(
                 (n_data, s_loc, qb_local, nprobe), np.int32

@@ -502,3 +502,39 @@ def test_stream_encoded_sharded_ivfpq_build(tmp_path):
     ok = sum(abs(int(ids[i][0] // 2) - int(names[i].split("_")[1])) <= 10
              for i in range(48))
     assert ok >= 40, f"{ok}/48"
+
+
+def test_sharded_ivf_kernel_path(data, mesh, monkeypatch):
+    """The Pallas slab-scan kernel under shard_map (interpret mode on CPU):
+    both IVF kinds must reproduce the per-shard single-chip engines (which
+    run the same kernel) through the sharded plan + two-int32 merge."""
+    from deepreadmapper_tpu.ops import ivf_kernel as ik
+
+    monkeypatch.setattr(ik, "INTERPRET", True)
+    x = np.tanh(data).astype(np.float32)
+    q = np.clip(x[:16] + np.float32(0.01), -1, 1)
+    for itype in ("IVFINT8", "IVFPQ"):
+        idx = ShardedANNIndex.build(x, mesh, BuildConfig(), index_type=itype)
+        assert idx._ivf_kernel_ok()
+        nprobe = min(s.centroids.shape[0] for s in idx.subs)
+        ids, d = idx.search(q, 8, ef=nprobe)
+        n_local = idx.n_local
+        all_i, all_d = [], []
+        for si, sub in enumerate(idx.subs):
+            assert sub._use_kernel()
+            i_s, d_s = sub.search(q, 8, ef=nprobe)
+            all_i.append(np.where(i_s >= 0, i_s + si * n_local, -1))
+            all_d.append(np.where(i_s >= 0, d_s, np.inf))
+        cat_d = np.concatenate(all_d, axis=1)
+        cat_i = np.concatenate(all_i, axis=1)
+        order = np.argsort(cat_d, axis=1, kind="stable")[:, :8]
+        want_d = np.take_along_axis(cat_d, order, axis=1)
+        np.testing.assert_allclose(
+            np.sort(d, axis=1), np.sort(want_d, axis=1),
+            rtol=1e-4, atol=1e-4, err_msg=itype,
+        )
+        want_i = np.take_along_axis(cat_i, order, axis=1)
+        overlap = np.mean([
+            len(set(ids[r]) & set(want_i[r])) / 8 for r in range(len(q))
+        ])
+        assert overlap >= 0.9, f"{itype}: {overlap}"
