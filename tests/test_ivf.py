@@ -207,3 +207,26 @@ def test_kernel_path_matches_oracle(clustered, monkeypatch):
         [len(set(ii_s[i]) & set(ik_i8[i])) / 10 for i in range(len(q))]
     )
     assert overlap >= 0.9, overlap
+
+
+def test_kernel_windowed_selection_large_cap(clustered, monkeypatch):
+    """cap > KP exercises the strided-window top-2 approximation (the small
+    fixtures land at cap == KP == exact).  The per-window best always
+    survives, so top-1 self-hits are exact; depth recall stays high because
+    two survivors per window cover a one-slab neighborhood."""
+    from deepreadmapper_tpu.config import BuildConfig
+    from deepreadmapper_tpu.ops import ivf_kernel as ik
+
+    monkeypatch.setattr(ik, "INTERPRET", True)
+    x = clustered
+    q = x[:64] + np.float32(0.005)
+    idx = IVFInt8Index.build(x, BuildConfig(nlist=16))
+    assert idx.cap > ik.KP and idx._use_kernel()
+    ii, _ = idx.search(q, 10, ef=idx.nlist)
+    top1 = np.mean(ii[:, 0] == np.arange(64))
+    assert top1 >= 0.95, top1
+    oi, _ = Int8FlatIndex.build(x).search(q, 10)
+    recall = np.mean(
+        [len(set(oi[i]) & set(ii[i])) / 10 for i in range(64)]
+    )
+    assert recall >= 0.85, recall
