@@ -367,6 +367,11 @@ class IVFInt8Index:
                 self._dev = (c, rn, cent, cn)
         return self._dev
 
+    def _scan_form(self, c, rn):
+        """Kernel-layout device arrays -> the lax.scan path's flat forms
+        (int8: a contiguous reshape, free)."""
+        return c.reshape(-1, c.shape[-1]), rn.reshape(-1)
+
     # ------------------------------------------------------------ search
 
     def _probe_fn(self, nprobe: int, approx: bool = False):
@@ -435,29 +440,9 @@ class IVFInt8Index:
                     step_slab, qsteps, codes3, rn2, 2.0 * ratio, cap,
                     interpret=ik.INTERPRET,
                 )
-                q = slot_of.shape[0]
-                # best + second-best per window: 2*KP columns per probe
-                cat_d = jnp.concatenate([
-                    vals.reshape(-1, ik.KP)[slot_of].reshape(
-                        q, nprobe * ik.KP),
-                    vals2.reshape(-1, ik.KP)[slot_of].reshape(
-                        q, nprobe * ik.KP),
-                ], axis=1)
-                cat_i = jnp.concatenate([
-                    args.reshape(-1, ik.KP)[slot_of].reshape(
-                        q, nprobe * ik.KP),
-                    args2.reshape(-1, ik.KP)[slot_of].reshape(
-                        q, nprobe * ik.KP),
-                ], axis=1)
-                if nprobe * ik.KP < 1024:
-                    neg, sel = jax.lax.top_k(-cat_d, k)
-                else:
-                    # fp32 top_k lowers to a full sort; the windowed scan is
-                    # already approximate, so the cheap reduction wins
-                    neg, sel = jax.lax.approx_max_k(
-                        -cat_d, k, recall_target=0.99
-                    )
-                return -neg, jnp.take_along_axis(cat_i, sel, axis=1)
+                return ik.merge_windowed(
+                    vals, args, vals2, args2, slot_of, nprobe, k
+                )
 
             fn = self._fns[key] = run
         return fn
@@ -546,6 +531,10 @@ class IVFInt8Index:
         # the merge sees nprobe*kp candidate columns; k cannot exceed that
         k_scan = min(k_eff, nprobe * kp)
         c, rn, cent, cn = self._device()
+        if not use_k and self._use_kernel():
+            # exact=True on a kernel-layout cache: the lax.scan path wants
+            # the flat forms — derive them by (free, contiguous) reshape
+            c, rn = self._scan_form(c, rn)
         sq, ratio = query_scale_ratio(queries, self.scale)
         q8_all = quantize_host(queries, sq)
         qn_all = (q8_all.astype(np.int64) ** 2).sum(1).astype(np.float32)

@@ -74,14 +74,15 @@ def pack_codes_t(codes_cm: np.ndarray) -> np.ndarray:
     """
     n, m = codes_cm.shape
     mp = -(-m // 4)
-    ct = codes_cm.T.astype(np.uint32)  # [m, N]
-    if mp * 4 != m:
-        ct = np.concatenate(
-            [ct, np.zeros((mp * 4 - m, n), np.uint32)], axis=0
-        )
     packed = np.zeros((mp, n), np.uint32)
-    for b in range(4):
-        packed |= ct[b::4] << (8 * b)
+    # chunk the row range: a whole-matrix uint32 transpose would be a
+    # 4 B/code transient (32 GB at the 1B-row tier this engine targets)
+    chunk = 1 << 22
+    for s0 in range(0, n, chunk):
+        e0 = min(s0 + chunk, n)
+        ct = codes_cm[s0:e0].T.astype(np.uint32)  # [m, chunk]
+        for j in range(m):
+            packed[j // 4, s0:e0] |= ct[j] << (8 * (j % 4))
     return packed.view(np.int32)
 
 
@@ -281,6 +282,17 @@ class IVFPQIndex(IVFInt8Index):
             self._dev = (c, rn, cent, cn)
         return self._dev
 
+    def _scan_form(self, c, rn):
+        """Kernel-layout [S, mp, cap] packed codes -> the lax.scan path's
+        flat [mp, S*cap] (a device transpose; exact=True is the parity
+        escape, not a hot path — cache so repeated calls pay once)."""
+        flat = self._fns.get("scan_form")
+        if flat is None:
+            mp = c.shape[1]
+            flat = jnp.transpose(c, (1, 0, 2)).reshape(mp, -1)
+            self._fns["scan_form"] = flat
+        return flat, rn.reshape(-1)
+
     def _kernel_fn(self, k: int, nprobe: int):
         """IVFPQ Pallas slab-scan + slot merge: the int8 kernel fn with
         in-kernel PQ reconstruction (ops/ivf_kernel.ivf_slab_scan_pq)."""
@@ -301,27 +313,9 @@ class IVFPQIndex(IVFInt8Index):
                     cent_bf.reshape(-1, cent_bf.shape[-1]), 2.0 * ratio,
                     cap, m, interpret=ik.INTERPRET,
                 )
-                q = slot_of.shape[0]
-                # best + second-best per window: 2*KP columns per probe
-                cat_d = jnp.concatenate([
-                    vals.reshape(-1, ik.KP)[slot_of].reshape(
-                        q, nprobe * ik.KP),
-                    vals2.reshape(-1, ik.KP)[slot_of].reshape(
-                        q, nprobe * ik.KP),
-                ], axis=1)
-                cat_i = jnp.concatenate([
-                    args.reshape(-1, ik.KP)[slot_of].reshape(
-                        q, nprobe * ik.KP),
-                    args2.reshape(-1, ik.KP)[slot_of].reshape(
-                        q, nprobe * ik.KP),
-                ], axis=1)
-                if nprobe * ik.KP < 1024:
-                    neg, sel = jax.lax.top_k(-cat_d, k)
-                else:
-                    neg, sel = jax.lax.approx_max_k(
-                        -cat_d, k, recall_target=0.99
-                    )
-                return -neg, jnp.take_along_axis(cat_i, sel, axis=1)
+                return ik.merge_windowed(
+                    vals, args, vals2, args2, slot_of, nprobe, k
+                )
 
             jit_run = run
 

@@ -56,6 +56,31 @@ def use_kernel() -> bool:
     return INTERPRET or jax.default_backend() == "tpu"
 
 
+def merge_windowed(vals, args, vals2, args2, slot_of, nprobe: int, k: int,
+                   exact: bool = False):
+    """Slot-gather + top-k over the kernel's best+second-best outputs.
+
+    One definition for all four call sites (single-chip and sharded, int8
+    and PQ) so the merge semantics cannot drift: each (query, probe) pair
+    contributes 2*KP candidate columns; fp32 top_k lowers to a full sort,
+    so wide merges take approx_max_k (the windowed scan is already
+    approximate) unless exact."""
+    q = slot_of.shape[0]
+    cat_d = jnp.concatenate([
+        vals.reshape(-1, KP)[slot_of].reshape(q, nprobe * KP),
+        vals2.reshape(-1, KP)[slot_of].reshape(q, nprobe * KP),
+    ], axis=1)
+    cat_i = jnp.concatenate([
+        args.reshape(-1, KP)[slot_of].reshape(q, nprobe * KP),
+        args2.reshape(-1, KP)[slot_of].reshape(q, nprobe * KP),
+    ], axis=1)
+    if exact or nprobe * KP < 1024:
+        neg, sel = jax.lax.top_k(-cat_d, k)
+    else:
+        neg, sel = jax.lax.approx_max_k(-cat_d, k, recall_target=0.99)
+    return -neg, jnp.take_along_axis(cat_i, sel, axis=1)
+
+
 def _select_strided(s, slab, cap: int):
     """[QTK, cap] scores -> (vals, args, vals2, args2), each [QTK, KP]:
     the BEST and SECOND-BEST score per strided lane window (survivor k

@@ -624,15 +624,9 @@ class ShardedANNIndex:
                     stepc_s[0, 0], qsteps, codes_s[0], rn_s[0], 2.0 * rat,
                     cap, interpret=ik.INTERPRET,
                 )
-                sl = slot_s[0, 0]
-                cat_d = jnp.concatenate([
-                    vals.reshape(-1, kp)[sl].reshape(qb_local, nprobe * kp),
-                    vals2.reshape(-1, kp)[sl].reshape(qb_local, nprobe * kp),
-                ], axis=1)
-                cat_i = jnp.concatenate([
-                    args.reshape(-1, kp)[sl].reshape(qb_local, nprobe * kp),
-                    args2.reshape(-1, kp)[sl].reshape(qb_local, nprobe * kp),
-                ], axis=1)
+                d_cand, slots = ik.merge_windowed(
+                    vals, args, vals2, args2, slot_s[0, 0], nprobe, k_local
+                )
             else:
                 ds, rs = scan_probed_slabs(
                     q8, codes_s[0], rn_s[0], stepc_s[0, 0], qidx_s[0, 0],
@@ -640,12 +634,13 @@ class ShardedANNIndex:
                 )
                 cat_d = ds[slot_s[0, 0]].reshape(qb_local, nprobe * kp)
                 cat_i = rs[slot_s[0, 0]].reshape(qb_local, nprobe * kp)
-            neg, sel = jax.lax.top_k(-cat_d, k_local)
-            slots = jnp.take_along_axis(cat_i, sel, axis=1)
+                neg, sel = jax.lax.top_k(-cat_d, k_local)
+                d_cand = -neg
+                slots = jnp.take_along_axis(cat_i, sel, axis=1)
             rows = rowid_s[0][slots]  # -1 for empty slots -> merge-masked
             # quantized int-score -> fp32 squared L2 so shards with
             # different scales merge in one metric space
-            d_loc = (-neg + rat * rat * qn[:, None]) * (s * s)
+            d_loc = (d_cand + rat * rat * qn[:, None]) * (s * s)
             return merge(d_loc, rows)
 
         fn = jax.jit(
@@ -753,15 +748,9 @@ class ShardedANNIndex:
                     cb.reshape(-1, cb.shape[-1]), 2.0 * rat, cap,
                     cb.shape[0], interpret=ik.INTERPRET,
                 )
-                sl = slot_s[0, 0]
-                cat_d = jnp.concatenate([
-                    vals.reshape(-1, kp)[sl].reshape(qb_local, nprobe * kp),
-                    vals2.reshape(-1, kp)[sl].reshape(qb_local, nprobe * kp),
-                ], axis=1)
-                cat_i = jnp.concatenate([
-                    args.reshape(-1, kp)[sl].reshape(qb_local, nprobe * kp),
-                    args2.reshape(-1, kp)[sl].reshape(qb_local, nprobe * kp),
-                ], axis=1)
+                d_cand, slots = ik.merge_windowed(
+                    vals, args, vals2, args2, slot_s[0, 0], nprobe, k_local
+                )
             else:
                 ds, rs = scan_probed_slabs_pq(
                     q8, codes_s[0], rn_s[0], cent_bf_s[0], stepc_s[0, 0],
@@ -769,10 +758,11 @@ class ShardedANNIndex:
                 )
                 cat_d = ds[slot_s[0, 0]].reshape(qb_local, nprobe * kp)
                 cat_i = rs[slot_s[0, 0]].reshape(qb_local, nprobe * kp)
-            neg, sel = jax.lax.top_k(-cat_d, k_local)
-            slots = jnp.take_along_axis(cat_i, sel, axis=1)
+                neg, sel = jax.lax.top_k(-cat_d, k_local)
+                d_cand = -neg
+                slots = jnp.take_along_axis(cat_i, sel, axis=1)
             rows = rowid_s[0][slots]
-            d_loc = (-neg + rat * rat * qn[:, None]) * (sc * sc)
+            d_loc = (d_cand + rat * rat * qn[:, None]) * (sc * sc)
             return merge(d_loc, rows)
 
         fn = jax.jit(

@@ -148,7 +148,7 @@ def banded_primary_cigars(
     band: int,
     dense_off: np.ndarray | None = None,
     base_off: np.ndarray | None = None,
-) -> tuple[list[str], np.ndarray]:
+) -> tuple[list[str], np.ndarray, list[str]]:
     """Real CIGARs for chained long-read primaries via the native BANDED
     aligner (O(len*band) instead of the full O(len^2) DP — a 10 kb read at
     band 150 is ~3M cells, microseconds in C++).  The chain already places

@@ -48,11 +48,21 @@ def ivf_mode(args):
     reads, _names, starts, strands = simulate_reads(
         genome, args.n_queries, 150, err=0.01
     )
+    import shutil
+
     tmp = args.keep_dir or tempfile.mkdtemp(prefix="bench_ivf_")
     os.makedirs(tmp, exist_ok=True)
-    if True:
+    try:
         ref = os.path.join(tmp, "ref.fna")
         fq = os.path.join(tmp, "reads.fastq")
+        if os.path.exists(fq):
+            n_lines = sum(1 for _ in open(fq))
+            if n_lines != 4 * args.n_queries:
+                raise ValueError(
+                    f"{fq} caches {n_lines // 4} reads but --n-queries is "
+                    f"{args.n_queries}; truth arrays would mis-score — "
+                    "use a fresh --keep-dir"
+                )
         if not os.path.exists(ref):
             with open(ref, "w") as f:
                 f.write("> synthetic\n")
@@ -147,6 +157,9 @@ def ivf_mode(args):
                 "truth_top1": round(truth_top1(ids_v), 4),
                 "speedup_vs_flat": round(dt_flat / dt, 2),
             }), flush=True)
+    finally:
+        if not args.keep_dir:
+            shutil.rmtree(tmp, ignore_errors=True)
     print("DONE", flush=True)
 
 

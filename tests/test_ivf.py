@@ -230,3 +230,23 @@ def test_kernel_windowed_selection_large_cap(clustered, monkeypatch):
         [len(set(oi[i]) & set(ii[i])) / 10 for i in range(64)]
     )
     assert recall >= 0.85, recall
+
+
+def test_exact_escape_under_kernel_layout(clustered, monkeypatch):
+    """search(exact=True) must work when the device cache holds the kernel
+    layout — it is the advertised parity escape from the windowed top-2."""
+    from deepreadmapper_tpu.index.ivf_pq import IVFPQIndex
+    from deepreadmapper_tpu.ops import ivf_kernel as ik
+
+    monkeypatch.setattr(ik, "INTERPRET", True)
+    x = clustered[:3000]
+    q = x[:16] + np.float32(0.01)
+    for cls in (IVFInt8Index, IVFPQIndex):
+        idx = cls.build(x)
+        assert idx._use_kernel()
+        ia, _ = idx.search(q, 10, ef=idx.nlist)          # kernel path
+        ie, _ = idx.search(q, 10, ef=idx.nlist, exact=True)  # scan path
+        overlap = np.mean(
+            [len(set(ia[i]) & set(ie[i])) / 10 for i in range(16)]
+        )
+        assert overlap >= 0.9, (cls.__name__, overlap)
