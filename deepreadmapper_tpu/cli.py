@@ -59,6 +59,11 @@ def _add_pipeline(sub):
                    help="mark PCR duplicates (FLAG 0x400, samtools "
                         "markdup rule: same RNAME/POS/strand[/TLEN]; "
                         "best MAPQ stays unmarked)")
+    p.add_argument("--read-group", default=None, metavar="RG",
+                   help="@RG header + RG:Z tag on every line; comma- or "
+                        "tab-separated fields with a required ID: "
+                        "(e.g. 'ID:run1,SM:sampleA,PL:ONT') — GATK-class "
+                        "tools require read groups")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="write a jax profiler trace of the search stage "
                         "(view with tensorboard/xprof)")
@@ -331,6 +336,7 @@ def main(argv=None) -> int:
                 sort=args.sort,
                 bam=args.bam,
                 mark_dups=args.mark_duplicates,
+                read_group=args.read_group,
                 rescue=not args.no_rescue,
                 vectorizer=vectorizer,
             )
@@ -361,6 +367,7 @@ def main(argv=None) -> int:
             sort=args.sort,
             bam=args.bam,
             mark_dups=args.mark_duplicates,
+            read_group=args.read_group,
             profile_dir=args.profile,
         )
         print(

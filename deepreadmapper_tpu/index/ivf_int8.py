@@ -501,14 +501,19 @@ class IVFInt8Index:
             q, nprobe
         )
 
+    _APPROX_PROBE_NLIST = 2048  # auto threshold: full-sort top_k on a
+    # [Q, nlist] probe matrix costs ~5x approx_max_k past a few k columns
+
     def search(self, queries: np.ndarray, k: int, ef: int = 32,
-               exact: bool = False, approx_probe: bool = False):
+               exact: bool = False, approx_probe: bool | None = None):
         """ef = nprobe (clusters scanned per query).  exact=True forces
         the lax.scan path with full per-slab approx selection and a
         full-sort merge (the probe set remains the only real
         approximation).  approx_probe selects clusters with
         approx_max_k instead of the full-sort top_k (faster probe, >=0.99
-        per-row cluster recall).  On TPU the probed-slab scan runs as the
+        per-row cluster recall); None (default) auto-enables it when
+        nlist >= 2048 — the regime where the full sort costs real
+        time.  On TPU the probed-slab scan runs as the
         Pallas kernel (ops/ivf_kernel.py); elsewhere as the lax.scan
         formulation.  Returns (ids [Q, k] int64 original row ids, dists
         [Q, k] fp32 squared-L2 estimates, same convention as
@@ -525,6 +530,10 @@ class IVFInt8Index:
         # exact=True keeps the per-slab approx_max_k path (full top-kp per
         # probed slab — the parity escape from the kernel's windowed top-2)
         use_k = self._use_kernel() and not exact
+        if approx_probe is None:
+            approx_probe = (
+                not exact and self.nlist >= self._APPROX_PROBE_NLIST
+            )
         nprobe = int(np.clip(ef if ef else 32, 1, self.nlist))
         k_eff = min(k, self.ntotal)
         kp = ik.KP if use_k else min(k_eff, self.cap)

@@ -364,7 +364,7 @@ class IVFPQIndex(IVFInt8Index):
         return fn
 
     def search(self, queries: np.ndarray, k: int, ef: int = 32,
-               exact: bool = False, approx_probe: bool = False):
+               exact: bool = False, approx_probe: bool | None = None):
         """ef = nprobe; distances are squared-L2 ADC estimates in the
         PQFlatIndex convention.  OPQ queries rotate into the code space."""
         queries = np.asarray(queries, np.float32)

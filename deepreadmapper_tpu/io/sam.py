@@ -42,22 +42,46 @@ def _pg_line(pg: str | None) -> str:
     )
 
 
-def sam_header(ref_name: str, ref_len: int, pg: str | None = None) -> str:
+def parse_read_group(rg: str | None) -> tuple[str, str]:
+    """--read-group string -> (@RG header line, RG id).
+
+    Accepts comma- or tab-separated fields ("ID:s1,SM:sampleA,PL:ONT");
+    ID: is required (it is what every alignment line's RG:Z references —
+    the GATK-class tools refuse BAMs without it)."""
+    if not rg:
+        return "", ""
+    fields = [f for f in rg.replace(",", "\t").split("\t") if f]
+    rid = next((f[3:] for f in fields if f.startswith("ID:")), None)
+    if not rid:
+        raise ValueError(
+            f"--read-group needs an ID: field (got {rg!r}); e.g. "
+            "'ID:run1,SM:sampleA'"
+        )
+    return "@RG\t" + "\t".join(fields) + "\n", rid
+
+
+def sam_header(ref_name: str, ref_len: int, pg: str | None = None,
+               rg: str | None = None) -> str:
     return (
         f"@HD\tVN:1.0\tSO:unsorted\n@SQ\tSN:{ref_name}\tLN:{ref_len}\n"
+        + parse_read_group(rg)[0]
         + _pg_line(pg)
     )
 
 
 def sam_header_multi(
-    record_names: list[str], record_lens: list[int], pg: str | None = None
+    record_names: list[str], record_lens: list[int], pg: str | None = None,
+    rg: str | None = None,
 ) -> str:
     """Proper per-chromosome @SQ lines (beyond the reference's single
     hard-coded SN:ref) for multi-record references."""
     sq = "".join(
         f"@SQ\tSN:{n}\tLN:{ln}\n" for n, ln in zip(record_names, record_lens)
     )
-    return "@HD\tVN:1.0\tSO:unsorted\n" + sq + _pg_line(pg)
+    return (
+        "@HD\tVN:1.0\tSO:unsorted\n" + sq + parse_read_group(rg)[0]
+        + _pg_line(pg)
+    )
 
 
 
@@ -148,6 +172,7 @@ def format_sam_records(
     quals: list[str] | None = None,
     mate: dict | None = None,
     primary_tags: list[str] | None = None,
+    rg_id: str = "",
 ) -> Iterable[str]:
     """Yield SAM lines for queries [query_offset, query_offset+len(query_seqs))
     whose flattened candidate ids are ``cand_ids`` ([nq * k], row-major).
@@ -197,7 +222,11 @@ def format_sam_records(
 
     primary_tags (per GLOBAL query): preformatted tag suffix (e.g.
     "\tNM:i:2\tMD:Z:49A100\tAS:i:144" from alignment_tags) appended to
-    the PRIMARY line when its real CIGAR is attached."""
+    the PRIMARY line when its real CIGAR is attached.
+
+    rg_id: read-group id — every line (incl. unmapped/secondary/
+    supplementary) gets RG:Z:<id>, matching the header's @RG."""
+    rg_tag = f"\tRG:Z:{rg_id}" if rg_id else ""
     cand_ids = np.asarray(list(cand_ids), dtype=np.int64)
     if record_names is not None:
         # one vectorized lookup for every line (not one searchsorted per
@@ -255,7 +284,7 @@ def format_sam_records(
                         uflag |= mate[gq][0] & 0xE9  # paired bits + mate info
                     yield (
                         f"{qname}\t{uflag}\t*\t0\t0\t*\t*\t0\t0\t{clean}\t"
-                        f"{qual_fwd}\n"
+                        f"{qual_fwd}{rg_tag}\n"
                     )
                 continue  # drop -1 secondaries
             rname = record_names[rec[idx]] if rec is not None else ref_name
@@ -298,7 +327,7 @@ def format_sam_records(
             yield (
                 f"{qname}\t{flag}\t{rname}\t{pos}\t{q}\t{cigar}\t"
                 f"{rnext}\t{pnext}\t{tlen}\t"
-                f"{seq_out}\t{qual_out}{tag}\n"
+                f"{seq_out}\t{qual_out}{tag}{rg_tag}\n"
             )
         for seq_id, cig, q, rname_s, pos_s in supp_fields:
             flag = 2048 | (16 if seq_id % 2 == 1 else 0)
@@ -308,7 +337,7 @@ def format_sam_records(
             tag = f"\tSA:Z:{primary_desc}" if primary_desc else ""
             yield (
                 f"{qname}\t{flag}\t{rname_s}\t{pos_s}\t{q}\t{cig}\t*\t0\t0\t"
-                f"{seq_out}\t{qual_out}{tag}\n"
+                f"{seq_out}\t{qual_out}{tag}{rg_tag}\n"
             )
 
 
@@ -411,17 +440,19 @@ def write_sam(
     quals: list[str] | None = None,
     mate: dict | None = None,
     primary_tags: list[str] | None = None,
+    rg: str | None = None,
 ) -> None:
     mode = "a" if append else "w"
+    rg_id = parse_read_group(rg)[1]
     with open(output_file, mode) as f:
         if write_header:
             if record_names is not None:
-                f.write(sam_header_multi(record_names, record_lens, pg))
+                f.write(sam_header_multi(record_names, record_lens, pg, rg))
             else:
-                f.write(sam_header(ref_name, ref_len, pg))
+                f.write(sam_header(ref_name, ref_len, pg, rg))
         for line in format_sam_records(
             query_seqs, query_ids, cand_ids, k, ref_name, query_offset,
             record_names, dense_off, primary_cigars, primary_pos_off,
-            mapq, supplementary, quals, mate, primary_tags,
+            mapq, supplementary, quals, mate, primary_tags, rg_id,
         ):
             f.write(line)

@@ -224,6 +224,7 @@ def run_pipeline(
     sort: bool = False,
     bam: bool = False,
     mark_dups: bool = False,
+    read_group: str | None = None,
     profile_dir: str | None = None,
     vectorizer: Vectorizer | None = None,
     search_cfg: SearchConfig | None = None,
@@ -520,6 +521,7 @@ def run_pipeline(
                     mapq=lr_mapq if mapq else None,
                     supplementary=lr_supp, pg=pg, quals=quals,
                     primary_cigars=pc, primary_pos_off=po, primary_tags=pt,
+                    rg=read_group,
                 )
         elif rerank == "sw":
             # SW rerank path (reference post_process_sw_*, plumbed but
@@ -555,7 +557,7 @@ def run_pipeline(
                     query_seqs, query_ids, final_ids.ravel(), "ref", ref_len,
                     k, sam_file, record_names=rec_names,
                     record_lens=rec_lens, dense_off=dense_off, mapq=mq,
-                    pg=pg, quals=quals,
+                    pg=pg, quals=quals, rg=read_group,
                 )
         elif use_streaming:
             from deepreadmapper_tpu.utils.progress import Progress
@@ -619,6 +621,7 @@ def run_pipeline(
                         mapq=mq,
                         pg=pg,
                         quals=quals,
+                        rg=read_group,
                     )
                 sprog.update(end - start)
             sprog.close()
@@ -663,6 +666,7 @@ def run_pipeline(
                     mapq=mq,
                     pg=pg,
                     quals=quals,
+                    rg=read_group,
                 )
     if sort and sam_out and os.path.exists(sam_file):
         sam_io.sort_sam_file(sam_file)
@@ -762,6 +766,7 @@ def run_pipeline_paired(
     sort: bool = False,
     bam: bool = False,
     mark_dups: bool = False,
+    read_group: str | None = None,
     rescue: bool = True,
     vectorizer: Vectorizer | None = None,
     search_cfg: SearchConfig | None = None,
@@ -1027,12 +1032,14 @@ def run_pipeline_paired(
             seqs1, qids1, ids1p.ravel(), "ref", ref_len, out_k, sam_file,
             record_names=rec_names, record_lens=rec_lens,
             dense_off=dense_off, mapq=mq1, quals=quals1, mate=mate1, pg=pg,
+            rg=read_group,
         )
         sam_io.write_sam(
             seqs2, qids2, ids2p.ravel(), "ref", ref_len, out_k, sam_file,
             append=True, write_header=False,
             record_names=rec_names, record_lens=rec_lens,
             dense_off=dense_off, mapq=mq2, quals=quals2, mate=mate2,
+            rg=read_group,
         )
         if sort:
             sam_io.sort_sam_file(sam_file)

@@ -43,7 +43,7 @@ from deepreadmapper_tpu.pipeline.search import (
 _REQ_KEYS = (
     "ef", "k", "k_clusters", "output_dir", "use_dynamic", "use_streaming",
     "rerank", "dense_rerank", "write_sam", "cigar", "mapq", "long_reads",
-    "qual", "sort", "bam", "mark_dups",
+    "qual", "sort", "bam", "mark_dups", "read_group",
 )
 
 

@@ -173,3 +173,41 @@ def test_longread_tags_reconstruct_reference(tmp_path):
     recon = _reconstruct_ref(seq, cigar, tags["MD"])
     assert recon == genome[pos - 1 : pos - 1 + len(recon)]
     assert int(tags["NM"]) >= 2  # the planted SNV + deletion at least
+
+
+def test_read_group_header_and_tags(tmp_path):
+    """--read-group: @RG in the header and RG:Z on every alignment line
+    (primary, secondary, unmapped), matching IDs."""
+    from deepreadmapper_tpu.io.sam import parse_read_group, write_sam
+
+    hdr, rid = parse_read_group("ID:run1,SM:sampleA,PL:ONT")
+    assert hdr == "@RG\tID:run1\tSM:sampleA\tPL:ONT\n" and rid == "run1"
+    with pytest.raises(ValueError):
+        parse_read_group("SM:no_id")
+
+    out = str(tmp_path / "o.sam")
+    write_sam(["ACGT", "GGGG"], ["q1", "q2"], [0, 2, -1, -1], "ref", 4, 2,
+              out, rg="ID:run1,SM:sampleA")
+    lines = open(out).read().splitlines()
+    assert any(l.startswith("@RG\tID:run1\tSM:sampleA") for l in lines)
+    body = [l for l in lines if not l.startswith("@")]
+    assert body and all(l.endswith("RG:Z:run1") for l in body), body
+
+
+def test_pipeline_read_group_e2e(tmp_path, data_dir):
+    from deepreadmapper_tpu.models.encoder import Vectorizer
+    from deepreadmapper_tpu.pipeline.build import build_index
+    from deepreadmapper_tpu.pipeline.search import run_pipeline
+
+    vec = Vectorizer(device_batch=2048)
+    prefix = str(tmp_path / "idx")
+    build_index(str(data_dir / "ecoli_150.fna"), prefix, 150,
+                index_type="FLAT", vectorizer=vec)
+    out = str(tmp_path / "out")
+    run_pipeline(prefix, str(data_dir / "test_data.fastq"),
+                 str(data_dir / "ecoli_150.fna"), k=4, output_dir=out,
+                 vectorizer=vec, read_group="ID:lane7,SM:ecoli")
+    lines = open(f"{out}/results.sam").read().splitlines()
+    assert any(l.startswith("@RG\tID:lane7") for l in lines)
+    body = [l for l in lines if not l.startswith("@")]
+    assert all("RG:Z:lane7" in l for l in body)
