@@ -264,6 +264,13 @@ def main(argv=None) -> int:
     if args.cmd == "pipeline":
         from deepreadmapper_tpu.pipeline.search import run_pipeline
 
+        if args.read_group:
+            # fail fast: a malformed read group would otherwise only raise
+            # inside the SAM writer, AFTER the whole embed+search ran
+            from deepreadmapper_tpu.io.sam import parse_read_group
+
+            parse_read_group(args.read_group)
+
         if args.distributed:
             from deepreadmapper_tpu.parallel.distributed import (
                 init_distributed,

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from typing import Iterable
 
+import re
+
 import numpy as np
 
 PREFIX_LEN = 1
@@ -45,12 +47,25 @@ def _pg_line(pg: str | None) -> str:
 def parse_read_group(rg: str | None) -> tuple[str, str]:
     """--read-group string -> (@RG header line, RG id).
 
-    Accepts comma- or tab-separated fields ("ID:s1,SM:sampleA,PL:ONT");
-    ID: is required (it is what every alignment line's RG:Z references —
-    the GATK-class tools refuse BAMs without it)."""
+    Accepts tab-separated fields (real tabs or bwa-style literal "\\t"
+    escapes: 'ID:x\\tSM:y'), falling back to comma-separated when no tab
+    is present ("ID:s1,SM:sampleA,PL:ONT" — use the tab form when a value
+    itself contains a comma).  Every field must be TAG:VALUE; ID: is
+    required (it is what every alignment line's RG:Z references — the
+    GATK-class tools refuse BAMs without it)."""
     if not rg:
         return "", ""
-    fields = [f for f in rg.replace(",", "\t").split("\t") if f]
+    rg = rg.replace("\\t", "\t")
+    sep = "\t" if "\t" in rg else ","
+    fields = [f.strip() for f in rg.split(sep) if f.strip()]
+    bad = [f for f in fields
+           if not re.fullmatch(r"[A-Za-z][A-Za-z0-9]:.+", f)]
+    if bad:
+        raise ValueError(
+            f"--read-group fields must be TAG:VALUE; malformed: {bad} "
+            "(a value containing a comma needs the tab-separated form, "
+            "e.g. 'ID:x\\tDS:lane 7, repeat 2')"
+        )
     rid = next((f[3:] for f in fields if f.startswith("ID:")), None)
     if not rid:
         raise ValueError(

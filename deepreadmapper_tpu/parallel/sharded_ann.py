@@ -521,14 +521,20 @@ class ShardedANNIndex:
 
     # ----------------------------------------------------------- ivf search
 
-    def _ivf_probe_fn(self, nprobe: int):
+    def _ivf_probe_fn(self, nprobe: int, approx: bool = False):
         """Coarse-quantizer probe on every shard: [Q, D] fp32 queries ->
         [Q, nprobe, S] int32 per-shard cluster ids.  Queries quantize to each
         shard's own scale (shards train independent coarse codebooks, like
         the per-shard PQ codebooks); the scale is computed on HOST over the
         FULL batch (qscale [S]) so every data position — and the single-chip
-        engine — quantizes identically."""
-        key = ("ivf_probe", nprobe)
+        engine — quantizes identically.  approx follows the single-chip
+        auto rule (nlist >= _APPROX_PROBE_NLIST): the fp32 full-sort top_k
+        costs ~5x there.  Dummy (padded) centroids carry +inf norms; if the
+        approximate selection ever surfaces one, the host plan clips it to
+        the shard's last real cluster and dup-redirects it to the empty
+        slab — the exact machinery that already absorbs cross-shard
+        nprobe overshoot."""
+        key = ("ivf_probe", nprobe, approx)
         fn = self._fns.get(key)
         if fn is not None:
             return fn
@@ -550,9 +556,13 @@ class ShardedANNIndex:
         def body(q, cent_s, cn_s, qscale_s, ratio_s):
             q8f = jnp.round(q / qscale_s[0])
             # qn is constant per row; padded dummy centroids carry +inf
-            # norms so top_k never selects them (nprobe <= real clusters)
+            # norms so selection avoids them (nprobe <= real clusters)
             d2 = cn_s[0][None, :] - 2.0 * ratio_s[0] * (q8f @ cent_s[0].T)
-            _, ids = jax.lax.top_k(-d2, nprobe)
+            if approx:
+                _, ids = jax.lax.approx_max_k(-d2, nprobe,
+                                              recall_target=0.99)
+            else:
+                _, ids = jax.lax.top_k(-d2, nprobe)
             return ids.astype(jnp.int32)[:, :, None]
 
         fn = jax.jit(
@@ -652,11 +662,11 @@ class ShardedANNIndex:
         self._fns[key] = fn
         return fn
 
-    def _ivfpq_probe_fn(self, nprobe: int):
+    def _ivfpq_probe_fn(self, nprobe: int, approx: bool = False):
         """IVFPQ probe: identical to the IVFINT8 probe plus the per-shard
         OPQ rotation applied BEFORE quantization (coarse centroids live in
         the rotated code space)."""
-        key = ("ivfpq_probe", nprobe)
+        key = ("ivfpq_probe", nprobe, approx)
         fn = self._fns.get(key)
         if fn is not None:
             return fn
@@ -679,7 +689,11 @@ class ShardedANNIndex:
         def body(q, cent_s, cn_s, qscale_s, ratio_s, rot_s):
             q8f = jnp.round((q @ rot_s[0]) / qscale_s[0])
             d2 = cn_s[0][None, :] - 2.0 * ratio_s[0] * (q8f @ cent_s[0].T)
-            _, ids = jax.lax.top_k(-d2, nprobe)
+            if approx:
+                _, ids = jax.lax.approx_max_k(-d2, nprobe,
+                                              recall_target=0.99)
+            else:
+                _, ids = jax.lax.top_k(-d2, nprobe)
             return ids.astype(jnp.int32)[:, :, None]
 
         fn = jax.jit(
@@ -804,9 +818,12 @@ class ShardedANNIndex:
         # ids probed past a smaller shard's real clusters are +inf-norm
         # dummies, clipped below and dup-redirected to the empty slab
         ccounts = [s.centroids.shape[0] for s in self.subs]
-        nprobe = int(
-            np.clip(ef if ef else 32, 1, self._global_max(max(ccounts)))
-        )
+        cmax = self._global_max(max(ccounts))
+        nprobe = int(np.clip(ef if ef else 32, 1, cmax))
+        # auto approx probe, same rule as the single-chip engines
+        from deepreadmapper_tpu.index.ivf_int8 import IVFInt8Index
+
+        approx = cmax >= IVFInt8Index._APPROX_PROBE_NLIST
         cap = self.subs[0].cap
         use_kern = self._ivf_kernel_ok()
         k_eff = min(k, self.ntotal)
@@ -817,8 +834,8 @@ class ShardedANNIndex:
         k_merge = min(k, self.mesh.shape["shard"] * k_local)
         pq_kind = self.kind == "ivfpq"
         probe_fn = (
-            self._ivfpq_probe_fn(nprobe) if pq_kind
-            else self._ivf_probe_fn(nprobe)
+            self._ivfpq_probe_fn(nprobe, approx) if pq_kind
+            else self._ivf_probe_fn(nprobe, approx)
         )
         # Host-side per-shard query quantization scales over the FULL batch
         # — every data position (and the single-chip engine, bit-for-bit)

@@ -104,13 +104,13 @@ def serve(
                         run_pipeline_paired,
                     )
 
+                    # derive from _REQ_KEYS (a hand-copied list drifted
+                    # once already — read_group was dropped here); only the
+                    # keys run_pipeline_paired has no parameter for are
+                    # excluded
                     pkw = {
                         kk: vv for kk, vv in kwargs.items()
-                        if kk in (
-                            "ef", "k", "k_clusters", "output_dir", "rerank",
-                            "dense_rerank", "write_sam", "mapq", "qual", "sort", "bam", "mark_dups",
-                            "cigar", "long_reads", "use_streaming",
-                        )
+                        if kk in set(_REQ_KEYS) - {"use_dynamic"}
                     }
                     for kk in ("max_isize", "min_isize", "rescue"):
                         if kk in req:

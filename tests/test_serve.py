@@ -113,3 +113,19 @@ def test_cli_serve_dispatch(idx, data_dir, monkeypatch, capsys):
     assert rc == 0
     outs = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
     assert outs[0]["ready"] and outs[1]["quit"]
+
+
+def test_paired_request_keys_match_paired_signature():
+    """The paired-path kwarg allowlist derives from _REQ_KEYS; every
+    forwarded key must be a real run_pipeline_paired parameter (the
+    hand-copied list drifted once — read_group was silently dropped)."""
+    import inspect
+
+    from deepreadmapper_tpu.pipeline.search import run_pipeline_paired
+    from deepreadmapper_tpu.pipeline.serve import _REQ_KEYS
+
+    params = set(inspect.signature(run_pipeline_paired).parameters)
+    forwarded = set(_REQ_KEYS) - {"use_dynamic"}
+    missing = forwarded - params
+    assert not missing, f"keys with no paired parameter: {missing}"
+    assert "read_group" in forwarded
