@@ -105,14 +105,18 @@ def main() -> None:
         return nq
 
     run_once()  # warmup/compile
-    # Best of 3: the host<->device tunnel's latency/bandwidth jitters by
-    # ~20% between runs; the best run reflects the pipeline's actual cost.
-    best = float("inf")
-    for _ in range(3):
+    # Variance protocol (VERDICT r3 weak #2): the tunnel's latency/bandwidth
+    # jitters 2x between runs, and three rounds of single-shot numbers
+    # drifted monotonically without being distinguishable from weather.
+    # Record ALL trials; headline = best (the pipeline's actual cost),
+    # median shows the spread.
+    e2e_times = []
+    for _ in range(5):
         t0 = time.time()
         run_once()
-        best = min(best, time.time() - t0)
-    qps = nq / best
+        e2e_times.append(time.time() - t0)
+    qps = nq / min(e2e_times)
+    qps_median = nq / float(np.median(e2e_times))
 
     # --- device-time metric: same fused compute, wire pre-uploaded, sync on
     # a small output slice (a full fetch would measure the tunnel: 8 MB at
@@ -123,15 +127,29 @@ def main() -> None:
             l2_topk(encode_packed(params, wire), ref, k)[1], nbits
         ).reshape(-1)
     )
-    wire_dev = jax.device_put(jnp.asarray(pack_wrapped(mat, lengths)))
-    np.asarray(fused_nodonate(vec.params, wire_dev, ref_dev)[:256])  # warmup
-    best_dev = float("inf")
-    for _ in range(3):
+    wire_host = pack_wrapped(mat, lengths)
+    wire_dev = jax.device_put(jnp.asarray(wire_host))
+    out = fused_nodonate(vec.params, wire_dev, ref_dev)
+    np.asarray(out[:256])  # warmup
+    dev_times = []
+    for _ in range(5):
         t0 = time.time()
         out = fused_nodonate(vec.params, wire_dev, ref_dev)
         np.asarray(out[:256])  # sync point: completion, not the download
-        best_dev = min(best_dev, time.time() - t0)
-    device_qps = nq / best_dev
+        dev_times.append(time.time() - t0)
+    device_qps = nq / min(dev_times)
+    device_qps_median = nq / float(np.median(dev_times))
+
+    # --- per-stage split: upload / device compute / download.  Upload and
+    # download are pure tunnel; compute is the kernel-regression signal.
+    t0 = time.time()
+    w2 = jax.device_put(jnp.asarray(wire_host))
+    np.asarray(w2[:8])  # upload completion (host fetch = only real sync)
+    t_upload = time.time() - t0
+    t_compute = float(np.median(dev_times))
+    t0 = time.time()
+    np.asarray(out)  # full result download (the e2e path unpacks this)
+    t_fetch = time.time() - t0
 
     t.cancel()  # success: a slow interpreter teardown must not emit the
     # watchdog's error record as a SECOND json line after this one
@@ -143,6 +161,15 @@ def main() -> None:
                 "unit": "queries/s",
                 "vs_baseline": round(qps / NOMINAL_BASELINE_QPS, 3),
                 "device_qps": round(device_qps, 1),
+                "qps_median": round(qps_median, 1),
+                "device_qps_median": round(device_qps_median, 1),
+                "e2e_trials_s": [round(x, 3) for x in e2e_times],
+                "device_trials_s": [round(x, 4) for x in dev_times],
+                "stage_s": {
+                    "upload": round(t_upload, 3),
+                    "compute": round(t_compute, 4),
+                    "fetch": round(t_fetch, 3),
+                },
             }
         )
     )

@@ -6,12 +6,16 @@ spent ~0.5 ms PER STEP on loop machinery (gathers, dynamic slices, per-step
 approx_max_k) against ~2 µs of real matmul+DMA work — the IVF engine came
 out SLOWER than the exhaustive fused scan it prunes (BENCH r3: 0.7x).
 
-This kernel runs the same plan as a Pallas grid, one step per grid cell:
+This kernel runs the same plan as a Pallas grid, GROUP steps per grid cell:
 
 * step -> slab DMA is driven by a SCALAR-PREFETCH index map
   (pltpu.PrefetchScalarGridSpec): the plan's step_slab array lives in SMEM
   and block index maps read it, so Mosaic double-buffers each step's slab
   block like any dense scan — the loop overhead disappears.
+* GROUP slabs run per grid cell, each as its OWN input stream (the same
+  HBM codes array bound GROUP times with per-g index maps), so 2*GROUP
+  slab DMAs stay in flight: the one-slab-per-step formulation was measured
+  DMA-overhead-bound at ~6 us/step (~27 GB/s effective vs ~800 GB/s HBM).
 * QTILE drops 128 -> 32: the plan pads each slab's queries to a tile, and
   at genome-scale fan-out most slabs see only tens of queries — 32 lanes
   of padding waste ~25% instead of ~75%.
@@ -48,12 +52,31 @@ QTK = 32     # queries per step (sublane multiple; 4x less pad waste than 128)
 KP = 128     # survivors per (query, probed slab): one per strided lane window
 _BIG = 3.4e38
 
+GROUP = 8    # max slabs per grid super-step (see _auto_group)
+
 
 INTERPRET = False  # tests flip this to run the kernel path on CPU
 
 
 def use_kernel() -> bool:
     return INTERPRET or jax.default_backend() == "tpu"
+
+
+def _auto_group(block_bytes: int) -> int:
+    """Slabs per grid super-step.
+
+    One slab per grid step was measured DMA-overhead-bound: ~6 us/step at
+    ~27 GB/s effective vs ~800 GB/s HBM peak (VERDICT r3 #1) — the fixed
+    per-step cost (DMA issue latency + pipeline bubble) dwarfs the ~1 us of
+    matmul.  Grouping G slabs into one grid cell gives each slab its OWN
+    input stream (a separate BlockSpec whose index map reads the scalar-
+    prefetched plan at i*G+g), so Mosaic keeps 2G slab DMAs in flight and
+    the fixed cost amortizes G-fold.  G shrinks when slabs are large so the
+    double-buffered streams stay within ~6 MB of the ~16 MB VMEM."""
+    g = GROUP
+    while g > 1 and 2 * g * block_bytes > 6 * 1024 * 1024:
+        g //= 2
+    return g
 
 
 def merge_windowed(vals, args, vals2, args2, slot_of, nprobe: int, k: int,
@@ -113,57 +136,95 @@ def _select_strided(s, slab, cap: int):
     return cur, arg, cur2, arg2
 
 
-def _int8_slab_kernel(slab_ref, rat_ref, q_ref, codes_ref, rn_ref,
-                      vals_ref, args_ref, vals2_ref, args2_ref, *,
-                      cap: int):
-    """One plan step: q_ref [1, QTK, D] int8, codes_ref [1, cap, D] int8
-    (block chosen by the scalar-prefetched slab id), rn_ref [1, 1, cap]
-    fp32 (+inf on empty slots; the middle singleton keeps the block's
-    sublane dim equal to the array's — Mosaic's (8,128) block rule),
-    rat_ref [1, 1] SMEM = 2*sq/sc."""
+def _int8_slab_kernel(slab_ref, rat_ref, q_ref, *refs, cap: int, group: int):
+    """One SUPER-step of `group` plan steps: q_ref [group, QTK, D] int8;
+    refs = group codes blocks ([1, cap, D] int8, block g chosen by the
+    scalar-prefetched slab id at i*group+g) + group rn blocks ([1, 1, cap]
+    fp32, +inf on empty slots; the middle singleton keeps the block's
+    sublane dim equal to the array's — Mosaic's (8,128) block rule) + the
+    four outputs ([group, QTK, KP]).  rat_ref [1, 1] SMEM = 2*sq/sc."""
     i = pl.program_id(0)
-    qbf = q_ref[0].astype(jnp.bfloat16)       # int8 values exact in bf16
-    cbf = codes_ref[0].astype(jnp.bfloat16)
-    dot = jax.lax.dot_general(
-        qbf, cbf,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [QTK, cap] exact
-    s = rn_ref[0] - rat_ref[0, 0] * dot       # [1, cap] broadcasts over QTK
-    vals, args, vals2, args2 = _select_strided(s, slab_ref[i], cap)
-    vals_ref[0] = vals
-    args_ref[0] = args
-    vals2_ref[0] = vals2
-    args2_ref[0] = args2
+    codes_refs = refs[:group]
+    rn_refs = refs[group:2 * group]
+    vals_ref, args_ref, vals2_ref, args2_ref = refs[2 * group:]
+    for g in range(group):
+        qbf = q_ref[g].astype(jnp.bfloat16)   # int8 values exact in bf16
+        cbf = codes_refs[g][0].astype(jnp.bfloat16)
+        dot = jax.lax.dot_general(
+            qbf, cbf,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [QTK, cap] exact
+        s = rn_refs[g][0] - rat_ref[0, 0] * dot  # [1, cap] broadcasts
+        vals, args, vals2, args2 = _select_strided(
+            s, slab_ref[i * group + g], cap
+        )
+        vals_ref[g] = vals
+        args_ref[g] = args
+        vals2_ref[g] = vals2
+        args2_ref[g] = args2
 
 
-@functools.partial(jax.jit, static_argnames=("cap", "interpret"))
+def _pad_steps(step_slab, qsteps, dump_slab: int, group: int):
+    """Pad the step list to a multiple of `group` with dump steps (dump
+    slab's rn is +inf so its scores never reach the merge; the padded
+    output rows are sliced off)."""
+    s_steps = qsteps.shape[0]
+    s_pad = -(-s_steps // group) * group
+    if s_pad == s_steps:
+        return step_slab, qsteps, s_steps
+    step_slab = jnp.concatenate([
+        step_slab,
+        jnp.full((s_pad - s_steps,), dump_slab, step_slab.dtype),
+    ])
+    qsteps = jnp.pad(qsteps, ((0, s_pad - s_steps), (0, 0), (0, 0)))
+    return step_slab, qsteps, s_steps
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "interpret", "group"))
 def ivf_slab_scan_int8(step_slab, qsteps, codes3, rn2, ratio2, cap: int,
-                       interpret: bool = False):
+                       interpret: bool = False, group: int | None = None):
     """step_slab [S] int32 (scalar prefetch), qsteps [S, QTK, D] int8
     (queries pre-gathered per step; dump rows are zeros), codes3
     [(n_slabs+1), cap, D] int8, rn2 [(n_slabs+1), cap] fp32, ratio2 scalar
     -> (vals, args, vals2, args2): best and second-best per strided
-    window, [S, QTK, KP] fp32 / int32 codes_cm row ids.
+    window, [S, QTK, KP] fp32 / int32 codes_cm row ids.  `group` slabs run
+    per grid cell (default _auto_group) to amortize per-step DMA overhead.
     """
-    s_steps, _, d = qsteps.shape
-    grid = (s_steps,)
-    return pl.pallas_call(
-        functools.partial(_int8_slab_kernel, cap=cap),
+    d = qsteps.shape[-1]
+    if group is None:
+        group = _auto_group(cap * (d + 4))
+    step_slab, qsteps, s_real = _pad_steps(
+        step_slab, qsteps, codes3.shape[0] - 1, group
+    )
+    s_steps = qsteps.shape[0]
+    grid = (s_steps // group,)
+
+    def _slab_map(g):
+        return lambda i, sref, g=g: (sref[i * group + g], 0, 0)
+
+    outs = pl.pallas_call(
+        functools.partial(_int8_slab_kernel, cap=cap, group=group),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, QTK, d), lambda i, sref: (i, 0, 0),
+                pl.BlockSpec((group, QTK, d), lambda i, sref: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, cap, d), lambda i, sref: (sref[i], 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, cap), lambda i, sref: (sref[i], 0, 0),
-                             memory_space=pltpu.VMEM),
+            ]
+            + [
+                pl.BlockSpec((1, cap, d), _slab_map(g),
+                             memory_space=pltpu.VMEM)
+                for g in range(group)
+            ]
+            + [
+                pl.BlockSpec((1, 1, cap), _slab_map(g),
+                             memory_space=pltpu.VMEM)
+                for g in range(group)
             ],
             out_specs=[
-                pl.BlockSpec((1, QTK, KP), lambda i, sref: (i, 0, 0),
+                pl.BlockSpec((group, QTK, KP), lambda i, sref: (i, 0, 0),
                              memory_space=pltpu.VMEM)
             ] * 4,
         ),
@@ -178,79 +239,118 @@ def ivf_slab_scan_int8(step_slab, qsteps, codes3, rn2, ratio2, cap: int,
         step_slab,
         jnp.asarray(ratio2, jnp.float32).reshape(1, 1),
         qsteps,
-        codes3,
-        rn2.reshape(rn2.shape[0], 1, rn2.shape[-1]) if rn2.ndim == 2 else rn2,
+        *([codes3] * group),
+        *(
+            [
+                rn2.reshape(rn2.shape[0], 1, rn2.shape[-1])
+                if rn2.ndim == 2
+                else rn2
+            ]
+            * group
+        ),
     )
+    return tuple(o[:s_real] for o in outs)
 
 
-def _pq_slab_kernel(slab_ref, rat_ref, q_ref, packed_ref, rn_ref, cent_ref,
-                    vals_ref, args_ref, vals2_ref, args2_ref, recon_ref, *,
-                    cap: int, m: int):
-    """IVFPQ step: packed_ref [mp, cap] int32 byte-packed codes (block
-    chosen by the scalar-prefetched slab id), cent_ref [m*ksub, dsub] bf16
-    int8-valued tables; the slab reconstructs into recon_ref [D, cap]
-    (transposed: the one-hot is [ksub, cap], contraction lands candidates
-    on lanes with zero in-kernel transposes — ops/scan_kernel.py trick)."""
+def _pq_slab_kernel(slab_ref, rat_ref, q_ref, *refs, cap: int, m: int,
+                    group: int):
+    """IVFPQ super-step: refs = group packed blocks ([1, mp, cap] int32
+    byte-packed codes, block g chosen by the scalar-prefetched slab id at
+    i*group+g) + group rn blocks + cent_ref [m*ksub, dsub] bf16 int8-valued
+    tables + the four outputs + recon_ref scratch [D, cap] bf16 (reused
+    sequentially across the group; transposed: the one-hot is [ksub, cap],
+    contraction lands candidates on lanes with zero in-kernel transposes —
+    ops/scan_kernel.py trick)."""
     i = pl.program_id(0)
+    packed_refs = refs[:group]
+    rn_refs = refs[group:2 * group]
+    cent_ref = refs[2 * group]
+    vals_ref, args_ref, vals2_ref, args2_ref, recon_ref = refs[2 * group + 1:]
     ksub = cent_ref.shape[0] // m
     dsub = cent_ref.shape[1]
-    for j in range(m):
-        byte = jnp.bitwise_and(
-            jax.lax.shift_right_logical(
-                packed_ref[0, j // 4 : j // 4 + 1, :], 8 * (j % 4)
-            ),
-            255,
-        )  # [1, cap] int32
-        oh_t = (
-            jax.lax.broadcasted_iota(jnp.int32, (ksub, cap), 0) == byte
-        ).astype(jnp.bfloat16)  # [ksub, cap]
-        part = jax.lax.dot_general(
-            cent_ref[j * ksub : (j + 1) * ksub, :], oh_t,
-            dimension_numbers=(((0,), (0,)), ((), ())),
+    for g in range(group):
+        for j in range(m):
+            byte = jnp.bitwise_and(
+                jax.lax.shift_right_logical(
+                    packed_refs[g][0, j // 4 : j // 4 + 1, :], 8 * (j % 4)
+                ),
+                255,
+            )  # [1, cap] int32
+            oh_t = (
+                jax.lax.broadcasted_iota(jnp.int32, (ksub, cap), 0) == byte
+            ).astype(jnp.bfloat16)  # [ksub, cap]
+            part = jax.lax.dot_general(
+                cent_ref[j * ksub : (j + 1) * ksub, :], oh_t,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [dsub, cap] exact int8-valued
+            recon_ref[j * dsub : (j + 1) * dsub, :] = part.astype(
+                jnp.bfloat16
+            )
+        qbf = q_ref[g].astype(jnp.bfloat16)
+        dot = jax.lax.dot_general(
+            qbf, recon_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [dsub, cap] exact int8-valued
-        recon_ref[j * dsub : (j + 1) * dsub, :] = part.astype(jnp.bfloat16)
-    qbf = q_ref[0].astype(jnp.bfloat16)
-    dot = jax.lax.dot_general(
-        qbf, recon_ref[...],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [QTK, cap] exact
-    s = rn_ref[0] - rat_ref[0, 0] * dot
-    vals, args, vals2, args2 = _select_strided(s, slab_ref[i], cap)
-    vals_ref[0] = vals
-    args_ref[0] = args
-    vals2_ref[0] = vals2
-    args2_ref[0] = args2
+        )  # [QTK, cap] exact
+        s = rn_refs[g][0] - rat_ref[0, 0] * dot
+        vals, args, vals2, args2 = _select_strided(
+            s, slab_ref[i * group + g], cap
+        )
+        vals_ref[g] = vals
+        args_ref[g] = args
+        vals2_ref[g] = vals2
+        args2_ref[g] = args2
 
 
-@functools.partial(jax.jit, static_argnames=("cap", "m", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("cap", "m", "interpret", "group")
+)
 def ivf_slab_scan_pq(step_slab, qsteps, packed3, rn2, cent2d, ratio2,
-                     cap: int, m: int, interpret: bool = False):
+                     cap: int, m: int, interpret: bool = False,
+                     group: int | None = None):
     """packed3 [(n_slabs+1), mp, cap] int32 byte-packed PQ codes (slab-major
     3D so the block index map picks whole slabs), cent2d [m*ksub, dsub] bf16;
     rest as ivf_slab_scan_int8."""
-    s_steps, _, d = qsteps.shape
+    d = qsteps.shape[-1]
     mp = packed3.shape[1]
-    grid = (s_steps,)
-    return pl.pallas_call(
-        functools.partial(_pq_slab_kernel, cap=cap, m=m),
+    if group is None:
+        group = _auto_group(cap * (mp * 4 + 4))
+    step_slab, qsteps, s_real = _pad_steps(
+        step_slab, qsteps, packed3.shape[0] - 1, group
+    )
+    s_steps = qsteps.shape[0]
+    grid = (s_steps // group,)
+
+    def _slab_map(g):
+        return lambda i, sref, g=g: (sref[i * group + g], 0, 0)
+
+    outs = pl.pallas_call(
+        functools.partial(_pq_slab_kernel, cap=cap, m=m, group=group),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, QTK, d), lambda i, sref: (i, 0, 0),
+                pl.BlockSpec((group, QTK, d), lambda i, sref: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, mp, cap), lambda i, sref: (sref[i], 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, cap), lambda i, sref: (sref[i], 0, 0),
-                             memory_space=pltpu.VMEM),
+            ]
+            + [
+                pl.BlockSpec((1, mp, cap), _slab_map(g),
+                             memory_space=pltpu.VMEM)
+                for g in range(group)
+            ]
+            + [
+                pl.BlockSpec((1, 1, cap), _slab_map(g),
+                             memory_space=pltpu.VMEM)
+                for g in range(group)
+            ]
+            + [
                 pl.BlockSpec(cent2d.shape, lambda i, sref: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((1, QTK, KP), lambda i, sref: (i, 0, 0),
+                pl.BlockSpec((group, QTK, KP), lambda i, sref: (i, 0, 0),
                              memory_space=pltpu.VMEM)
             ] * 4,
             scratch_shapes=[pltpu.VMEM((d, cap), jnp.bfloat16)],
@@ -266,7 +366,15 @@ def ivf_slab_scan_pq(step_slab, qsteps, packed3, rn2, cent2d, ratio2,
         step_slab,
         jnp.asarray(ratio2, jnp.float32).reshape(1, 1),
         qsteps,
-        packed3,
-        rn2.reshape(rn2.shape[0], 1, rn2.shape[-1]) if rn2.ndim == 2 else rn2,
+        *([packed3] * group),
+        *(
+            [
+                rn2.reshape(rn2.shape[0], 1, rn2.shape[-1])
+                if rn2.ndim == 2
+                else rn2
+            ]
+            * group
+        ),
         cent2d,
     )
+    return tuple(o[:s_real] for o in outs)

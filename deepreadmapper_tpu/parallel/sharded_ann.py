@@ -647,7 +647,11 @@ class ShardedANNIndex:
                 neg, sel = jax.lax.top_k(-cat_d, k_local)
                 d_cand = -neg
                 slots = jnp.take_along_axis(cat_i, sel, axis=1)
-            rows = rowid_s[0][slots]  # -1 for empty slots -> merge-masked
+            # -1 for empty slots -> merge-masked; the score mask also kills
+            # the kernel's UNSET second-best slots (arg2 initialized to the
+            # block-0 best with _BIG score — a real row id the rowid gather
+            # alone would let through as a duplicate with a huge distance)
+            rows = jnp.where(d_cand < _IVF_BIGF / 2, rowid_s[0][slots], -1)
             # quantized int-score -> fp32 squared L2 so shards with
             # different scales merge in one metric space
             d_loc = (d_cand + rat * rat * qn[:, None]) * (s * s)
@@ -775,7 +779,9 @@ class ShardedANNIndex:
                 neg, sel = jax.lax.top_k(-cat_d, k_local)
                 d_cand = -neg
                 slots = jnp.take_along_axis(cat_i, sel, axis=1)
-            rows = rowid_s[0][slots]
+            # score mask: see the IVFINT8 body — kills unset second-best
+            # kernel slots that would otherwise alias the block-0 best row
+            rows = jnp.where(d_cand < _IVF_BIGF / 2, rowid_s[0][slots], -1)
             d_loc = (d_cand + rat * rat * qn[:, None]) * (sc * sc)
             return merge(d_loc, rows)
 

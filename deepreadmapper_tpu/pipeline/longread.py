@@ -247,6 +247,7 @@ def map_long_reads(
     stride: int = 1,
     ids_to_base=None,
     base_to_dense=None,
+    timings: dict | None = None,
 ):
     """Map reads longer than one window.  Returns (ids, dists, mapq, supp):
     ids [nq, k] dense window ids of chained read-START placements (PAD_ID
@@ -265,11 +266,22 @@ def map_long_reads(
     base_to_dense(start, strand) -> dense output id: the two coordinate
     hops that make sparse (stride>1) and multi-record indexes chain in
     one global base space.  Defaults cover the single-record case."""
+    import time as _time
+
     if ids_to_base is None:
         ids_to_base = lambda w: w * stride  # noqa: E731
     if base_to_dense is None:
         base_to_dense = lambda s, r: 2 * s + r  # noqa: E731
     from deepreadmapper_tpu import tokenizer as tok
+
+    t_mark = _time.time()
+
+    def _lap(key):
+        nonlocal t_mark
+        now = _time.time()
+        if timings is not None:
+            timings[key] = timings.get(key, 0.0) + (now - t_mark)
+        t_mark = now
 
     chunk_lists = [chunk_read(len(s), ref_len) for s in seqs]
     # seqs are UNWRAPPED reads; chunks are embedded '<'-wrapped, the same
@@ -290,14 +302,18 @@ def map_long_reads(
             mat[r, 1 + chunk.size] = 0x3E  # '>'
             lengths[r] = chunk.size + 2
             r += 1
+    _lap("host_pack")
     if vectorizer.max_len == tok.MAX_LEN:
         emb = vectorizer.vectorize_wrapped_bytes(mat, lengths)
     else:
         tokens = tok.tokenize_bytes_fast(mat, lengths, vectorizer.max_len)
         emb = vectorizer.vectorize_tokens(tokens)
-    cand_ids, cand_d = engine.search(np.asarray(emb), kc, ef)
+    emb = np.asarray(emb)  # host fetch = the only real device sync
+    _lap("embed")
+    cand_ids, cand_d = engine.search(emb, kc, ef)
     cand_ids = np.asarray(cand_ids, np.int64)
     cand_d = np.asarray(cand_d)
+    _lap("search")
     # into base coordinates: 2*base_pos + strand, invalids pass through
     cand_ids = np.where(
         cand_ids >= 0,
@@ -362,4 +378,5 @@ def map_long_reads(
         v1 = sup[0]
         mapq[i] = int(np.clip(round(60.0 * (v1 - v2) / max(v1, 1e-12)),
                               0, 60))
+    _lap("chain")
     return ids, dists, mapq, supp

