@@ -250,6 +250,53 @@ def scan_probed_slabs(q8, codes_cm, rn_cm, step_cluster, step_qidx, ratio,
     return ds.reshape(-1, kp), rs.reshape(-1, kp)
 
 
+def device_plan(slabs, qtile: int, dump_slab: int):
+    """The host _build_plan, re-expressed in static-shape JAX for SMALL
+    batches: plan inversion ON DEVICE removes two tunnel round-trips (probe
+    download + plan upload, ~25-30 ms latency EACH) and the host inversion
+    from the serve-latency path — the whole search becomes ONE jitted
+    program.  The price is a static step count S = Q*nprobe (the true step
+    count is data-dependent); unused tail steps point at the dump slab,
+    which Mosaic's pipeline fetches once (consecutive identical block
+    index), so the waste is compute-only.  Callers bound Q*nprobe.
+
+    slabs [Q, nprobe] int32 (dups within a row NOT yet masked) ->
+    (step_slab [S] int32, qidx [S, qtile] int32 (dump row = Q), slot_of
+    [Q, nprobe] int32), same contract as _build_plan."""
+    q, nprobe = slabs.shape
+    n = q * nprobe
+    # duplicate slabs within a row -> dump (two probed clusters bin-packed
+    # into one slab must not be scanned twice for one query)
+    srt = jnp.sort(slabs, axis=1)
+    dup_srt = jnp.concatenate(
+        [jnp.zeros((q, 1), bool), srt[:, 1:] == srt[:, :-1]], axis=1
+    )
+    rank = jnp.argsort(slabs, axis=1, stable=True)
+    dup = jnp.zeros_like(dup_srt).at[
+        jnp.arange(q, dtype=jnp.int32)[:, None], rank
+    ].set(dup_srt)
+    slabs = jnp.where(dup, dump_slab, slabs)
+
+    flat = slabs.reshape(-1)
+    qs = jnp.repeat(jnp.arange(q, dtype=jnp.int32), nprobe)
+    order = jnp.argsort(flat, stable=True)
+    cs = flat[order]
+    qq = qs[order]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    new_slab = jnp.concatenate(
+        [jnp.ones(1, bool), cs[1:] != cs[:-1]]
+    )
+    seg_start = jax.lax.cummax(jnp.where(new_slab, idx, 0))
+    r = idx - seg_start
+    new_step = jnp.logical_or(new_slab, r % qtile == 0)
+    step_id = jnp.cumsum(new_step.astype(jnp.int32)) - 1  # [n]
+    step_slab = jnp.full(n, dump_slab, jnp.int32).at[step_id].set(cs)
+    slot = step_id * qtile + r % qtile
+    qidx = jnp.full(n * qtile, q, jnp.int32).at[slot].set(qq)
+    slot_of = jnp.zeros(n, jnp.int32).at[order].set(slot)
+    return step_slab, qidx.reshape(n, qtile), slot_of.reshape(q, nprobe)
+
+
 @register_index("IVFINT8")
 class IVFInt8Index:
     """Cluster-pruned int8 scan (sub-linear; `ef` acts as nprobe)."""
@@ -266,6 +313,7 @@ class IVFInt8Index:
         self.n_slabs = int(n_slabs)     # excludes the trailing empty slab
         self.nlist = centroids.shape[0]
         self._dev = None
+        self._slabdev = None
         self._fns: dict = {}
 
     # ------------------------------------------------------------- build
@@ -422,26 +470,111 @@ class IVFInt8Index:
             fn = self._fns[key] = scan
         return fn
 
+    def _slab_dev(self):
+        """Cluster -> slab map on device (tiny; the fused small-batch path
+        maps probe output to slabs in-program)."""
+        if self._slabdev is None:
+            self._slabdev = jnp.asarray(self.slab_of.astype(np.int32))
+        return self._slabdev
+
+    def _kernel_extras(self) -> tuple:
+        """Extra device arrays the engine's kernel needs (IVFPQ: centroid
+        tables).  Passed as REAL jit arguments, never closure captures —
+        the multi-process rule (CLAUDE.md #14) kept uniform."""
+        return ()
+
+    def _kernel_scan(self, step_slab, qsteps, c, rn, ratio, *extras):
+        """Engine-specific Pallas slab scan (IVFPQ overrides with the PQ
+        reconstruction kernel) — trace-level, shared by the host-plan and
+        fused paths."""
+        from deepreadmapper_tpu.ops import ivf_kernel as ik
+
+        return ik.ivf_slab_scan_int8(
+            step_slab, qsteps, c, rn, 2.0 * ratio, self.cap,
+            interpret=ik.INTERPRET,
+        )
+
     def _kernel_fn(self, k: int, nprobe: int):
         """Jitted Pallas slab-scan + slot merge (ops/ivf_kernel.py): the
         query gather, kernel, slot gather and top-k run as ONE program per
-        (k, nprobe, s_pad-bucket) signature."""
+        (k, nprobe, s_pad-bucket) signature.  The plan rides as ONE packed
+        int32 upload and results return as ONE packed int32 download
+        (bitcast fp32 distances + ids) — each saved transfer is ~25-30 ms
+        of tunnel latency."""
         key = ("kscan", k, nprobe)
         fn = self._fns.get(key)
         if fn is None:
             from deepreadmapper_tpu.ops import ivf_kernel as ik
 
-            cap = self.cap
+            scan = self._kernel_scan
 
             @jax.jit
-            def run(step_slab, q8_pad, qidx, codes3, rn2, slot_of, ratio):
-                qsteps = q8_pad[qidx]  # [s_pad, QTK, D] int8 gather
-                vals, args, vals2, args2 = ik.ivf_slab_scan_int8(
-                    step_slab, qsteps, codes3, rn2, 2.0 * ratio, cap,
-                    interpret=ik.INTERPRET,
+            def run(plan, q8_pad, codes3, rn2, ratio, *extras):
+                q = q8_pad.shape[0] - 1
+                s_pad = (plan.shape[0] - q * nprobe) // (1 + ik.QTK)
+                step_slab = plan[:s_pad]
+                qidx = plan[s_pad:s_pad * (1 + ik.QTK)].reshape(
+                    s_pad, ik.QTK
                 )
-                return ik.merge_windowed(
+                slot_of = plan[s_pad * (1 + ik.QTK):].reshape(q, nprobe)
+                qsteps = q8_pad[qidx]  # [s_pad, QTK, D] int8 gather
+                vals, args, vals2, args2 = scan(
+                    step_slab, qsteps, codes3, rn2, ratio, *extras
+                )
+                d, i = ik.merge_windowed(
                     vals, args, vals2, args2, slot_of, nprobe, k
+                )
+                return jnp.concatenate(
+                    [jax.lax.bitcast_convert_type(d, jnp.int32), i], axis=1
+                )
+
+            fn = self._fns[key] = run
+        return fn
+
+    # fused-path bound on Q*nprobe: the device plan's static step count is
+    # Q*nprobe, so tail waste (dump-slab steps) must stay small; 8192 steps
+    # of worst-case re-DMA is ~10 ms even if Mosaic refetches the dump slab
+    _FUSED_MAX_PAIRS = 8192
+
+    def _fused_fn(self, k: int, nprobe: int, approx: bool):
+        """ONE jitted program for serve-size batches: probe -> device_plan
+        -> slab-scan kernel -> merge -> packed output.  Removes the probe
+        download, the host inversion, and the plan upload from the latency
+        path (~60-80 ms of tunnel latency per request at batch 128)."""
+        key = ("fused", k, nprobe, approx)
+        fn = self._fns.get(key)
+        if fn is None:
+            from deepreadmapper_tpu.ops import ivf_kernel as ik
+
+            scan = self._kernel_scan
+            n_slabs = self.n_slabs
+
+            @jax.jit
+            def run(q8, codes3, rn2, cent, cn, slab_dev, ratio, *extras):
+                q8f = q8.astype(jnp.float32)
+                d2 = cn[None, :] - 2.0 * ratio * (q8f @ cent.T)
+                if approx:
+                    _, pids = jax.lax.approx_max_k(
+                        -d2, nprobe, recall_target=0.99
+                    )
+                else:
+                    _, pids = jax.lax.top_k(-d2, nprobe)
+                slabs = slab_dev[pids.astype(jnp.int32)]
+                step_slab, qidx, slot_of = device_plan(
+                    slabs, ik.QTK, n_slabs
+                )
+                q8_pad = jnp.concatenate(
+                    [q8, jnp.zeros((1, q8.shape[1]), jnp.int8)]
+                )
+                qsteps = q8_pad[qidx]
+                vals, args, vals2, args2 = scan(
+                    step_slab, qsteps, codes3, rn2, ratio, *extras
+                )
+                d, i = ik.merge_windowed(
+                    vals, args, vals2, args2, slot_of, nprobe, k
+                )
+                return jnp.concatenate(
+                    [jax.lax.bitcast_convert_type(d, jnp.int32), i], axis=1
                 )
 
             fn = self._fns[key] = run
@@ -480,10 +613,17 @@ class IVFInt8Index:
         counts = np.bincount(cs, minlength=self.n_slabs + 1)
         steps_per = -(-counts // qtile)
         s_real = int(steps_per.sum())
-        # geometric bucket: power-of-two steps, floor 64
+        # step bucket: geometric to 1024, then 1024-multiples.  Pure
+        # power-of-two padding wasted up to ~33% of the kernel's slab reads
+        # (pad steps re-scan slab 0) at the measured 40M/nprobe=32 point;
+        # 1024-granularity buckets cap the waste at <10% for a bounded
+        # number of compile signatures (compiles through the remote service
+        # cost tens of seconds each and don't cache across processes)
         s_pad = 64
-        while s_pad < s_real:
+        while s_pad < s_real and s_pad < 1024:
             s_pad *= 2
+        if s_pad < s_real:
+            s_pad = -(-s_real // 1024) * 1024
         step_cluster = np.zeros(s_pad, np.int32)
         used = counts > 0
         step_cluster[:s_real] = np.repeat(
@@ -548,9 +688,7 @@ class IVFInt8Index:
         q8_all = quantize_host(queries, sq)
         qn_all = (q8_all.astype(np.int64) ** 2).sum(1).astype(np.float32)
         probe_fn = self._probe_fn(nprobe, approx=approx_probe)
-        if use_k:
-            kfn = self._kernel_fn(k_scan, nprobe)
-        else:
+        if not use_k:
             scan_fn = self._scan_fn(k_scan, kp, nprobe)
         s2 = np.float32(self.scale) ** 2
         r2 = np.float32(ratio) ** 2
@@ -560,28 +698,58 @@ class IVFInt8Index:
         for s in range(0, nq, q_batch):
             e = min(s + q_batch, nq)
             q8 = q8_all[s:e]
-            probe = np.asarray(
-                probe_fn(jnp.asarray(q8, jnp.float32), cent, cn,
-                         jnp.float32(ratio))
-            )
-            step_cluster, qidx, slot_of = self._build_plan(
-                probe, ik.QTK if use_k else QTILE
-            )
-            q8_pad = np.concatenate([q8, np.zeros((1, q8.shape[1]), np.int8)])
-            if use_k:
-                d_b, i_b = kfn(
-                    jnp.asarray(step_cluster), jnp.asarray(q8_pad),
-                    jnp.asarray(qidx), c, rn, jnp.asarray(slot_of),
-                    jnp.float32(ratio),
+            if use_k and (e - s) * nprobe <= self._FUSED_MAX_PAIRS:
+                # serve-size batch: the whole search is one jitted program
+                # (probe + device-side plan + kernel + merge), one upload,
+                # one packed download
+                ffn = self._fused_fn(k_scan, nprobe, approx_probe)
+                di = np.asarray(ffn(
+                    jnp.asarray(q8), c, rn, cent, cn, self._slab_dev(),
+                    jnp.float32(ratio), *self._kernel_extras(),
+                ))
+                d_b = np.ascontiguousarray(di[:, :k_scan]).view(np.float32)
+                i_b = di[:, k_scan:]
+            elif use_k:
+                probe = np.asarray(
+                    probe_fn(jnp.asarray(q8, jnp.float32), cent, cn,
+                             jnp.float32(ratio))
                 )
+                step_cluster, qidx, slot_of = self._build_plan(
+                    probe, ik.QTK
+                )
+                q8_pad = np.concatenate(
+                    [q8, np.zeros((1, q8.shape[1]), np.int8)]
+                )
+                kfn = self._kernel_fn(k_scan, nprobe)
+                plan = np.concatenate([
+                    step_cluster.astype(np.int32),
+                    qidx.ravel().astype(np.int32),
+                    slot_of.ravel().astype(np.int32),
+                ])
+                di = np.asarray(kfn(
+                    jnp.asarray(plan), jnp.asarray(q8_pad), c, rn,
+                    jnp.float32(ratio), *self._kernel_extras(),
+                ))
+                d_b = np.ascontiguousarray(di[:, :k_scan]).view(np.float32)
+                i_b = di[:, k_scan:]
             else:
+                probe = np.asarray(
+                    probe_fn(jnp.asarray(q8, jnp.float32), cent, cn,
+                             jnp.float32(ratio))
+                )
+                step_cluster, qidx, slot_of = self._build_plan(
+                    probe, QTILE
+                )
+                q8_pad = np.concatenate(
+                    [q8, np.zeros((1, q8.shape[1]), np.int8)]
+                )
                 d_b, i_b = scan_fn(
                     jnp.asarray(q8_pad), c, rn, jnp.asarray(step_cluster),
                     jnp.asarray(qidx), jnp.asarray(slot_of),
                     jnp.float32(ratio),
                 )
-            d_b = np.asarray(d_b)
-            i_b = np.asarray(i_b)
+                d_b = np.asarray(d_b)
+                i_b = np.asarray(i_b)
             # slot ids -> original row ids; unfilled (-1 / empty-slot hits)
             valid = (i_b >= 0) & (d_b < _BIGF / 2)
             ids = np.where(valid, self.row_ids[np.maximum(i_b, 0)], -1)

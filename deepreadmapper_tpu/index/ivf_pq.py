@@ -50,7 +50,6 @@ from deepreadmapper_tpu.config import BuildConfig
 from deepreadmapper_tpu.index.ivf_int8 import (
     _BIGF,
     IVFInt8Index,
-    _assign_nearest,
     _kmeans_coarse,
     _split_and_pack,
     auto_nlist,
@@ -63,6 +62,42 @@ def _recon_int8_host(codes: np.ndarray, cent8: np.ndarray) -> np.ndarray:
     """[n, m] uint8 codes -> [n, d] int8 reconstruction (host gather)."""
     parts = [cent8[j][codes[:, j].astype(np.int64)] for j in range(cent8.shape[0])]
     return np.concatenate(parts, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _assign_nearest_pq(codes, cent8_bf, cent_bf, cn, chunk: int):
+    """Nearest coarse centroid per PQ row, reconstruction ON DEVICE.
+
+    The host-recon + fp32 path uploaded 64 B/row of int8 reconstructions
+    (32 GB at the 500M-row tier, ~15 min of tunnel) and ran the [chunk,
+    nlist] distance matmul in fp32 (3x the bf16 MXU rate).  Here the raw
+    [N, m] uint8 codes upload at 8 B/row and each chunk reconstructs via
+    the per-subspace one-hot contraction (the pq_flat trick); the distance
+    matmul runs bf16 with fp32 accumulation — the reconstruction side is
+    EXACT (int8 values), only the centroid side rounds to bf16, which can
+    flip genuinely-boundary rows between near-equidistant clusters (the
+    probe ranks those clusters together, so coverage is unaffected)."""
+    n, m = codes.shape
+    ksub = cent8_bf.shape[1]
+
+    def step(_, cc):
+        parts = []
+        for j in range(m):
+            oh = (
+                cc[:, j:j + 1].astype(jnp.int32)
+                == jax.lax.broadcasted_iota(jnp.int32, (chunk, ksub), 1)
+            ).astype(jnp.bfloat16)
+            parts.append(oh @ cent8_bf[j])  # [chunk, dsub] exact int8
+        r = jnp.concatenate(parts, axis=1)
+        d2 = cn[None, :] - 2.0 * jax.lax.dot_general(
+            r, cent_bf,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return 0, jnp.argmin(d2, axis=-1).astype(jnp.int32)
+
+    _, out = jax.lax.scan(step, 0, codes.reshape(n // chunk, chunk, m))
+    return out.reshape(n)
 
 
 def pack_codes_t(codes_cm: np.ndarray) -> np.ndarray:
@@ -213,20 +248,29 @@ class IVFPQIndex(IVFInt8Index):
             _kmeans_coarse(jnp.asarray(sample), jnp.asarray(init), nlist, 15)
         )
 
-        # --- nearest-cluster assignment: reconstruct + assign per chunk
-        # (the full [N, d] int8 reconstruction would be 16x the codes'
-        # footprint at m=8 — the thing PQ exists to avoid) ---
+        # --- nearest-cluster assignment: raw codes upload (8 B/row),
+        # reconstruction + bf16 distance matmul ON DEVICE (_assign_nearest_pq
+        # docstring) — at the 500M-row tier this is 8x less tunnel and ~3x
+        # less MXU time than the host-recon fp32 path ---
         chunk = 8192
         assign = np.empty(n, np.int32)
-        cent_dev = jnp.asarray(cent0)
-        for s in range(0, n, chunk * 64):
-            e = min(s + chunk * 64, n)
-            r8 = _recon_int8_host(codes[s:e], cb8.cent8)
-            pad = (-r8.shape[0]) % chunk
+        cent8_bf = jnp.asarray(cb8.cent8.astype(np.float32), jnp.bfloat16)
+        cent_bf = jnp.asarray(cent0, jnp.bfloat16)
+        cn_dev = jnp.asarray((cent0 * cent0).sum(-1).astype(np.float32))
+        slice_rows = chunk * 4096  # ~256 MB of codes per upload at m=8
+        for s in range(0, n, slice_rows):
+            e = min(s + slice_rows, n)
+            cc = np.ascontiguousarray(codes[s:e])
+            pad = (-cc.shape[0]) % chunk
             if pad:
-                r8 = np.concatenate([r8, np.zeros((pad, d), np.int8)])
+                cc = np.concatenate(
+                    [cc, np.zeros((pad, cc.shape[1]), np.uint8)]
+                )
             assign[s:e] = np.asarray(
-                _assign_nearest(jnp.asarray(r8), cent_dev, min(chunk, r8.shape[0]))
+                _assign_nearest_pq(
+                    jnp.asarray(cc), cent8_bf, cent_bf, cn_dev,
+                    min(chunk, cc.shape[0]),
+                )
             )[: e - s]
 
         # --- split oversized clusters, bin-pack into slabs, lay out ---
@@ -293,41 +337,24 @@ class IVFPQIndex(IVFInt8Index):
             self._fns["scan_form"] = flat
         return flat, rn.reshape(-1)
 
-    def _kernel_fn(self, k: int, nprobe: int):
-        """IVFPQ Pallas slab-scan + slot merge: the int8 kernel fn with
-        in-kernel PQ reconstruction (ops/ivf_kernel.ivf_slab_scan_pq)."""
-        key = ("kscan", k, nprobe)
-        fn = self._fns.get(key)
-        if fn is None:
-            from deepreadmapper_tpu.ops import ivf_kernel as ik
+    def _kernel_extras(self) -> tuple:
+        """The int8-valued centroid tables ride the base-class kernel/fused
+        programs as a REAL jit argument (never a closure capture — illegal
+        across processes, CLAUDE.md #14)."""
+        self._device()  # materializes _cent_dev
+        return (self._cent_dev,)
 
-            cap = self.cap
-            m = self.codes_cm.shape[1]
+    def _kernel_scan(self, step_slab, qsteps, c, rn, ratio, cent_bf):
+        """IVFPQ Pallas slab scan: in-kernel PQ reconstruction
+        (ops/ivf_kernel.ivf_slab_scan_pq) under the base-class plan/merge
+        machinery (host-plan, fused device-plan, packed I/O)."""
+        from deepreadmapper_tpu.ops import ivf_kernel as ik
 
-            @jax.jit
-            def run(step_slab, q8_pad, qidx, packed3, rn2, cent_bf, slot_of,
-                    ratio):
-                qsteps = q8_pad[qidx]  # [s_pad, QTK, D] int8 gather
-                vals, args, vals2, args2 = ik.ivf_slab_scan_pq(
-                    step_slab, qsteps, packed3, rn2,
-                    cent_bf.reshape(-1, cent_bf.shape[-1]), 2.0 * ratio,
-                    cap, m, interpret=ik.INTERPRET,
-                )
-                return ik.merge_windowed(
-                    vals, args, vals2, args2, slot_of, nprobe, k
-                )
-
-            jit_run = run
-
-            def fn(step_slab, q8_pad, qidx, c, rn, slot_of, ratio):
-                # base-class calling convention; the centroid tables ride
-                # as a real argument (never a closure capture — illegal
-                # across processes, CLAUDE.md #14)
-                return jit_run(step_slab, q8_pad, qidx, c, rn,
-                               self._cent_dev, slot_of, ratio)
-
-            self._fns[key] = fn
-        return fn
+        return ik.ivf_slab_scan_pq(
+            step_slab, qsteps, c, rn,
+            cent_bf.reshape(-1, cent_bf.shape[-1]), 2.0 * ratio,
+            self.cap, self.codes_cm.shape[1], interpret=ik.INTERPRET,
+        )
 
     # ------------------------------------------------------------ search
 

@@ -104,6 +104,21 @@ def merge_windowed(vals, args, vals2, args2, slot_of, nprobe: int, k: int,
     return -neg, jnp.take_along_axis(cat_i, sel, axis=1)
 
 
+def _fold_strided(blk, cand, state):
+    """Fold one KP-wide lane window into the running (best, second-best)
+    state — the incremental form of _select_strided's ladder, shared by the
+    one-shot int8 path and the cap-chunked PQ path so the selection
+    semantics cannot drift."""
+    cur, arg, cur2, arg2 = state
+    upd = blk < cur
+    upd2 = jnp.logical_and(jnp.logical_not(upd), blk < cur2)
+    arg2 = jnp.where(upd, arg, jnp.where(upd2, cand, arg2))
+    cur2 = jnp.where(upd, cur, jnp.where(upd2, blk, cur2))
+    arg = jnp.where(upd, cand, arg)
+    cur = jnp.where(upd, blk, cur)
+    return cur, arg, cur2, arg2
+
+
 def _select_strided(s, slab, cap: int):
     """[QTK, cap] scores -> (vals, args, vals2, args2), each [QTK, KP]:
     the BEST and SECOND-BEST score per strided lane window (survivor k
@@ -252,15 +267,27 @@ def ivf_slab_scan_int8(step_slab, qsteps, codes3, rn2, ratio2, cap: int,
     return tuple(o[:s_real] for o in outs)
 
 
+CCHUNK = 7680  # PQ recon/score tile width (lanes): bounds the in-kernel
+# [ksub, CCHUNK] one-hot (3.9 MB bf16) and [D, CCHUNK] recon scratch so
+# caps far beyond VMEM (76k+ at the 500M-row tier) still compile
+
+
 def _pq_slab_kernel(slab_ref, rat_ref, q_ref, *refs, cap: int, m: int,
                     group: int):
     """IVFPQ super-step: refs = group packed blocks ([1, mp, cap] int32
     byte-packed codes, block g chosen by the scalar-prefetched slab id at
     i*group+g) + group rn blocks + cent_ref [m*ksub, dsub] bf16 int8-valued
-    tables + the four outputs + recon_ref scratch [D, cap] bf16 (reused
-    sequentially across the group; transposed: the one-hot is [ksub, cap],
-    contraction lands candidates on lanes with zero in-kernel transposes —
-    ops/scan_kernel.py trick)."""
+    tables + the four outputs + recon_ref scratch [D, CCHUNK] bf16 (reused
+    sequentially across group and cap-chunks; transposed: the one-hot is
+    [ksub, chunk], contraction lands candidates on lanes with zero
+    in-kernel transposes — ops/scan_kernel.py trick).
+
+    The cap axis is processed in CCHUNK-wide column chunks with the running
+    best/second-best folded incrementally (_fold_strided): at the 500M-row
+    tier cap reaches 76k+ and the one-shot [ksub, cap] one-hot (39 MB bf16)
+    cannot exist in VMEM.  Chunk widths stay KP multiples (cap and CCHUNK
+    both are), so the strided-window structure is unchanged and the fold
+    order equals _select_strided's — bit-identical selection."""
     i = pl.program_id(0)
     packed_refs = refs[:group]
     rn_refs = refs[group:2 * group]
@@ -269,38 +296,45 @@ def _pq_slab_kernel(slab_ref, rat_ref, q_ref, *refs, cap: int, m: int,
     ksub = cent_ref.shape[0] // m
     dsub = cent_ref.shape[1]
     for g in range(group):
-        for j in range(m):
-            byte = jnp.bitwise_and(
-                jax.lax.shift_right_logical(
-                    packed_refs[g][0, j // 4 : j // 4 + 1, :], 8 * (j % 4)
-                ),
-                255,
-            )  # [1, cap] int32
-            oh_t = (
-                jax.lax.broadcasted_iota(jnp.int32, (ksub, cap), 0) == byte
-            ).astype(jnp.bfloat16)  # [ksub, cap]
-            part = jax.lax.dot_general(
-                cent_ref[j * ksub : (j + 1) * ksub, :], oh_t,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [dsub, cap] exact int8-valued
-            recon_ref[j * dsub : (j + 1) * dsub, :] = part.astype(
-                jnp.bfloat16
-            )
         qbf = q_ref[g].astype(jnp.bfloat16)
-        dot = jax.lax.dot_general(
-            qbf, recon_ref[...],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [QTK, cap] exact
-        s = rn_refs[g][0] - rat_ref[0, 0] * dot
-        vals, args, vals2, args2 = _select_strided(
-            s, slab_ref[i * group + g], cap
-        )
-        vals_ref[g] = vals
-        args_ref[g] = args
-        vals2_ref[g] = vals2
-        args2_ref[g] = args2
+        base = slab_ref[i * group + g] * cap
+        lane = jax.lax.broadcasted_iota(jnp.int32, (QTK, KP), 1)
+        state = None
+        for c0 in range(0, cap, CCHUNK):
+            w = min(CCHUNK, cap - c0)
+            for j in range(m):
+                byte = jnp.bitwise_and(
+                    jax.lax.shift_right_logical(
+                        packed_refs[g][0, j // 4 : j // 4 + 1, c0:c0 + w],
+                        8 * (j % 4),
+                    ),
+                    255,
+                )  # [1, w] int32
+                oh_t = (
+                    jax.lax.broadcasted_iota(jnp.int32, (ksub, w), 0) == byte
+                ).astype(jnp.bfloat16)  # [ksub, w]
+                part = jax.lax.dot_general(
+                    cent_ref[j * ksub : (j + 1) * ksub, :], oh_t,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [dsub, w] exact int8-valued
+                recon_ref[j * dsub : (j + 1) * dsub, :w] = part.astype(
+                    jnp.bfloat16
+                )
+            dot = jax.lax.dot_general(
+                qbf, recon_ref[:, :w],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [QTK, w] exact
+            s = rn_refs[g][0, :, c0:c0 + w] - rat_ref[0, 0] * dot
+            for j2 in range(w // KP):
+                blk = s[:, j2 * KP : (j2 + 1) * KP]
+                cand = base + c0 + j2 * KP + lane
+                if state is None:
+                    state = (blk, cand, jnp.full_like(blk, _BIG), cand)
+                else:
+                    state = _fold_strided(blk, cand, state)
+        vals_ref[g], args_ref[g], vals2_ref[g], args2_ref[g] = state
 
 
 @functools.partial(
@@ -353,7 +387,9 @@ def ivf_slab_scan_pq(step_slab, qsteps, packed3, rn2, cent2d, ratio2,
                 pl.BlockSpec((group, QTK, KP), lambda i, sref: (i, 0, 0),
                              memory_space=pltpu.VMEM)
             ] * 4,
-            scratch_shapes=[pltpu.VMEM((d, cap), jnp.bfloat16)],
+            scratch_shapes=[
+                pltpu.VMEM((d, min(cap, CCHUNK)), jnp.bfloat16)
+            ],
         ),
         out_shape=[
             jax.ShapeDtypeStruct((s_steps, QTK, KP), jnp.float32),

@@ -695,7 +695,11 @@ def build_index(
 
         shutil.copyfile(weights, os.path.join(index_prefix, "encoder.npz"))
         config["weights"] = "encoder.npz"
-    save_config(config, index_prefix)
+    # config.txt is the "build complete" sentinel (load_index and the
+    # bench/resume paths probe it) — it must be written AFTER the engine
+    # files land, or a crash mid-build leaves a config with no engine
+    # behind it (observed: killed between the stream finishing and the
+    # coarse build at the 500M-row tier)
 
     if pq_stream:
         from deepreadmapper_tpu.index.pq_flat import PQFlatIndex
@@ -723,6 +727,7 @@ def build_index(
         else:
             engine = PQFlatIndex(codes, cb, n, rot)
         engine.save(index_prefix)
+        save_config(config, index_prefix)
         _drop_cache(cache, codes)
         return config
 
@@ -748,6 +753,7 @@ def build_index(
                     codes, int8_scale, cfg
                 )
             engine.save(index_prefix)
+            save_config(config, index_prefix)
             _drop_cache(cache, embeddings)
             return config
         if n_shards > 1:
@@ -759,6 +765,7 @@ def build_index(
         else:
             engine = Int8FlatIndex(codes, int8_scale, n)
         engine.save(index_prefix)
+        save_config(config, index_prefix)
         _drop_cache(cache, embeddings)
         return config
 
@@ -769,6 +776,7 @@ def build_index(
         mesh = make_mesh(n_shard=n_shards)
         engine = ShardedANNIndex.build(embeddings, mesh, cfg, index_type)
         engine.save(index_prefix)
+        save_config(config, index_prefix)
         return config
 
     from deepreadmapper_tpu.index.registry import _REGISTRY
@@ -776,4 +784,5 @@ def build_index(
     cls = _REGISTRY[index_type]
     engine = cls.build(embeddings, cfg) if hasattr(cls, "build") else cls(embeddings)
     engine.save(index_prefix)
+    save_config(config, index_prefix)
     return config

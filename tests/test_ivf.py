@@ -232,6 +232,27 @@ def test_kernel_windowed_selection_large_cap(clustered, monkeypatch):
     assert recall >= 0.85, recall
 
 
+def test_fused_device_plan_matches_host_plan(clustered, monkeypatch):
+    """The fused small-batch path (probe + device_plan + kernel in ONE
+    program) must return exactly what the host-plan kernel path returns:
+    device_plan re-expresses _build_plan, so every (query, probe) pair
+    scans the same slab through the same windowed selection."""
+    from deepreadmapper_tpu.ops import ivf_kernel as ik
+
+    monkeypatch.setattr(ik, "INTERPRET", True)
+    x = clustered
+    q = x[:48] + np.float32(0.01)
+    idx = IVFInt8Index.build(x)
+    nprobe = max(4, idx.nlist // 4)
+    assert idx._use_kernel()
+    assert len(q) * nprobe <= idx._FUSED_MAX_PAIRS  # fused eligible
+    i_f, d_f = idx.search(q, 10, ef=nprobe)
+    monkeypatch.setattr(IVFInt8Index, "_FUSED_MAX_PAIRS", 0)  # force host
+    i_h, d_h = idx.search(q, 10, ef=nprobe)
+    np.testing.assert_array_equal(i_f, i_h)
+    np.testing.assert_allclose(d_f, d_h, rtol=0, atol=0)
+
+
 def test_exact_escape_under_kernel_layout(clustered, monkeypatch):
     """search(exact=True) must work when the device cache holds the kernel
     layout — it is the advertised parity escape from the windowed top-2."""
