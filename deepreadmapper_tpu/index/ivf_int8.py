@@ -641,11 +641,39 @@ class IVFInt8Index:
             q, nprobe
         )
 
+    def _slab_fill_counts(self):
+        """Real (non-empty) rows per slab — the denominator-side of the
+        search-effort counters."""
+        if getattr(self, "_slabfill", None) is None:
+            self._slabfill = (
+                (self.row_ids >= 0).reshape(-1, self.cap).sum(1)
+            ).astype(np.int64)
+        return self._slabfill
+
+    def _accum_stats(self, stats: dict, probe: np.ndarray, nprobe: int):
+        """Accumulate per-batch effort counters from the probe set (dups
+        within a row scan nothing extra, mirroring the plan's dedup)."""
+        fill = self._slab_fill_counts()
+        slabs = np.sort(self.slab_of[probe].astype(np.int64), axis=1)
+        dup = np.concatenate(
+            [np.zeros((len(slabs), 1), bool), slabs[:, 1:] == slabs[:, :-1]],
+            axis=1,
+        )
+        rows_per_q = np.where(dup, 0, fill[slabs]).sum(1)
+        stats["queries"] = stats.get("queries", 0) + len(slabs)
+        stats["probed_rows"] = stats.get("probed_rows", 0) + int(
+            rows_per_q.sum()
+        )
+        stats["nprobe"] = nprobe
+        stats["nlist"] = self.nlist
+        stats["ntotal"] = self.ntotal
+
     _APPROX_PROBE_NLIST = 2048  # auto threshold: full-sort top_k on a
     # [Q, nlist] probe matrix costs ~5x approx_max_k past a few k columns
 
     def search(self, queries: np.ndarray, k: int, ef: int = 32,
-               exact: bool = False, approx_probe: bool | None = None):
+               exact: bool = False, approx_probe: bool | None = None,
+               stats: dict | None = None):
         """ef = nprobe (clusters scanned per query).  exact=True forces
         the lax.scan path with full per-slab approx selection and a
         full-sort merge (the probe set remains the only real
@@ -657,7 +685,15 @@ class IVFInt8Index:
         Pallas kernel (ops/ivf_kernel.py); elsewhere as the lax.scan
         formulation.  Returns (ids [Q, k] int64 original row ids, dists
         [Q, k] fp32 squared-L2 estimates, same convention as
-        Int8FlatIndex)."""
+        Int8FlatIndex).
+
+        stats, when a dict is passed, is filled with SEARCH-EFFORT counters
+        (the hnswm profiling idea, /root/reference/src/hnswm/hnsw.cpp:18-39,
+        recast for nprobe tuning): probed_rows_per_query (real rows ADC/
+        dot-scored per query), coverage (fraction of the index scanned),
+        centroid_evals_per_query.  Collection needs the probe set on host,
+        so it routes serve-size batches through the host-plan path — a
+        tuning/diagnostic mode, not the latency path."""
         queries = np.asarray(queries, np.float32)
         nq = queries.shape[0]
         if self.ntotal == 0 or nq == 0:
@@ -698,7 +734,8 @@ class IVFInt8Index:
         for s in range(0, nq, q_batch):
             e = min(s + q_batch, nq)
             q8 = q8_all[s:e]
-            if use_k and (e - s) * nprobe <= self._FUSED_MAX_PAIRS:
+            if (use_k and stats is None
+                    and (e - s) * nprobe <= self._FUSED_MAX_PAIRS):
                 # serve-size batch: the whole search is one jitted program
                 # (probe + device-side plan + kernel + merge), one upload,
                 # one packed download
@@ -714,6 +751,8 @@ class IVFInt8Index:
                     probe_fn(jnp.asarray(q8, jnp.float32), cent, cn,
                              jnp.float32(ratio))
                 )
+                if stats is not None:
+                    self._accum_stats(stats, probe, nprobe)
                 step_cluster, qidx, slot_of = self._build_plan(
                     probe, ik.QTK
                 )
@@ -737,6 +776,8 @@ class IVFInt8Index:
                     probe_fn(jnp.asarray(q8, jnp.float32), cent, cn,
                              jnp.float32(ratio))
                 )
+                if stats is not None:
+                    self._accum_stats(stats, probe, nprobe)
                 step_cluster, qidx, slot_of = self._build_plan(
                     probe, QTILE
                 )
@@ -762,6 +803,14 @@ class IVFInt8Index:
                            constant_values=np.inf)
             out_i = np.pad(out_i, ((0, 0), (0, k - k_scan)),
                            constant_values=-1)
+        if stats is not None and stats.get("queries"):
+            stats["probed_rows_per_query"] = round(
+                stats["probed_rows"] / stats["queries"], 1
+            )
+            stats["coverage"] = round(
+                stats["probed_rows_per_query"] / max(self.ntotal, 1), 6
+            )
+            stats["centroid_evals_per_query"] = self.nlist
         return out_i, out_d
 
     # -------------------------------------------------------- persistence

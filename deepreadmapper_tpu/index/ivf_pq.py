@@ -391,14 +391,15 @@ class IVFPQIndex(IVFInt8Index):
         return fn
 
     def search(self, queries: np.ndarray, k: int, ef: int = 32,
-               exact: bool = False, approx_probe: bool | None = None):
+               exact: bool = False, approx_probe: bool | None = None,
+               stats: dict | None = None):
         """ef = nprobe; distances are squared-L2 ADC estimates in the
         PQFlatIndex convention.  OPQ queries rotate into the code space."""
         queries = np.asarray(queries, np.float32)
         if self.rot is not None and queries.size:
             queries = queries @ self.rot
         return super().search(queries, k, ef=ef, exact=exact,
-                              approx_probe=approx_probe)
+                              approx_probe=approx_probe, stats=stats)
 
     # -------------------------------------------------------- persistence
 

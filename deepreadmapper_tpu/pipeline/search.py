@@ -229,6 +229,7 @@ def run_pipeline(
     vectorizer: Vectorizer | None = None,
     search_cfg: SearchConfig | None = None,
     preloaded: tuple | None = None,
+    search_stats: dict | None = None,
 ) -> dict:
     """Run the full pipeline; returns a timing/result summary dict.
 
@@ -278,6 +279,15 @@ def run_pipeline(
         import jax
 
         with jax.profiler.trace(profile_dir):
+            neighbors, distances = engine.search(query_emb, k_clusters, ef)
+    elif search_stats is not None:
+        # search-effort counters (nprobe/ef tuning): only the IVF engines
+        # expose them; others answer without stats
+        try:
+            neighbors, distances = engine.search(
+                query_emb, k_clusters, ef, stats=search_stats
+            )
+        except TypeError:
             neighbors, distances = engine.search(query_emb, k_clusters, ef)
     else:
         neighbors, distances = engine.search(query_emb, k_clusters, ef)
@@ -774,6 +784,7 @@ def run_pipeline_paired(
     vectorizer: Vectorizer | None = None,
     search_cfg: SearchConfig | None = None,
     preloaded: tuple | None = None,
+    search_stats: dict | None = None,
 ) -> dict:
     """Paired-end mapping (beyond the reference, which maps every read
     independently): both ends run the normal single-end pipeline against

@@ -15,7 +15,10 @@ Protocol (one JSON object per line):
              "id": "r1",                       # optional echo tag
              "ef": 128, "k": 128, "k_clusters": 5,   # optional overrides
              "rerank": "l2", "dense_rerank": false,
-             "cigar": false, "write_sam": true}
+             "cigar": false, "write_sam": true,
+             "search_stats": false}   # true -> effort counters in response
+                                      # (IVF engines; forces the host-plan
+                                      # path — a tuning mode)
   response: {"id": "r1", "ok": true, "num_queries": 150,
              "t_embed": ..., "t_search": ..., "t_post": ...}
   error:    {"id": "r1", "ok": false, "error": "..."}   (daemon stays up)
@@ -96,6 +99,7 @@ def serve(
             continue
         kwargs = {**defaults}
         kwargs.update({k: req[k] for k in _REQ_KEYS if k in req})
+        stats = {} if req.get("search_stats") else None
         try:
             with contextlib.redirect_stdout(sys.stderr):
                 if "fastq2" in req:
@@ -124,17 +128,22 @@ def serve(
                     res = run_pipeline(
                         index_prefix, req["fastq"], ref_file,
                         vectorizer=vectorizer, search_cfg=search_cfg,
-                        preloaded=(engine, config), **kwargs,
+                        preloaded=(engine, config), search_stats=stats,
+                        **kwargs,
                     )
             served += 1
-            reply({
+            resp = {
                 **tag,
                 "ok": True,
                 "num_queries": res["num_queries"],
                 "t_embed": round(res["t_embed"], 3),
                 "t_search": round(res["t_search"], 3),
                 "t_post": round(res["t_post"], 3),
-            })
+            }
+            if stats:
+                # search-effort counters (IVF engines): nprobe tuning data
+                resp["search_stats"] = stats
+            reply(resp)
         except Exception as e:  # daemon survives a bad request
             reply({**tag, "ok": False, "error": f"{type(e).__name__}: {e}"})
     return served

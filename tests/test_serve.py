@@ -129,3 +129,24 @@ def test_paired_request_keys_match_paired_signature():
     missing = forwarded - params
     assert not missing, f"keys with no paired parameter: {missing}"
     assert "read_group" in forwarded
+
+
+def test_serve_search_stats(tmp_path_factory, data_dir, tmp_path):
+    """search_stats=true returns IVF effort counters (probed rows /
+    coverage) in the response — the nprobe-tuning surface."""
+    prefix = str(tmp_path_factory.mktemp("srv_ivf") / "idx")
+    build_index(
+        str(data_dir / "ecoli_150.fna"), prefix, 150, index_type="IVFINT8"
+    )
+    fq = str(data_dir / "test_data.fastq")
+    n, lines = _run(prefix, data_dir, [
+        {"id": "s", "fastq": fq, "output_dir": str(tmp_path / "o"),
+         "k": 8, "ef": 4, "search_stats": True},
+        {"cmd": "quit"},
+    ])
+    assert n == 1
+    st = lines[1]["search_stats"]
+    assert st["queries"] == 150 and st["nprobe"] == 4
+    assert 0 < st["probed_rows_per_query"] <= st["ntotal"]
+    assert 0 < st["coverage"] <= 1.0
+    assert st["centroid_evals_per_query"] == st["nlist"]
