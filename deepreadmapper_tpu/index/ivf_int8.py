@@ -126,25 +126,31 @@ def _assign_nearest(codes8, cent, chunk: int):
 
 def _two_means(sub: np.ndarray, rng, iters: int = 8):
     """Host 2-means on one oversized cluster's fp32 rows; returns (side_b
-    mask, mean_a, mean_b).  Falls back to an arbitrary halving when the rows
-    are (near-)identical — planted repeats — which 2-means cannot split."""
+    mask, mean_a, mean_b).  Lloyd iterations run on a <=16k-row SUBSAMPLE
+    (the split boundary needs two rough centroids, not converged ones —
+    at the 500M-row tier full-cluster iterations made splitting the
+    longest build phase), then ONE full assignment pass splits every row.
+    Falls back to an arbitrary halving when the rows are (near-)identical
+    — planted repeats — which 2-means cannot split."""
     n = sub.shape[0]
-    ca, cb = sub[rng.integers(n)], sub[rng.integers(n)]
-    b = np.zeros(n, bool)
+    step = max(1, n // 16384)
+    samp = sub[::step]
+    ns = samp.shape[0]
+    ca, cb = samp[rng.integers(ns)], samp[rng.integers(ns)]
     for _ in range(iters):
-        da = ((sub - ca) ** 2).sum(1)
-        db = ((sub - cb) ** 2).sum(1)
+        da = ((samp - ca) ** 2).sum(1)
+        db = ((samp - cb) ** 2).sum(1)
         nb = db < da
         if nb.all() or (~nb).all():
             break
-        b = nb
-        ca = sub[~b].mean(0)
-        cb = sub[b].mean(0)
+        ca = samp[~nb].mean(0)
+        cb = samp[nb].mean(0)
+    b = ((sub - cb) ** 2).sum(1) < ((sub - ca) ** 2).sum(1)
     if b.all() or (~b).all():
         b = np.zeros(n, bool)
         b[n // 2:] = True
-        ca = sub[~b].mean(0)
-        cb = sub[b].mean(0)
+    ca = sub[~b].mean(0)
+    cb = sub[b].mean(0)
     return b, ca, cb
 
 
@@ -168,19 +174,33 @@ def _split_and_pack(codes: np.ndarray, assign: np.ndarray, cent0: np.ndarray,
     bounds = np.concatenate([[0], np.cumsum(counts)])
     rng = np.random.default_rng(seed)
     stack = [
-        (order[bounds[c]:bounds[c + 1]], cent0[c])
+        (order[bounds[c]:bounds[c + 1]], cent0[c], None)
         for c in range(nlist0)
         if counts[c] > 0
     ]
     clusters = []
+    # vectors are fetched ONCE per oversized root and sliced down the
+    # recursion (re-fetching per level dominated genome-scale builds);
+    # degenerate giants (>4M rows) halve by id order first — adjacent row
+    # ids are shifted windows of one locus, so the halves stay coherent
+    # and the fetch stays bounded
+    _FETCH_CAP = 4_000_000
     while stack:
-        rows, cc = stack.pop()
+        rows, cc, vecs = stack.pop()
         if len(rows) <= cap:
             clusters.append((rows, cc))
             continue
-        b, ca, cb = _two_means(fetch(rows), rng)
-        stack.append((rows[~b], ca))
-        stack.append((rows[b], cb))
+        if vecs is None and len(rows) > _FETCH_CAP:
+            h = len(rows) // 2
+            stack.append((rows[:h], cc, None))
+            stack.append((rows[h:], cc, None))
+            continue
+        if vecs is None:
+            vecs = fetch(rows)
+        b, ca, cb = _two_means(vecs, rng)
+        stack.append((rows[~b], ca, vecs[~b]))
+        stack.append((rows[b], cb, vecs[b]))
+        del vecs
 
     # first-fit decreasing: vectorized first-slab-with-room lookup per
     # cluster keeps this O(C) numpy calls, not O(C*S) python loops

@@ -239,6 +239,8 @@ class IVFPQIndex(IVFInt8Index):
         target = min(n, max(nlist * 24, 4096), 131_072)
         step = max(1, n // max(target, 1))
         sample = _recon_int8_host(codes[::step], cb8.cent8).astype(np.float32)
+        print(f"[IVFPQ] coarse k-means: {sample.shape[0]} sample rows, "
+              f"nlist={nlist}", flush=True)
         idx = (np.arange(nlist) * (sample.shape[0] / nlist)).astype(np.int64)
         rng = np.random.default_rng(cfg.seed)
         init = sample[idx] + rng.standard_normal((nlist, d)).astype(
@@ -258,7 +260,12 @@ class IVFPQIndex(IVFInt8Index):
         cent_bf = jnp.asarray(cent0, jnp.bfloat16)
         cn_dev = jnp.asarray((cent0 * cent0).sum(-1).astype(np.float32))
         slice_rows = chunk * 4096  # ~256 MB of codes per upload at m=8
+        import time as _t
+        _t0 = _t.time()
         for s in range(0, n, slice_rows):
+            if s:
+                print(f"[IVFPQ] assign {s}/{n} rows "
+                      f"({s / (_t.time() - _t0):,.0f} rows/s)", flush=True)
             e = min(s + slice_rows, n)
             cc = np.ascontiguousarray(codes[s:e])
             pad = (-cc.shape[0]) % chunk
@@ -276,12 +283,16 @@ class IVFPQIndex(IVFInt8Index):
         # --- split oversized clusters, bin-pack into slabs, lay out ---
         # _split_and_pack 2-means over fp32 rows; feed it reconstructions
         # via a fetch callback so only oversized clusters materialize.
+        print(f"[IVFPQ] assign done; splitting/packing into cap={cap} "
+              "slabs", flush=True)
         clusters, slab_of, n_slabs = _split_and_pack(
             codes, assign, cent0, cap, cfg.seed + 1,
             fetch=lambda rows: _recon_int8_host(
                 codes[rows], cb8.cent8
             ).astype(np.float32),
         )
+        print(f"[IVFPQ] layout: {len(clusters)} clusters -> {n_slabs} slabs",
+              flush=True)
         cent = np.stack([cc for _rows, cc in clusters]).astype(np.float32)
         codes_cm = np.zeros(((n_slabs + 1) * cap, m), np.uint8)
         row_ids = np.full((n_slabs + 1) * cap, -1, np.int64)

@@ -30,6 +30,11 @@ def main():
     ap.add_argument("--nlist", type=int, default=0)
     ap.add_argument("--nprobe", type=int, nargs="+", default=[16, 32, 64])
     ap.add_argument("--opq", action="store_true")
+    ap.add_argument("--m-pq", type=int, default=8,
+                    help="PQ subquantizers (16 = 16 B/row, the 0.99-class rung)")
+    ap.add_argument("--dense-rerank", action="store_true",
+                    help="after the ladder, run the full pipeline with "
+                         "--dense-rerank for the accuracy recipe number")
     ap.add_argument("--k", type=int, default=128)
     ap.add_argument("--keep-dir", default="/tmp/ivfpq_scale")
     ap.add_argument("--cpu", action="store_true")
@@ -64,10 +69,11 @@ def main():
                 f.write(f"@r{i}\n{r}\n+\n{'I' * 150}\n")
 
     vec = Vectorizer()
-    prefix = os.path.join(args.keep_dir, "idx_opq" if args.opq else "idx")
+    tag = ("_opq" if args.opq else "") + (f"_m{args.m_pq}" if args.m_pq != 8 else "")
+    prefix = os.path.join(args.keep_dir, "idx" + tag)
     t0 = time.time()
     if not os.path.exists(os.path.join(prefix, "config.txt")):
-        cfg = BuildConfig(nlist=args.nlist, opq=args.opq)
+        cfg = BuildConfig(nlist=args.nlist, opq=args.opq, m_pq=args.m_pq)
         build_index(ref, prefix, 150, index_type="IVFPQ", build_cfg=cfg,
                     vectorizer=vec, resume=True)
         print(json.dumps({"t_build_s": round(time.time() - t0, 0)}),
@@ -97,6 +103,26 @@ def main():
             "engine": "IVFPQ" + ("+OPQ" if args.opq else ""),
             "nprobe": nprobe,
             "qps": round(args.n_queries / dt, 0),
+            "truth_top1": round(top1, 4),
+        }), flush=True)
+    if args.dense_rerank:
+        from deepreadmapper_tpu.pipeline.search import run_pipeline
+
+        out = os.path.join(args.keep_dir, "out" + tag)
+        res = run_pipeline(prefix, fq, ref, k=args.k, ef=32,
+                           output_dir=out, dense_rerank=True,
+                           vectorizer=vec, preloaded=(engine, _cfg))
+        ids = np.asarray(res["final_ids"])
+        pos = (ids[:, 0] // 2).astype(np.int64)
+        top1 = float(np.mean(
+            (np.abs(pos - starts) <= 2) & (ids[:, 0] % 2 == strands)
+        ))
+        print(json.dumps({
+            "engine": "IVFPQ" + ("+OPQ" if args.opq else "")
+                      + f"+m{args.m_pq}+dense-rerank",
+            "nprobe": 32,
+            "t_search_s": round(res["t_search"], 1),
+            "t_post_s": round(res["t_post"], 1),
             "truth_top1": round(top1, 4),
         }), flush=True)
     print("DONE", flush=True)
