@@ -5,9 +5,11 @@ IVFINT8 (index/ivf_int8.py) prunes with a coarse quantizer but stores
 128 B/row — 5.2 GB at 40M rows, so a 16 GB chip tops out near 100M rows.
 PQFLAT (index/pq_flat.py) stores 8-16 B/row but scans every row.  This
 engine combines them: k-means coarse quantizer + slab-major PQ codes, with
-on-the-fly int8 reconstruction inside the probed-slab scan.  At m_pq=8 one
-chip holds >1B windows (8 B/row + 4 B/row norms); the probed-slab scan does
-~nprobe/nlist of the exhaustive matmul work.
+on-the-fly int8 reconstruction inside the probed-slab scan.  At m_pq=8
+(8 B/row + 4 B/row norms) one chip holds ~800M windows — MEASURED at 500M
+windows / 7.95 GB device incl. slab padding (BASELINE r4); past that the
+sharded engine (parallel/sharded_ann.py) spreads one index across chips.
+The probed-slab scan does ~nprobe/nlist of the exhaustive matmul work.
 
 Reference role being replaced: FAISS IndexHNSWPQ's graph pruning over PQ
 codes (/root/reference/src/hnswpq/index.cpp:86-193, search.cpp:6-57) —
@@ -111,7 +113,7 @@ def pack_codes_t(codes_cm: np.ndarray) -> np.ndarray:
     mp = -(-m // 4)
     packed = np.zeros((mp, n), np.uint32)
     # chunk the row range: a whole-matrix uint32 transpose would be a
-    # 4 B/code transient (32 GB at the 1B-row tier this engine targets)
+    # 4 B/code transient (tens of GB at the 500M+-row tier)
     chunk = 1 << 22
     for s0 in range(0, n, chunk):
         e0 = min(s0 + chunk, n)
