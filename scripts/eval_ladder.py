@@ -80,6 +80,12 @@ def main():
         "--keep-dir", default="",
         help="reuse/keep build artifacts here instead of a temp dir",
     )
+    ap.add_argument(
+        "--weights", default="",
+        help="fine-tuned encoder npz (shift/noise-matched weights are the "
+             "documented sparse-mode lever); embeds queries AND windows "
+             "with it and records it in the index for pipeline runs",
+    )
     args = ap.parse_args()
 
     genome = make_genome(args.n_bp, seed=args.seed)
@@ -106,7 +112,12 @@ def main():
     from deepreadmapper_tpu.models.encoder import Vectorizer
     from deepreadmapper_tpu.pipeline.build import build_index
 
-    vec = Vectorizer()
+    if args.weights:
+        from deepreadmapper_tpu.models.encoder import load_params
+
+        vec = Vectorizer(load_params(args.weights))
+    else:
+        vec = Vectorizer()
     mat, lengths, _ = parse_fastq_bytes(fq)
     emb = np.asarray(vec.vectorize_wrapped_bytes(mat, lengths))
     tol = 5 + args.stride
@@ -123,6 +134,7 @@ def main():
             build_index(
                 ref, prefix, 150, stride=args.stride, index_type=index_type,
                 build_cfg=cfg, vectorizer=vec,
+                weights=args.weights or None,
             )
             row["t_build_s"] = round(time.time() - t0, 1)
         engine, _cfg = load_index(prefix)
@@ -145,6 +157,8 @@ def main():
                 prefix, fq, ref, ef=args.ef, k=args.k, output_dir=out,
                 write_sam=False,
                 dense_rerank=args.stride == 1,
+                vectorizer=vec,  # one resident encoder (tuned when
+                # --weights); a fresh Vectorizer per engine re-jits
             )
             fid = (
                 res["final_ids"][:, 0]
