@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--nlist", type=int, default=0)
     ap.add_argument("--nprobe", type=int, nargs="+", default=[16, 32, 64])
     ap.add_argument("--opq", action="store_true")
+    ap.add_argument("--weights", default="",
+                    help="fine-tuned encoder npz (noise/shift-matched); "
+                         "used for windows AND queries, recorded in the index")
     ap.add_argument("--m-pq", type=int, default=8,
                     help="PQ subquantizers (16 = 16 B/row, the 0.99-class rung)")
     ap.add_argument("--dense-rerank", action="store_true",
@@ -68,14 +71,21 @@ def main():
             for i, r in enumerate(reads):
                 f.write(f"@r{i}\n{r}\n+\n{'I' * 150}\n")
 
-    vec = Vectorizer()
-    tag = ("_opq" if args.opq else "") + (f"_m{args.m_pq}" if args.m_pq != 8 else "")
+    if args.weights:
+        from deepreadmapper_tpu.models.encoder import load_params
+
+        vec = Vectorizer(load_params(args.weights))
+    else:
+        vec = Vectorizer()
+    tag = (("_opq" if args.opq else "") + (f"_m{args.m_pq}" if args.m_pq != 8 else "")
+           + ("_tuned" if args.weights else ""))
     prefix = os.path.join(args.keep_dir, "idx" + tag)
     t0 = time.time()
     if not os.path.exists(os.path.join(prefix, "config.txt")):
         cfg = BuildConfig(nlist=args.nlist, opq=args.opq, m_pq=args.m_pq)
         build_index(ref, prefix, 150, index_type="IVFPQ", build_cfg=cfg,
-                    vectorizer=vec, resume=True)
+                    vectorizer=vec, resume=True,
+                    weights=args.weights or None)
         print(json.dumps({"t_build_s": round(time.time() - t0, 0)}),
               flush=True)
     engine, _cfg = load_index(prefix)
