@@ -486,12 +486,31 @@ def build_index(
     encoder that embedded the index — a mismatch silently destroys
     accuracy (fine-tuning moves the whole embedding space)."""
     cfg = build_cfg or BuildConfig(stride=stride)
-    if weights is not None and vectorizer is not None:
-        raise ValueError("pass either weights= or vectorizer=, not both")
     if weights is not None:
+        import jax
+
         from deepreadmapper_tpu.models.encoder import load_params
 
-        vectorizer = Vectorizer(load_params(weights))
+        tuned = load_params(weights)
+        if vectorizer is not None:
+            # both allowed ONLY when they agree (harnesses pre-load the
+            # tuned encoder once to avoid per-build re-jits); a mismatched
+            # pair would embed windows with one encoder while recording
+            # another for query time — the exact footgun weights= exists
+            # to prevent
+            lv = jax.tree_util.tree_leaves(vectorizer.params)
+            lw = jax.tree_util.tree_leaves(tuned)
+            if len(lv) != len(lw) or not all(
+                a.shape == np.asarray(b).shape
+                and np.allclose(np.asarray(a), np.asarray(b))
+                for a, b in zip(lv, lw)
+            ):
+                raise ValueError(
+                    "vectorizer= params do not match weights= — pass one, "
+                    "or load the vectorizer from the same npz"
+                )
+        else:
+            vectorizer = Vectorizer(tuned)
     vectorizer = vectorizer or Vectorizer()
     if cfg.opq and index_type not in ("PQFLAT", "IVFPQ"):
         print(
