@@ -9,6 +9,7 @@ JSON row per config, a JSON document at the end.
 """
 
 import argparse
+import contextlib
 import json
 import os
 import sys
@@ -54,6 +55,11 @@ def main():
     ap.add_argument("--index-type", default="INT8FLAT")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="eval_longread.json")
+    ap.add_argument("--keep-dir", default=None,
+                    help="persistent work dir: reuse the ref + index across "
+                         "runs (marker-checked against --n-bp/--seed/"
+                         "--ref-len/--index-type)")
+    ap.add_argument("--skip-chimera", action="store_true")
     args = ap.parse_args()
 
     genome = make_genome(args.n_bp, seed=args.seed)
@@ -61,16 +67,37 @@ def main():
     from deepreadmapper_tpu.pipeline.search import run_pipeline
 
     rows = []
-    with tempfile.TemporaryDirectory() as tmp:
+    ctx = (tempfile.TemporaryDirectory() if args.keep_dir is None
+           else contextlib.nullcontext(args.keep_dir))
+    with ctx as tmp:
+        os.makedirs(tmp, exist_ok=True)
         ref = os.path.join(tmp, "ref.fna")
-        with open(ref, "w") as f:
-            f.write("> sim\n")
-            for i in range(0, len(genome), 80):
-                f.write(genome[i: i + 80] + "\n")
         prefix = os.path.join(tmp, "idx")
-        t0 = time.time()
-        build_index(ref, prefix, args.ref_len, index_type=args.index_type)
-        t_build = time.time() - t0
+        marker = os.path.join(tmp, "lr_marker.json")
+        want = {"n_bp": args.n_bp, "seed": args.seed,
+                "ref_len": args.ref_len, "index_type": args.index_type}
+        cached = False
+        if args.keep_dir is not None and os.path.exists(marker):
+            with open(marker) as f:
+                have = json.load(f)
+            if have != want:
+                raise SystemExit(f"--keep-dir marker mismatch: {have} != "
+                                 f"{want}; use a fresh dir")
+            cached = os.path.exists(prefix + "/config.txt") or os.path.exists(
+                os.path.join(prefix, "config.txt"))
+        t_build = 0.0
+        if not cached:
+            with open(ref, "w") as f:
+                f.write("> sim\n")
+                for i in range(0, len(genome), 80):
+                    f.write(genome[i: i + 80] + "\n")
+            t0 = time.time()
+            build_index(ref, prefix, args.ref_len,
+                        index_type=args.index_type)
+            t_build = time.time() - t0
+            if args.keep_dir is not None:
+                with open(marker, "w") as f:
+                    json.dump(want, f)
 
         # ONE resident vectorizer + engine across the whole grid: without
         # this every cell re-uploaded the index (1.3 GB at 10M windows over
@@ -81,6 +108,26 @@ def main():
 
         vec = Vectorizer()
         preloaded = load_index(prefix)
+
+        # warm the resident engine+encoder before the timed grid: the FIRST
+        # search pays the index upload (1.3 GB at ~30 MB/s for 10M windows)
+        # plus remote compiles — ~60 s that belongs to load, not mapping.
+        # Serving is resident (cli serve), so per-cell reads/s should
+        # measure the warm path; the probe run that exposed this recorded
+        # split_s.search = 62.7 s on the first cell and ~1 s after.
+        rngw = np.random.default_rng(args.seed + 7)
+        wreads = [
+            "".join(rngw.choice(list("ACGT"), size=1200))
+            for _ in range(4)
+        ]
+        fqw = os.path.join(tmp, "warm.fastq")
+        with open(fqw, "w") as f:
+            for i, seq in enumerate(wreads):
+                f.write(f"@w{i}\n{seq}\n+\n{'I' * len(seq)}\n")
+        run_pipeline(prefix, fqw, ref, k=4,
+                     output_dir=os.path.join(tmp, "out_warm"),
+                     long_reads=True, mapq=True, vectorizer=vec,
+                     preloaded=preloaded)
 
         for L in [int(x) for x in args.read_lens.split(",")]:
             for err in [float(x) for x in args.errs.split(",")]:
@@ -141,32 +188,34 @@ def main():
                 print(json.dumps(row), flush=True)
 
         # chimera detection: half-and-half fusion reads
-        rng = np.random.default_rng(args.seed + 99)
-        reads = []
-        for i in range(64):
-            a = int(rng.integers(0, args.n_bp // 2 - 1000))
-            b = int(rng.integers(args.n_bp // 2, args.n_bp - 1000))
-            seq = mutate(genome[a: a + 800], 0.005, 0.005, rng) + mutate(
-                genome[b: b + 700], 0.005, 0.005, rng)
-            reads.append((f"c{i}", seq))
-        fq = os.path.join(tmp, "chim.fastq")
-        with open(fq, "w") as f:
-            for name, seq in reads:
-                f.write(f"@{name}\n{seq}\n+\n{'I' * len(seq)}\n")
-        out = os.path.join(tmp, "out_chim")
-        run_pipeline(prefix, fq, ref, k=4, output_dir=out, long_reads=True,
-                     vectorizer=vec, preloaded=preloaded)
-        with_supp = set()
-        for line in open(os.path.join(out, "results.sam")):
-            if line.startswith("@"):
-                continue
-            f2 = line.split("\t")
-            if int(f2[1]) & 0x800:
-                with_supp.add(f2[0])
-        row = {"mode": "chimera_64x1500bp",
-               "supplementary_rate": round(len(with_supp) / 64, 4)}
-        rows.append(row)
-        print(json.dumps(row), flush=True)
+        if not args.skip_chimera:
+            rng = np.random.default_rng(args.seed + 99)
+            reads = []
+            for i in range(64):
+                a = int(rng.integers(0, args.n_bp // 2 - 1000))
+                b = int(rng.integers(args.n_bp // 2, args.n_bp - 1000))
+                seq = mutate(genome[a: a + 800], 0.005, 0.005, rng) + mutate(
+                    genome[b: b + 700], 0.005, 0.005, rng)
+                reads.append((f"c{i}", seq))
+            fq = os.path.join(tmp, "chim.fastq")
+            with open(fq, "w") as f:
+                for name, seq in reads:
+                    f.write(f"@{name}\n{seq}\n+\n{'I' * len(seq)}\n")
+            out = os.path.join(tmp, "out_chim")
+            run_pipeline(prefix, fq, ref, k=4, output_dir=out,
+                         long_reads=True, vectorizer=vec,
+                         preloaded=preloaded)
+            with_supp = set()
+            for line in open(os.path.join(out, "results.sam")):
+                if line.startswith("@"):
+                    continue
+                f2 = line.split("\t")
+                if int(f2[1]) & 0x800:
+                    with_supp.add(f2[0])
+            row = {"mode": "chimera_64x1500bp",
+                   "supplementary_rate": round(len(with_supp) / 64, 4)}
+            rows.append(row)
+            print(json.dumps(row), flush=True)
 
     doc = {"n_bp": args.n_bp, "n_reads": args.n_reads,
            "index_type": args.index_type, "t_build_s": round(t_build, 1),

@@ -379,3 +379,54 @@ def test_map_long_reads_finds_true_locus(lr_setup):
         assert abs((got >> 1) - s) <= 5, (i, got >> 1, s)
         assert mapq[i] >= 40, (i, mapq[i])
         assert dists[i, 0] < 0.5  # majority of chunks support the call
+
+
+def test_chain_votes_matches_dict_oracle():
+    """The vectorized chain (lexsort+reduceat) must reproduce the dict
+    formulation bit-exactly — including tie order (first-seen per-chunk
+    slots, shift-0 merge precedence, stable final ranking) — across
+    randomized grids, adversarial exact-ties, and degenerate shapes."""
+    from deepreadmapper_tpu.pipeline.longread import _chain_votes_ref
+
+    rng = np.random.default_rng(3)
+    cases = []
+    for trial in range(40):
+        n_ch = int(rng.integers(1, 30))
+        kc = int(rng.integers(1, 9))
+        c = 150
+        L = 150 + 75 * (n_ch - 1)
+        offs = np.arange(n_ch) * 75
+        true_start = int(rng.integers(0, 5000))
+        ids = 2 * (
+            true_start + offs[:, None] + rng.integers(-4, 5, (n_ch, kc))
+        ) + rng.integers(0, 2, (n_ch, kc))
+        noise = rng.random((n_ch, kc)) < 0.4
+        ids = np.where(noise, 2 * rng.integers(0, 5000, (n_ch, kc)), ids)
+        ids[rng.random((n_ch, kc)) < 0.1] = PAD_ID
+        if trial % 3 == 0:
+            # adversarial: quantized distances force exact rank/weight ties
+            d = rng.integers(0, 3, (n_ch, kc)).astype(np.float64)
+        else:
+            d = rng.random((n_ch, kc))
+        cases.append((ids, d, offs, c, L, int(rng.integers(1, 5)),
+                      int(rng.choice([1, 20, 75]))))
+    # degenerate: all-PAD, single entry
+    cases.append((np.full((3, 4), PAD_ID), np.ones((3, 4)),
+                  np.arange(3) * 75, 150, 300, 4, 75))
+    cases.append((np.array([[2000]]), np.array([[0.5]]),
+                  np.zeros(1, np.int64), 150, 150, 4, 75))
+    for ids, d, offs, c, L, k, tol in cases:
+        got = chain_votes(ids, d, offs, c, L, k, tol)
+        want = _chain_votes_ref(ids, d, offs, c, L, k, tol)
+        # float summation ORDER differs (reduceat segments vs dict-value
+        # iteration): a weighted mean landing exactly on .5 may round one
+        # base apart — strand + support must match, starts within 1
+        g_pad, w_pad = got[0] == PAD_ID, want[0] == PAD_ID
+        np.testing.assert_array_equal(g_pad, w_pad)
+        np.testing.assert_array_equal(got[0][~g_pad] & 1,
+                                      want[0][~w_pad] & 1)
+        assert np.all(np.abs(
+            (got[0][~g_pad] >> 1) - (want[0][~w_pad] >> 1)) <= 1)
+        np.testing.assert_allclose(got[1], want[1], rtol=0, atol=1e-12)
+        assert got[2] == want[2]
+        np.testing.assert_array_equal(got[3], want[3])
