@@ -32,15 +32,26 @@ import numpy as np
 PAD_ID = -1
 
 
-def chunk_read(read_len: int, ref_len: int) -> list[int]:
+def chunk_read(read_len: int, ref_len: int, max_chunks: int = 128) -> list[int]:
     """Chunk start offsets: half-window stride, final chunk end-aligned so
     the read tail is always covered (every chunk has length ref_len except
-    for reads shorter than one window, handled by the normal path)."""
+    for reads shorter than one window, handled by the normal path).
+
+    Chunks per read are capped at max_chunks (the stride widens past
+    ref_len/2 only for reads beyond ~(max_chunks/2)*ref_len — ~9.7 kb at
+    the default 150/128): chain voting needs a MAJORITY of consistent
+    chunks, not a fixed density, and 128 votes decide a placement as
+    surely as 265 — while embed+search cost is linear in chunk count (the
+    20 kb eval cells were search-bound at 265 chunks/read).  Sampling
+    coarser than half-window keeps tail coverage (end-aligned final
+    chunk); breakpoint resolution for split reads degrades to the stride,
+    still << the vote tolerance."""
     if read_len <= ref_len:
         return [0]
-    step = max(1, ref_len // 2)
-    offs = list(range(0, read_len - ref_len, step))
-    offs.append(read_len - ref_len)
+    span = read_len - ref_len
+    step = max(1, ref_len // 2, -(-span // max(max_chunks - 1, 1)))
+    offs = list(range(0, span, step))
+    offs.append(span)
     return offs
 
 

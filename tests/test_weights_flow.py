@@ -61,11 +61,24 @@ def test_index_records_and_pipeline_autoloads_weights(
     assert not np.array_equal(d_auto, d_def)
 
 
-def test_weights_and_vectorizer_are_mutually_exclusive(
+def test_weights_with_mismatched_vectorizer_raises(
     data_dir, tmp_path, tuned_npz
 ):
-    with pytest.raises(ValueError, match="not both"):
+    # weights= + vectorizer= is allowed ONLY when they agree (harnesses
+    # pre-load the tuned encoder once to avoid per-build re-jits); a
+    # mismatched pair would embed windows with one encoder while recording
+    # another for query time — the exact footgun weights= exists to prevent
+    with pytest.raises(ValueError, match="do not match"):
         build_index(
             str(data_dir / "ecoli_150.fna"), str(tmp_path / "x"), 150,
             weights=tuned_npz, vectorizer=Vectorizer(),
         )
+    # the matching pair builds fine and still records encoder.npz
+    from deepreadmapper_tpu.models.encoder import load_params as _lp
+
+    cfg = build_index(
+        str(data_dir / "ecoli_150.fna"), str(tmp_path / "ok"), 150,
+        weights=tuned_npz, vectorizer=Vectorizer(_lp(tuned_npz)),
+    )
+    assert cfg["weights"] == "encoder.npz"
+    assert os.path.exists(str(tmp_path / "ok" / "encoder.npz"))
