@@ -270,6 +270,87 @@ def scan_probed_slabs(q8, codes_cm, rn_cm, step_cluster, step_qidx, ratio,
     return ds.reshape(-1, kp), rs.reshape(-1, kp)
 
 
+def _pad_bucket(n: int) -> int:
+    """Geometric to 1024, then 1024-multiples — bounds compile signatures
+    (remote AOT compiles cost tens of seconds each) at <10% pad waste."""
+    p = 64
+    while p < n and p < 1024:
+        p *= 2
+    if p < n:
+        p = -(-n // 1024) * 1024
+    return p
+
+
+def device_plan_chunked(slabs, qtile: int, dump_slab: int, nch_dev,
+                        cbase_dev, s_static: int):
+    """device_plan for the CHUNKED kernel layout: same slab dedup + visit
+    tiling, then each visit expands to its slab's ceil(fill/CHK) chunk
+    steps (nch_dev/cbase_dev from ops/ivf_kernel.chunk_layout, on device).
+    s_static must bound the expanded step count — callers use the host
+    bound q * sum(top-nprobe nchunks), which is safe because a query's
+    probed slabs are distinct after dedup (dups redirect to the 1-chunk
+    dump slab).  Tail steps past the real total scan the dump chunk.
+
+    Returns (step_chunk [s_static], step_visit [s_static+1] with -1
+    sentinel, qidx [n+1, qtile] (visit n = pad/dump visit), slot_of
+    [Q, nprobe])."""
+    q, nprobe = slabs.shape
+    n = q * nprobe
+    srt = jnp.sort(slabs, axis=1)
+    dup_srt = jnp.concatenate(
+        [jnp.zeros((q, 1), bool), srt[:, 1:] == srt[:, :-1]], axis=1
+    )
+    rank = jnp.argsort(slabs, axis=1, stable=True)
+    dup = jnp.zeros_like(dup_srt).at[
+        jnp.arange(q, dtype=jnp.int32)[:, None], rank
+    ].set(dup_srt)
+    slabs = jnp.where(dup, dump_slab, slabs)
+
+    flat = slabs.reshape(-1)
+    qs = jnp.repeat(jnp.arange(q, dtype=jnp.int32), nprobe)
+    order = jnp.argsort(flat, stable=True)
+    cs = flat[order]
+    qq = qs[order]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    new_slab = jnp.concatenate([jnp.ones(1, bool), cs[1:] != cs[:-1]])
+    seg_start = jax.lax.cummax(jnp.where(new_slab, idx, 0))
+    r = idx - seg_start
+    new_visit = jnp.logical_or(new_slab, r % qtile == 0)
+    visit_id = jnp.cumsum(new_visit.astype(jnp.int32)) - 1  # [n]
+    slot = visit_id * qtile + r % qtile
+    qidx = jnp.full((n + 1) * qtile, q, jnp.int32).at[slot].set(qq)
+    slot_of = jnp.zeros(n, jnp.int32).at[order].set(slot)
+    # visit -> slab (scatter at every pair lands the same cs per visit);
+    # visit ids past the real count keep the dump slab (nchunks 1)
+    visit_slab = jnp.full(n, dump_slab, jnp.int32).at[visit_id].set(cs)
+    n_real_v = visit_id[n - 1] + 1
+    visit_slab = jnp.where(
+        jnp.arange(n, dtype=jnp.int32) < n_real_v, visit_slab, dump_slab
+    )
+    nch_v = nch_dev[visit_slab]            # [n] int32, >= 1
+    offs = jnp.cumsum(nch_v)
+    total = offs[n_real_v - 1]             # real steps (visits beyond are pad)
+    starts = offs - nch_v
+    sidx = jnp.arange(s_static, dtype=jnp.int32)
+    mark = jnp.zeros(s_static, jnp.int32).at[
+        jnp.minimum(starts, s_static - 1)
+    ].max(jnp.arange(n, dtype=jnp.int32) + 1)
+    sv0 = jnp.maximum(jax.lax.cummax(mark) - 1, 0)  # [s_static] visit ids
+    in_range = sidx < total
+    dump_chunk = cbase_dev[dump_slab]
+    step_visit = jnp.where(in_range, sv0, n).astype(jnp.int32)
+    step_chunk = jnp.where(
+        in_range, cbase_dev[visit_slab[sv0]] + (sidx - starts[sv0]),
+        dump_chunk,
+    ).astype(jnp.int32)
+    step_visit = jnp.concatenate(
+        [step_visit, jnp.full((1,), -1, jnp.int32)]
+    )
+    return step_chunk, step_visit, qidx.reshape(n + 1, qtile), slot_of.reshape(
+        q, nprobe
+    )
+
+
 def device_plan(slabs, qtile: int, dump_slab: int):
     """The host _build_plan, re-expressed in static-shape JAX for SMALL
     batches: plan inversion ON DEVICE removes two tunnel round-trips (probe
@@ -334,6 +415,7 @@ class IVFInt8Index:
         self.nlist = centroids.shape[0]
         self._dev = None
         self._slabdev = None
+        self._rowmap = None   # chunk-space -> original row ids (kernel path)
         self._fns: dict = {}
 
     # ------------------------------------------------------------- build
@@ -410,35 +492,88 @@ class IVFInt8Index:
 
         return ik.use_kernel() and self.cap % ik.KP == 0
 
+    def _chunk_meta(self):
+        """(nchunks [n_slabs+1], chunk_base [n_slabs+1], n_chunks_total)
+        for the fill-aware chunked kernel layout (ops/ivf_kernel.CHK rows
+        per chunk; slab s owns only ceil(fill/CHK) chunks)."""
+        if getattr(self, "_chunkmeta", None) is None:
+            from deepreadmapper_tpu.ops import ivf_kernel as ik
+
+            fill = self._slab_fill_counts()[: self.n_slabs]
+            self._chunkmeta = ik.chunk_layout(fill, ik.CHK)
+        return self._chunkmeta
+
+    def _chunk_rows_host(self):
+        """Compact the slab-space host codes into the chunked layout.
+        Returns (codesC [n_chunks*CHK, D] int8, row_idC [n_chunks*CHK]
+        int64) — each slab's FILLED PREFIX copied to its chunk range, all
+        padding zero/-1.  Rows are prefix-contiguous per slab by build
+        construction (clusters append in pack order)."""
+        from deepreadmapper_tpu.ops import ivf_kernel as ik
+
+        nch, cbase, ntot = self._chunk_meta()
+        d = self.codes_cm.shape[1]
+        fill = self._slab_fill_counts()
+        codesC = np.zeros((ntot * ik.CHK, d), np.int8)
+        ridC = np.full(ntot * ik.CHK, -1, np.int64)
+        for si in range(self.n_slabs):
+            f = int(fill[si])
+            b = int(cbase[si]) * ik.CHK
+            codesC[b:b + f] = self.codes_cm[si * self.cap: si * self.cap + f]
+            ridC[b:b + f] = self.row_ids[si * self.cap: si * self.cap + f]
+        return codesC, ridC
+
     def _device(self):
         """Device residency for the active scan path.  The kernel path keeps
-        codes/norms SLAB-MAJOR 3D (the scalar-prefetched block index map
-        picks whole slabs); the lax.scan path keeps them flat.  Only one
-        form is ever uploaded — both would double the 5 GB codes at 40M
-        rows."""
+        codes/norms in the fill-aware CHUNKED layout (ops/ivf_kernel.py:
+        [n_chunks, CHK, D], slab s = chunks [cbase[s], cbase[s]+nch[s]) —
+        the cap-padded slab form wasted ~33-50% of HBM and of every scanned
+        byte at genome scale); the lax.scan path keeps the flat slab-space
+        form.  Only one form is ever uploaded — both would double the 5 GB
+        codes at 40M rows."""
         if self._dev is None:
-            c = jnp.asarray(self.codes_cm)
-            c3 = c.reshape(-1, self.cap, c.shape[1])
-            # per-slab chunked norm pass: a whole-matrix int32 cast needs
-            # 8x the codes' HBM transiently (50.5 GB of int32 args at 40M
-            # rows — OOM'd on a 16 GB chip); scanning slab-by-slab keeps
-            # the temporaries at one slab
-            rn = _slab_row_norms(c3).reshape(-1)
-            # empty slots never win; host bool mask (row_ids stays on host
-            # — an int64 upload would be 8x the mask's bytes)
-            rn = jnp.where(jnp.asarray(self.row_ids >= 0), rn, _BIGF)
             cent = jnp.asarray(self.centroids)
             cn = jnp.sum(cent * cent, axis=-1)
             if self._use_kernel():
-                self._dev = (c3, rn.reshape(c3.shape[0], self.cap), cent, cn)
+                from deepreadmapper_tpu.ops import ivf_kernel as ik
+
+                _nch, _cbase, ntot = self._chunk_meta()
+                codesC, ridC = self._chunk_rows_host()
+                c3 = jnp.asarray(codesC.reshape(ntot, ik.CHK, -1))
+                # per-chunk norm pass (bounded int32 temporaries)
+                rn = _slab_row_norms(c3)
+                rn = jnp.where(
+                    jnp.asarray((ridC >= 0).reshape(ntot, ik.CHK)),
+                    rn, _BIGF,
+                )
+                self._rowmap = ridC  # chunk-space -> original row ids
+                self._dev = (c3, rn, cent, cn)
             else:
+                c = jnp.asarray(self.codes_cm)
+                c3 = c.reshape(-1, self.cap, c.shape[1])
+                # per-slab chunked norm pass: a whole-matrix int32 cast
+                # needs 8x the codes' HBM transiently (50.5 GB at 40M rows
+                # — OOM'd on a 16 GB chip)
+                rn = _slab_row_norms(c3).reshape(-1)
+                rn = jnp.where(jnp.asarray(self.row_ids >= 0), rn, _BIGF)
                 self._dev = (c, rn, cent, cn)
         return self._dev
 
     def _scan_form(self, c, rn):
-        """Kernel-layout device arrays -> the lax.scan path's flat forms
-        (int8: a contiguous reshape, free)."""
-        return c.reshape(-1, c.shape[-1]), rn.reshape(-1)
+        """exact=True under the kernel-layout cache: the lax.scan path needs
+        the flat SLAB-SPACE arrays, which cannot be derived from the chunked
+        layout by reshape — rebuild them from host (cached; the exact escape
+        is a parity/diagnostic path, and the second residency would not fit
+        at the 500M tier, where exact=True is not meaningful anyway)."""
+        form = self._fns.get("scan_form")
+        if form is None:
+            cs = jnp.asarray(self.codes_cm)
+            rns = _slab_row_norms(
+                cs.reshape(-1, self.cap, cs.shape[1])
+            ).reshape(-1)
+            rns = jnp.where(jnp.asarray(self.row_ids >= 0), rns, _BIGF)
+            form = self._fns["scan_form"] = (cs, rns)
+        return form
 
     # ------------------------------------------------------------ search
 
@@ -503,25 +638,29 @@ class IVFInt8Index:
         the multi-process rule (CLAUDE.md #14) kept uniform."""
         return ()
 
-    def _kernel_scan(self, step_slab, qsteps, c, rn, ratio, *extras):
-        """Engine-specific Pallas slab scan (IVFPQ overrides with the PQ
+    _INT8DOT = True  # chunked kernel: native s8xs8->s32 MXU path
+
+    def _kernel_scan(self, step_chunk, step_visit, qsteps, c, rn, ratio,
+                     *extras):
+        """Engine-specific Pallas chunk scan (IVFPQ overrides with the PQ
         reconstruction kernel) — trace-level, shared by the host-plan and
         fused paths."""
         from deepreadmapper_tpu.ops import ivf_kernel as ik
 
-        return ik.ivf_slab_scan_int8(
-            step_slab, qsteps, c, rn, 2.0 * ratio, self.cap,
-            interpret=ik.INTERPRET,
+        return ik.ivf_chunk_scan_int8(
+            step_chunk, step_visit, qsteps, c, rn, 2.0 * ratio,
+            ik.CHK, qsteps.shape[0], interpret=ik.INTERPRET,
+            int8dot=self._INT8DOT,
         )
 
-    def _kernel_fn(self, k: int, nprobe: int):
-        """Jitted Pallas slab-scan + slot merge (ops/ivf_kernel.py): the
+    def _kernel_fn(self, k: int, nprobe: int, s_pad: int, v_pad: int):
+        """Jitted Pallas chunk-scan + slot merge (ops/ivf_kernel.py): the
         query gather, kernel, slot gather and top-k run as ONE program per
-        (k, nprobe, s_pad-bucket) signature.  The plan rides as ONE packed
-        int32 upload and results return as ONE packed int32 download
+        (k, nprobe, s_pad, v_pad bucket) signature.  The plan rides as ONE
+        packed int32 upload and results return as ONE packed int32 download
         (bitcast fp32 distances + ids) — each saved transfer is ~25-30 ms
         of tunnel latency."""
-        key = ("kscan", k, nprobe)
+        key = ("kscan", k, nprobe, s_pad, v_pad)
         fn = self._fns.get(key)
         if fn is None:
             from deepreadmapper_tpu.ops import ivf_kernel as ik
@@ -531,15 +670,15 @@ class IVFInt8Index:
             @jax.jit
             def run(plan, q8_pad, codes3, rn2, ratio, *extras):
                 q = q8_pad.shape[0] - 1
-                s_pad = (plan.shape[0] - q * nprobe) // (1 + ik.QTK)
-                step_slab = plan[:s_pad]
-                qidx = plan[s_pad:s_pad * (1 + ik.QTK)].reshape(
-                    s_pad, ik.QTK
-                )
-                slot_of = plan[s_pad * (1 + ik.QTK):].reshape(q, nprobe)
-                qsteps = q8_pad[qidx]  # [s_pad, QTK, D] int8 gather
+                step_chunk = plan[:s_pad]
+                step_visit = plan[s_pad:2 * s_pad + 1]
+                o = 2 * s_pad + 1
+                qidx = plan[o:o + v_pad * ik.QTK].reshape(v_pad, ik.QTK)
+                slot_of = plan[o + v_pad * ik.QTK:].reshape(q, nprobe)
+                qsteps = q8_pad[qidx]  # [v_pad, QTK, D] int8 gather
                 vals, args, vals2, args2 = scan(
-                    step_slab, qsteps, codes3, rn2, ratio, *extras
+                    step_chunk, step_visit, qsteps, codes3, rn2, ratio,
+                    *extras
                 )
                 d, i = ik.merge_windowed(
                     vals, args, vals2, args2, slot_of, nprobe, k
@@ -556,12 +695,32 @@ class IVFInt8Index:
     # of worst-case re-DMA is ~10 ms even if Mosaic refetches the dump slab
     _FUSED_MAX_PAIRS = 8192
 
-    def _fused_fn(self, k: int, nprobe: int, approx: bool):
-        """ONE jitted program for serve-size batches: probe -> device_plan
-        -> slab-scan kernel -> merge -> packed output.  Removes the probe
-        download, the host inversion, and the plan upload from the latency
-        path (~60-80 ms of tunnel latency per request at batch 128)."""
-        key = ("fused", k, nprobe, approx)
+    def _chunk_dev(self):
+        """nchunks / chunk_base on device for the fused in-program plan."""
+        if getattr(self, "_chunkdev", None) is None:
+            nch, cbase, _ntot = self._chunk_meta()
+            self._chunkdev = (jnp.asarray(nch), jnp.asarray(cbase))
+        return self._chunkdev
+
+    def _worst_chunks(self, q: int, nprobe: int) -> int:
+        """Static step bound for the fused path: each query's probed slabs
+        are distinct after dedup, so its steps are at most the sum of the
+        nprobe largest per-slab chunk counts (1024-bucketed for compile
+        signature reuse)."""
+        nch, _cbase, _ntot = self._chunk_meta()
+        real = np.sort(nch[: self.n_slabs])[::-1]
+        per_q = int(real[: min(nprobe, real.size)].sum()) + max(
+            0, nprobe - real.size
+        )
+        return _pad_bucket(q * per_q)
+
+    def _fused_fn(self, k: int, nprobe: int, approx: bool, s_static: int):
+        """ONE jitted program for serve-size batches: probe -> chunked
+        device plan -> chunk-scan kernel -> merge -> packed output.
+        Removes the probe download, the host inversion, and the plan upload
+        from the latency path (~60-80 ms of tunnel latency per request at
+        batch 128)."""
+        key = ("fused", k, nprobe, approx, s_static)
         fn = self._fns.get(key)
         if fn is None:
             from deepreadmapper_tpu.ops import ivf_kernel as ik
@@ -570,7 +729,8 @@ class IVFInt8Index:
             n_slabs = self.n_slabs
 
             @jax.jit
-            def run(q8, codes3, rn2, cent, cn, slab_dev, ratio, *extras):
+            def run(q8, codes3, rn2, cent, cn, slab_dev, nch_dev, cbase_dev,
+                    ratio, *extras):
                 q8f = q8.astype(jnp.float32)
                 d2 = cn[None, :] - 2.0 * ratio * (q8f @ cent.T)
                 if approx:
@@ -580,15 +740,16 @@ class IVFInt8Index:
                 else:
                     _, pids = jax.lax.top_k(-d2, nprobe)
                 slabs = slab_dev[pids.astype(jnp.int32)]
-                step_slab, qidx, slot_of = device_plan(
-                    slabs, ik.QTK, n_slabs
+                step_chunk, step_visit, qidx, slot_of = device_plan_chunked(
+                    slabs, ik.QTK, n_slabs, nch_dev, cbase_dev, s_static
                 )
                 q8_pad = jnp.concatenate(
                     [q8, jnp.zeros((1, q8.shape[1]), jnp.int8)]
                 )
                 qsteps = q8_pad[qidx]
                 vals, args, vals2, args2 = scan(
-                    step_slab, qsteps, codes3, rn2, ratio, *extras
+                    step_chunk, step_visit, qsteps, codes3, rn2, ratio,
+                    *extras
                 )
                 d, i = ik.merge_windowed(
                     vals, args, vals2, args2, slot_of, nprobe, k
@@ -660,6 +821,69 @@ class IVFInt8Index:
         return step_cluster, qidx.reshape(s_pad, qtile), slot_of.reshape(
             q, nprobe
         )
+
+    def _build_plan_chunked(self, probe: np.ndarray, qtile: int):
+        """_build_plan for the chunked kernel layout: the same slab dedup
+        and query tiling produce VISITS (one (slab, query-tile) pair each),
+        then each visit expands to its slab's ceil(fill/CHK) chunk STEPS.
+
+        Returns (step_chunk [s_pad] int32 global chunk ids, step_visit
+        [s_pad+1] int32 (consecutive per visit, -1 sentinel), qidx
+        [v_pad, qtile] int32 (dump row = Q), slot_of [Q, nprobe] int32
+        into the [v_pad*qtile] visit-slot space)."""
+        q, nprobe = probe.shape
+        nch, cbase, _ntot = self._chunk_meta()
+        slabs = self.slab_of[probe].astype(np.int64)
+        srt = np.sort(slabs, axis=1)
+        dup_sorted = np.concatenate(
+            [np.zeros((q, 1), bool), srt[:, 1:] == srt[:, :-1]], axis=1
+        )
+        empty = self.n_slabs
+        for_rank = np.argsort(slabs, axis=1, kind="stable")
+        dup = np.zeros_like(dup_sorted)
+        np.put_along_axis(dup, for_rank, dup_sorted, axis=1)
+        slabs = np.where(dup, empty, slabs)
+        pairs_c = slabs.ravel()
+        pairs_q = np.repeat(np.arange(q, dtype=np.int32), nprobe)
+        order = np.argsort(pairs_c, kind="stable")
+        cs = pairs_c[order]
+        qs = pairs_q[order]
+        counts = np.bincount(cs, minlength=self.n_slabs + 1)
+        visits_per = -(-counts // qtile)
+        v_real = int(visits_per.sum())
+        v_pad = _pad_bucket(v_real + 1)
+        seg_start = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        visit_base = np.concatenate([[0], np.cumsum(visits_per)[:-1]])
+        r = np.arange(cs.size) - seg_start[cs]
+        visit_of_pair = visit_base[cs] + r // qtile
+        slot = visit_of_pair * qtile + r % qtile
+        qidx = np.full(v_pad * qtile, q, np.int32)
+        qidx[slot] = qs
+        slot_of = np.empty(q * nprobe, np.int32)
+        slot_of[order] = slot
+        used = counts > 0
+        visit_slab = np.repeat(
+            np.nonzero(used)[0].astype(np.int64), visits_per[used]
+        )  # [v_real]
+        nch_v = nch[visit_slab].astype(np.int64)
+        s_real = int(nch_v.sum())
+        s_pad = _pad_bucket(s_real)
+        dump_chunk = int(cbase[self.n_slabs])
+        step_visit = np.full(s_pad + 1, -1, np.int32)
+        step_visit[:s_real] = np.repeat(
+            np.arange(v_real, dtype=np.int32), nch_v
+        )
+        # padded steps form one pad visit (id v_real < v_pad) over the dump
+        # chunk; its outputs are never referenced by slot_of
+        step_visit[s_real:s_pad] = v_real
+        step_chunk = np.full(s_pad, dump_chunk, np.int32)
+        starts = np.cumsum(nch_v) - nch_v
+        step_chunk[:s_real] = (
+            np.repeat(cbase[visit_slab].astype(np.int64), nch_v)
+            + (np.arange(s_real) - np.repeat(starts, nch_v))
+        ).astype(np.int32)
+        return step_chunk, step_visit, qidx.reshape(v_pad, qtile), \
+            slot_of.reshape(q, nprobe)
 
     def _slab_fill_counts(self):
         """Real (non-empty) rows per slab — the denominator-side of the
@@ -759,9 +983,14 @@ class IVFInt8Index:
                 # serve-size batch: the whole search is one jitted program
                 # (probe + device-side plan + kernel + merge), one upload,
                 # one packed download
-                ffn = self._fused_fn(k_scan, nprobe, approx_probe)
+                nch_dev, cbase_dev = self._chunk_dev()
+                ffn = self._fused_fn(
+                    k_scan, nprobe, approx_probe,
+                    self._worst_chunks(e - s, nprobe),
+                )
                 di = np.asarray(ffn(
                     jnp.asarray(q8), c, rn, cent, cn, self._slab_dev(),
+                    nch_dev, cbase_dev,
                     jnp.float32(ratio), *self._kernel_extras(),
                 ))
                 d_b = np.ascontiguousarray(di[:, :k_scan]).view(np.float32)
@@ -773,15 +1002,17 @@ class IVFInt8Index:
                 )
                 if stats is not None:
                     self._accum_stats(stats, probe, nprobe)
-                step_cluster, qidx, slot_of = self._build_plan(
-                    probe, ik.QTK
-                )
+                step_chunk, step_visit, qidx, slot_of = \
+                    self._build_plan_chunked(probe, ik.QTK)
                 q8_pad = np.concatenate(
                     [q8, np.zeros((1, q8.shape[1]), np.int8)]
                 )
-                kfn = self._kernel_fn(k_scan, nprobe)
+                kfn = self._kernel_fn(
+                    k_scan, nprobe, step_chunk.shape[0], qidx.shape[0]
+                )
                 plan = np.concatenate([
-                    step_cluster.astype(np.int32),
+                    step_chunk.astype(np.int32),
+                    step_visit.astype(np.int32),
                     qidx.ravel().astype(np.int32),
                     slot_of.ravel().astype(np.int32),
                 ])
@@ -811,9 +1042,12 @@ class IVFInt8Index:
                 )
                 d_b = np.asarray(d_b)
                 i_b = np.asarray(i_b)
-            # slot ids -> original row ids; unfilled (-1 / empty-slot hits)
+            # row ids -> original row ids; unfilled (-1 / empty-slot hits).
+            # Kernel paths emit CHUNK-space rows (the fill-aware layout);
+            # the lax.scan path emits slab-space rows.
+            rmap = self._rowmap if use_k else self.row_ids
             valid = (i_b >= 0) & (d_b < _BIGF / 2)
-            ids = np.where(valid, self.row_ids[np.maximum(i_b, 0)], -1)
+            ids = np.where(valid, rmap[np.maximum(i_b, 0)], -1)
             out_i[s:e] = ids
             out_d[s:e] = np.where(
                 valid, (d_b + r2 * qn_all[s:e, None]) * s2, np.inf

@@ -311,23 +311,32 @@ class IVFPQIndex(IVFInt8Index):
     # ------------------------------------------------------------ device
 
     def _device(self):
-        """Kernel path: slab-major packed codes [(S+1), mp, cap] (the
-        scalar-prefetched block index map picks whole slabs); lax.scan
-        path: flat transposed [mp, (S+1)*cap].  Same bytes either way."""
+        """Kernel path: fill-aware CHUNKED packed codes [n_chunks, mp, CHK]
+        (ops/ivf_kernel.py — slab s owns only ceil(fill/CHK) chunks; the
+        cap-padded slab form wasted ~33-50% of HBM and scan bytes at genome
+        scale); lax.scan path: flat transposed [mp, (S+1)*cap]."""
         if self._dev is None:
-            packed = pack_codes_t(self.codes_cm)  # [mp, (S+1)*cap]
-            mp = packed.shape[0]
-            rn_np = pq_ops.recon_norms(self.codes_cm, self.cb8.cent_norms)
-            rn_np = np.where(self.row_ids >= 0, rn_np.astype(np.float32),
-                             _BIGF)
             cent = jnp.asarray(self.centroids)
             cn = jnp.sum(cent * cent, axis=-1)
             if self._use_kernel():
+                from deepreadmapper_tpu.ops import ivf_kernel as ik
+
+                _nch, _cbase, ntot = self._chunk_meta()
+                packedC, rnC, ridC = self._chunk_packed_host()
+                mp = packedC.shape[0]
                 c = jnp.asarray(np.ascontiguousarray(
-                    packed.reshape(mp, -1, self.cap).transpose(1, 0, 2)
+                    packedC.reshape(mp, ntot, ik.CHK).transpose(1, 0, 2)
                 ))
-                rn = jnp.asarray(rn_np.reshape(-1, self.cap))
+                rn = jnp.asarray(rnC.reshape(ntot, ik.CHK))
+                self._rowmap = ridC
             else:
+                packed = pack_codes_t(self.codes_cm)
+                rn_np = pq_ops.recon_norms(
+                    self.codes_cm, self.cb8.cent_norms
+                )
+                rn_np = np.where(
+                    self.row_ids >= 0, rn_np.astype(np.float32), _BIGF
+                )
                 c = jnp.asarray(packed)
                 rn = jnp.asarray(rn_np)
             # int8-valued centroid tables for in-step reconstruction
@@ -339,16 +348,48 @@ class IVFPQIndex(IVFInt8Index):
             self._dev = (c, rn, cent, cn)
         return self._dev
 
+    def _chunk_packed_host(self):
+        """Compact slab-space packed codes into the fill-aware chunked
+        layout: (packedC [mp, n_chunks*CHK] int32, rnC [n_chunks*CHK] fp32
+        recon norms (+inf padding), ridC [n_chunks*CHK] int64 row ids).
+        Shared by the single-chip device cache and the sharded stack
+        builder (parallel/sharded_ann.py)."""
+        from deepreadmapper_tpu.ops import ivf_kernel as ik
+
+        _nch, cbase, ntot = self._chunk_meta()
+        fill = self._slab_fill_counts()
+        cap = self.cap
+        packed = pack_codes_t(self.codes_cm)  # [mp, (S+1)*cap]
+        mp = packed.shape[0]
+        rn_src = pq_ops.recon_norms(
+            self.codes_cm, self.cb8.cent_norms
+        ).astype(np.float32)
+        packedC = np.zeros((mp, ntot * ik.CHK), np.int32)
+        rnC = np.full(ntot * ik.CHK, _BIGF, np.float32)
+        ridC = np.full(ntot * ik.CHK, -1, np.int64)
+        for si in range(self.n_slabs):
+            f = int(fill[si])
+            b = int(cbase[si]) * ik.CHK
+            packedC[:, b:b + f] = packed[:, si * cap: si * cap + f]
+            rnC[b:b + f] = rn_src[si * cap: si * cap + f]
+            ridC[b:b + f] = self.row_ids[si * cap: si * cap + f]
+        return packedC, rnC, ridC
+
     def _scan_form(self, c, rn):
-        """Kernel-layout [S, mp, cap] packed codes -> the lax.scan path's
-        flat [mp, S*cap] (a device transpose; exact=True is the parity
-        escape, not a hot path — cache so repeated calls pay once)."""
-        flat = self._fns.get("scan_form")
-        if flat is None:
-            mp = c.shape[1]
-            flat = jnp.transpose(c, (1, 0, 2)).reshape(mp, -1)
-            self._fns["scan_form"] = flat
-        return flat, rn.reshape(-1)
+        """exact=True under the kernel-layout cache: rebuild the lax.scan
+        path's flat slab-space arrays from host (the chunked layout cannot
+        be reshaped back; the exact escape is a parity/diagnostic path)."""
+        form = self._fns.get("scan_form")
+        if form is None:
+            packed = pack_codes_t(self.codes_cm)
+            rn_np = pq_ops.recon_norms(self.codes_cm, self.cb8.cent_norms)
+            rn_np = np.where(
+                self.row_ids >= 0, rn_np.astype(np.float32), _BIGF
+            )
+            form = self._fns["scan_form"] = (
+                jnp.asarray(packed), jnp.asarray(rn_np)
+            )
+        return form
 
     def _kernel_extras(self) -> tuple:
         """The int8-valued centroid tables ride the base-class kernel/fused
@@ -357,16 +398,18 @@ class IVFPQIndex(IVFInt8Index):
         self._device()  # materializes _cent_dev
         return (self._cent_dev,)
 
-    def _kernel_scan(self, step_slab, qsteps, c, rn, ratio, cent_bf):
-        """IVFPQ Pallas slab scan: in-kernel PQ reconstruction
-        (ops/ivf_kernel.ivf_slab_scan_pq) under the base-class plan/merge
+    def _kernel_scan(self, step_chunk, step_visit, qsteps, c, rn, ratio,
+                     cent_bf):
+        """IVFPQ Pallas chunk scan: in-kernel PQ reconstruction
+        (ops/ivf_kernel.ivf_chunk_scan_pq) under the base-class plan/merge
         machinery (host-plan, fused device-plan, packed I/O)."""
         from deepreadmapper_tpu.ops import ivf_kernel as ik
 
-        return ik.ivf_slab_scan_pq(
-            step_slab, qsteps, c, rn,
+        return ik.ivf_chunk_scan_pq(
+            step_chunk, step_visit, qsteps, c, rn,
             cent_bf.reshape(-1, cent_bf.shape[-1]), 2.0 * ratio,
-            self.cap, self.codes_cm.shape[1], interpret=ik.INTERPRET,
+            ik.CHK, self.codes_cm.shape[1], qsteps.shape[0],
+            interpret=ik.INTERPRET,
         )
 
     # ------------------------------------------------------------ search

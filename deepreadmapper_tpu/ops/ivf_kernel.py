@@ -267,6 +267,297 @@ def ivf_slab_scan_int8(step_slab, qsteps, codes3, rn2, ratio2, cap: int,
     return tuple(o[:s_real] for o in outs)
 
 
+# --------------------------------------------------------------------------
+# Chunked (fill-aware) slab scan — round-5 rewrite of the slab kernels.
+#
+# The slab kernels above DMA each probed slab at its full capacity `cap`
+# (sized for the LARGEST cluster); measured slab fill is ~50-67%, so a third
+# to a half of every byte moved — and of the int8->bf16 conversion the VPU
+# pays per byte — is padding.  The same padding tax lives in HBM: 5.3 GB of
+# PQ codes occupied 7.95 GB of device memory at the 500M-window tier.
+#
+# The chunked layout stores codes as a dense [n_chunks, CHK, D] array where
+# each slab owns ceil(fill / CHK) consecutive chunks — padding shrinks from
+# (cap - fill) per slab to (CHK-aligned) per slab.  The grid runs one step
+# per (visit, chunk): a "visit" is one (query-tile, slab) pair, exactly the
+# old kernel's step; its chunks are consecutive grid steps.  Selection state
+# (best + second-best per strided lane window) accumulates in VMEM scratch
+# across a visit's chunks — the same incremental _fold_strided the PQ
+# cap-chunk path already uses, so selection semantics are IDENTICAL to
+# _select_strided over the whole slab.  Outputs are VISIT-indexed (one
+# [QTK, KP] block per visit, stored only on the visit's final chunk), so
+# the merge contract (merge_windowed + slot_of) is unchanged.
+#
+# Candidate ids are GLOBAL CHUNK-SPACE row ids (chunk * CHK + offset); the
+# engine translates via its chunk-space row_id map (built with the layout).
+# --------------------------------------------------------------------------
+
+CHK = 2048  # rows per chunk: block DMA granularity and per-slab alignment
+
+
+def chunk_layout(fill: "np.ndarray", chk: int):
+    """Per-slab fill counts [n_slabs] -> (nchunks [n_slabs+1] int32,
+    chunk_base [n_slabs+1] int32, n_chunks_total incl. the trailing dump
+    chunk).  Slab s owns chunks [chunk_base[s], chunk_base[s]+nchunks[s]);
+    the dump slab (index n_slabs) owns the single all-empty trailing chunk.
+    Host-side helper shared by the engines and the sharded layouts."""
+    import numpy as np
+
+    nch = np.maximum(1, -(-np.asarray(fill, np.int64) // chk))
+    nch = np.concatenate([nch, [1]]).astype(np.int32)  # + dump slab
+    base = np.concatenate([[0], np.cumsum(nch[:-1])]).astype(np.int32)
+    return nch, base, int(nch.sum())
+
+
+def _chunk_flags(visit_ref, s):
+    """(first, last) chunk-of-visit flags from the prefetched visit map
+    (visit_ref [S+1]; visit_ref[S] is a -1 sentinel so the final step is
+    always `last`)."""
+    vis = visit_ref[s]
+    prev = visit_ref[jnp.maximum(s - 1, 0)]
+    first = jnp.logical_or(s == 0, prev != vis)
+    last = visit_ref[s + 1] != vis
+    return vis, first, last
+
+
+def _scratch_reset(bv, ba, bv2, ba2):
+    bv[...] = jnp.full(bv.shape, _BIG, jnp.float32)
+    ba[...] = jnp.zeros(ba.shape, jnp.int32)
+    bv2[...] = jnp.full(bv2.shape, _BIG, jnp.float32)
+    ba2[...] = jnp.zeros(ba2.shape, jnp.int32)
+
+
+def _fold_scores(s, base, state, chk: int):
+    """Fold a [QTK, chk] score tile's KP-wide lane windows into the running
+    (best, arg, second, arg2) state; candidates are chunk-space row ids."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (QTK, KP), 1)
+    for j in range(chk // KP):
+        state = _fold_strided(
+            s[:, j * KP:(j + 1) * KP], base + j * KP + lane, state
+        )
+    return state
+
+
+def _int8_chunk_kernel(chunk_ref, visit_ref, rat_ref, q_ref, codes_ref,
+                       rn_ref, vals_ref, args_ref, vals2_ref, args2_ref,
+                       bv, ba, bv2, ba2, *, chk: int, int8dot: bool):
+    """One chunk step.  q_ref (1, QTK, D) int8 at visit_ref[s]; codes_ref
+    (1, chk, D) int8 + rn_ref (1, 1, chk) fp32 at chunk_ref[s]; outputs
+    (1, QTK, KP) at visit_ref[s], stored only on the visit's last chunk
+    (every visit stores exactly once, overwriting the whole block, so stale
+    buffer contents can never leak).  int8dot routes the score matmul
+    through the MXU's native s8xs8->s32 path — no per-byte bf16 convert."""
+    s = pl.program_id(0)
+    _vis, first, last = _chunk_flags(visit_ref, s)
+
+    @pl.when(first)
+    def _():
+        _scratch_reset(bv, ba, bv2, ba2)
+
+    if int8dot:
+        dot = jax.lax.dot_general(
+            q_ref[0], codes_ref[0],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+    else:
+        dot = jax.lax.dot_general(
+            q_ref[0].astype(jnp.bfloat16),
+            codes_ref[0].astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    scores = rn_ref[0, 0] - rat_ref[0, 0] * dot  # [QTK, chk]
+    state = _fold_scores(
+        scores, chunk_ref[s] * chk, (bv[...], ba[...], bv2[...], ba2[...]),
+        chk,
+    )
+    bv[...], ba[...], bv2[...], ba2[...] = state
+
+    @pl.when(last)
+    def _():
+        vals_ref[0] = bv[...]
+        args_ref[0] = ba[...]
+        vals2_ref[0] = bv2[...]
+        args2_ref[0] = ba2[...]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("chk", "n_visits", "interpret", "int8dot")
+)
+def ivf_chunk_scan_int8(step_chunk, step_visit, qsteps, codesC, rnC, ratio2,
+                        chk: int, n_visits: int, interpret: bool = False,
+                        int8dot: bool = True):
+    """step_chunk [S] int32 global chunk ids; step_visit [S+1] int32 (visit
+    id per step, consecutive per visit, trailing -1 sentinel); qsteps
+    [n_visits, QTK, D] int8 per-visit query tiles; codesC [n_chunks, chk, D]
+    int8 (trailing dump chunk all-zero); rnC [n_chunks, chk] fp32 (+inf on
+    empty/padding rows) -> (vals, args, vals2, args2) [n_visits, QTK, KP]:
+    best and second-best per strided window over each visit's WHOLE slab,
+    args in chunk-space row ids."""
+    outs = pl.pallas_call(
+        functools.partial(_int8_chunk_kernel, chk=chk, int8dot=int8dot),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(step_chunk.shape[0],),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, QTK, qsteps.shape[-1]),
+                             lambda s, cref, vref: (vref[s], 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, chk, codesC.shape[-1]),
+                             lambda s, cref, vref: (cref[s], 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, chk),
+                             lambda s, cref, vref: (cref[s], 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, QTK, KP),
+                             lambda s, cref, vref: (vref[s], 0, 0),
+                             memory_space=pltpu.VMEM)
+            ] * 4,
+            scratch_shapes=[
+                pltpu.VMEM((QTK, KP), jnp.float32),
+                pltpu.VMEM((QTK, KP), jnp.int32),
+                pltpu.VMEM((QTK, KP), jnp.float32),
+                pltpu.VMEM((QTK, KP), jnp.int32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((n_visits, QTK, KP), jnp.float32),
+            jax.ShapeDtypeStruct((n_visits, QTK, KP), jnp.int32),
+            jax.ShapeDtypeStruct((n_visits, QTK, KP), jnp.float32),
+            jax.ShapeDtypeStruct((n_visits, QTK, KP), jnp.int32),
+        ],
+        interpret=interpret,
+    )(
+        step_chunk,
+        step_visit,
+        jnp.asarray(ratio2, jnp.float32).reshape(1, 1),
+        qsteps,
+        codesC,
+        rnC.reshape(rnC.shape[0], 1, rnC.shape[-1]) if rnC.ndim == 2 else rnC,
+    )
+    return outs
+
+
+def _pq_chunk_kernel(chunk_ref, visit_ref, rat_ref, q_ref, packed_ref,
+                     rn_ref, cent_ref, vals_ref, args_ref, vals2_ref,
+                     args2_ref, bv, ba, bv2, ba2, recon_ref, *, chk: int,
+                     m: int):
+    """IVFPQ chunk step: reconstruct the chunk from byte-packed codes
+    in-kernel (per-subspace one-hot contractions into the transposed
+    [D, chk] recon scratch — the ops/scan_kernel.py trick), score, fold.
+    packed_ref (1, mp, chk) int32 at chunk_ref[s]; cent_ref [m*ksub, dsub]
+    bf16 int8-valued tables."""
+    s = pl.program_id(0)
+    _vis, first, last = _chunk_flags(visit_ref, s)
+
+    @pl.when(first)
+    def _():
+        _scratch_reset(bv, ba, bv2, ba2)
+
+    ksub = cent_ref.shape[0] // m
+    dsub = cent_ref.shape[1]
+    for j in range(m):
+        byte = jnp.bitwise_and(
+            jax.lax.shift_right_logical(
+                packed_ref[0, j // 4:j // 4 + 1, :], 8 * (j % 4)
+            ),
+            255,
+        )  # [1, chk] int32
+        oh_t = (
+            jax.lax.broadcasted_iota(jnp.int32, (ksub, chk), 0) == byte
+        ).astype(jnp.bfloat16)  # [ksub, chk]
+        part = jax.lax.dot_general(
+            cent_ref[j * ksub:(j + 1) * ksub, :], oh_t,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [dsub, chk] exact int8-valued
+        recon_ref[j * dsub:(j + 1) * dsub, :] = part.astype(jnp.bfloat16)
+    dot = jax.lax.dot_general(
+        q_ref[0].astype(jnp.bfloat16), recon_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [QTK, chk] exact
+    scores = rn_ref[0, 0] - rat_ref[0, 0] * dot
+    state = _fold_scores(
+        scores, chunk_ref[s] * chk, (bv[...], ba[...], bv2[...], ba2[...]),
+        chk,
+    )
+    bv[...], ba[...], bv2[...], ba2[...] = state
+
+    @pl.when(last)
+    def _():
+        vals_ref[0] = bv[...]
+        args_ref[0] = ba[...]
+        vals2_ref[0] = bv2[...]
+        args2_ref[0] = ba2[...]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("chk", "m", "n_visits", "interpret")
+)
+def ivf_chunk_scan_pq(step_chunk, step_visit, qsteps, packedC, rnC, cent2d,
+                      ratio2, chk: int, m: int, n_visits: int,
+                      interpret: bool = False):
+    """packedC [n_chunks, mp, chk] int32 byte-packed PQ codes (chunk-major
+    3D; trailing dump chunk), cent2d [m*ksub, dsub] bf16; rest as
+    ivf_chunk_scan_int8."""
+    d = qsteps.shape[-1]
+    outs = pl.pallas_call(
+        functools.partial(_pq_chunk_kernel, chk=chk, m=m),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(step_chunk.shape[0],),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, QTK, d),
+                             lambda s, cref, vref: (vref[s], 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, packedC.shape[1], chk),
+                             lambda s, cref, vref: (cref[s], 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, chk),
+                             lambda s, cref, vref: (cref[s], 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(cent2d.shape,
+                             lambda s, cref, vref: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, QTK, KP),
+                             lambda s, cref, vref: (vref[s], 0, 0),
+                             memory_space=pltpu.VMEM)
+            ] * 4,
+            scratch_shapes=[
+                pltpu.VMEM((QTK, KP), jnp.float32),
+                pltpu.VMEM((QTK, KP), jnp.int32),
+                pltpu.VMEM((QTK, KP), jnp.float32),
+                pltpu.VMEM((QTK, KP), jnp.int32),
+                pltpu.VMEM((d, chk), jnp.bfloat16),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((n_visits, QTK, KP), jnp.float32),
+            jax.ShapeDtypeStruct((n_visits, QTK, KP), jnp.int32),
+            jax.ShapeDtypeStruct((n_visits, QTK, KP), jnp.float32),
+            jax.ShapeDtypeStruct((n_visits, QTK, KP), jnp.int32),
+        ],
+        interpret=interpret,
+    )(
+        step_chunk,
+        step_visit,
+        jnp.asarray(ratio2, jnp.float32).reshape(1, 1),
+        qsteps,
+        packedC,
+        rnC.reshape(rnC.shape[0], 1, rnC.shape[-1]) if rnC.ndim == 2 else rnC,
+        cent2d,
+    )
+    return outs
+
+
 CCHUNK = 7680  # PQ recon/score tile width (lanes): bounds the in-kernel
 # [ksub, CCHUNK] one-hot (3.9 MB bf16) and [D, CCHUNK] recon scratch so
 # caps far beyond VMEM (76k+ at the 500M-row tier) still compile

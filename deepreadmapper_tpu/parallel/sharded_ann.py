@@ -301,40 +301,56 @@ class ShardedANNIndex:
                 # round up to _row_norms' chunk so the norm pass stays
                 # chunked (whole-matrix int32 cast = 8x transient HBM at
                 # genome scale); the extra rows are plain empty slots.
-                # (The kernel form keeps space == slabs*cap exactly and
-                # computes norms per slab instead.)
+                # (The kernel form is fill-aware chunked and computes norms
+                # per chunk instead.)
                 space += (-space) % _INT8_CHUNK
-            codes_np = np.zeros((s_cnt, space, d), np.int8)
-            rowid_np = np.full((s_cnt, space), -1, np.int32)
             cmax = self._global_max(
                 max(s.centroids.shape[0] for s in self.subs)
             )
             cent_np = np.zeros((s_cnt, cmax, d), np.float32)
             cmask_np = np.zeros((s_cnt, cmax), bool)
             for si, sub in enumerate(self.subs):
-                rows = sub.codes_cm.shape[0]
-                codes_np[si, :rows] = sub.codes_cm
-                # local row ids fit int32 (per-shard row count is int32-
-                # bounded by build()); -1 marks empty slots
-                rowid_np[si, :rows] = sub.row_ids.astype(np.int32)
                 c = sub.centroids.shape[0]
                 cent_np[si, :c] = sub.centroids
                 cmask_np[si, :c] = True
-            rowid = self._put(rowid_np, "shard", None)
             if use_k:
-                # SLAB-MAJOR 4D for the Pallas slab-scan kernel; norms per
-                # slab (bounded temporaries, no chunk-rounding needed)
+                # FILL-AWARE CHUNKED layout (ops/ivf_kernel.py) per shard,
+                # padded to a common chunk count (extra chunks all-empty);
+                # row ids live in CHUNK space — the kernel emits chunk-space
+                # candidates
                 from deepreadmapper_tpu.index.ivf_int8 import _slab_row_norms
+                from deepreadmapper_tpu.ops import ivf_kernel as ik
 
+                ntot_max = self._global_max(
+                    max(s._chunk_meta()[2] for s in self.subs)
+                )
+                codes_np = np.zeros(
+                    (s_cnt, ntot_max * ik.CHK, d), np.int8
+                )
+                rowid_np = np.full((s_cnt, ntot_max * ik.CHK), -1, np.int32)
+                for si, sub in enumerate(self.subs):
+                    cc, rid = sub._chunk_rows_host()
+                    codes_np[si, : cc.shape[0]] = cc
+                    rowid_np[si, : rid.shape[0]] = rid.astype(np.int32)
+                rowid = self._put(rowid_np, "shard", None)
                 codes = self._put(
-                    codes_np.reshape(s_cnt, space // cap, cap, d),
+                    codes_np.reshape(s_cnt, ntot_max, ik.CHK, d),
                     "shard", None, None, None,
                 )
                 rn = jnp.where(
-                    rowid.reshape(s_cnt, space // cap, cap) >= 0,
+                    rowid.reshape(s_cnt, ntot_max, ik.CHK) >= 0,
                     jax.vmap(_slab_row_norms)(codes), _IVF_BIGF,
                 )
             else:
+                codes_np = np.zeros((s_cnt, space, d), np.int8)
+                rowid_np = np.full((s_cnt, space), -1, np.int32)
+                for si, sub in enumerate(self.subs):
+                    rows = sub.codes_cm.shape[0]
+                    codes_np[si, :rows] = sub.codes_cm
+                    # local row ids fit int32 (per-shard row count is int32-
+                    # bounded by build()); -1 marks empty slots
+                    rowid_np[si, :rows] = sub.row_ids.astype(np.int32)
+                rowid = self._put(rowid_np, "shard", None)
                 from deepreadmapper_tpu.index.int8_flat import _row_norms
 
                 codes = self._put(codes_np, "shard", None, None)
@@ -375,9 +391,6 @@ class ShardedANNIndex:
             s_cnt = len(self.subs)
             max_slabs = self._global_max(max(s.n_slabs for s in self.subs))
             space = (max_slabs + 1) * cap
-            packed_np = np.zeros((s_cnt, mp, space), np.int32)
-            rn_np = np.full((s_cnt, space), _IVF_BIGF, np.float32)
-            rowid_np = np.full((s_cnt, space), -1, np.int32)
             cmax = self._global_max(
                 max(sub.centroids.shape[0] for sub in self.subs)
             )
@@ -392,29 +405,49 @@ class ShardedANNIndex:
                 for sub in self.subs
             ])
             for si, sub in enumerate(self.subs):
-                cols = sub.codes_cm.shape[0]
-                packed_np[si, :, :cols] = pack_codes_t(sub.codes_cm)
-                rn = pq_ops.recon_norms(
-                    sub.codes_cm, sub.cb8.cent_norms
-                ).astype(np.float32)
-                rn_np[si, :cols] = np.where(sub.row_ids >= 0, rn, _IVF_BIGF)
-                rowid_np[si, :cols] = sub.row_ids.astype(np.int32)
                 c = sub.centroids.shape[0]
                 cent_np[si, :c] = sub.centroids
                 cmask_np[si, :c] = True
             if self._ivf_kernel_ok():
-                # slab-major 4D [S, slabs, mp, cap] for the Pallas kernel
-                n_sl = space // cap
-                codes = self._put(
-                    np.ascontiguousarray(
-                        packed_np.reshape(s_cnt, mp, n_sl, cap)
-                        .transpose(0, 2, 1, 3)
-                    ),
-                    "shard", None, None, None,
+                # FILL-AWARE CHUNKED layout per shard, padded to a common
+                # chunk count (extra chunks: zero codes, +inf norms, -1
+                # ids); chunk-major 4D [S, n_chunks, mp, CHK]
+                from deepreadmapper_tpu.ops import ivf_kernel as ik
+
+                ntot_max = self._global_max(
+                    max(s._chunk_meta()[2] for s in self.subs)
                 )
-                rn = self._put(rn_np.reshape(s_cnt, n_sl, cap),
-                               "shard", None, None)
+                packed_np = np.zeros(
+                    (s_cnt, ntot_max, mp, ik.CHK), np.int32
+                )
+                rn_np = np.full(
+                    (s_cnt, ntot_max, ik.CHK), _IVF_BIGF, np.float32
+                )
+                rowid_np = np.full((s_cnt, ntot_max * ik.CHK), -1, np.int32)
+                for si, sub in enumerate(self.subs):
+                    pc, rnc, ridc = sub._chunk_packed_host()
+                    ntot = pc.shape[1] // ik.CHK
+                    packed_np[si, :ntot] = np.ascontiguousarray(
+                        pc.reshape(mp, ntot, ik.CHK).transpose(1, 0, 2)
+                    )
+                    rn_np[si, :ntot] = rnc.reshape(ntot, ik.CHK)
+                    rowid_np[si, : ridc.shape[0]] = ridc.astype(np.int32)
+                codes = self._put(packed_np, "shard", None, None, None)
+                rn = self._put(rn_np, "shard", None, None)
             else:
+                packed_np = np.zeros((s_cnt, mp, space), np.int32)
+                rn_np = np.full((s_cnt, space), _IVF_BIGF, np.float32)
+                rowid_np = np.full((s_cnt, space), -1, np.int32)
+                for si, sub in enumerate(self.subs):
+                    cols = sub.codes_cm.shape[0]
+                    packed_np[si, :, :cols] = pack_codes_t(sub.codes_cm)
+                    rn = pq_ops.recon_norms(
+                        sub.codes_cm, sub.cb8.cent_norms
+                    ).astype(np.float32)
+                    rn_np[si, :cols] = np.where(
+                        sub.row_ids >= 0, rn, _IVF_BIGF
+                    )
+                    rowid_np[si, :cols] = sub.row_ids.astype(np.int32)
                 codes = self._put(packed_np, "shard", None, None)
                 rn = self._put(rn_np, "shard", None)
             rowid = self._put(rowid_np, "shard", None)
@@ -574,14 +607,15 @@ class ShardedANNIndex:
         return fn
 
     def _ivf_scan_fn(self, k: int, k_local: int, kp: int, nprobe: int,
-                     s_pad: int, qb_local: int):
+                     s_pad: int, qb_local: int, v_pad: int = 0):
         """Per-shard probed-slab scan + slot->row mapping + global merge.
 
         The host-built plan arrays are sharded over BOTH mesh axes — every
-        (data position, shard) pair scans its own (slab, query-tile) steps —
+        (data position, shard) pair scans its own steps (fill-aware chunk
+        steps for the kernel path, (slab, query-tile) steps otherwise) —
         and the merge is the same two-int32 all_gather used by every other
         engine kind (local ROW ids, not slot ids, cross the collective)."""
-        key = ("ivf_scan", k, k_local, kp, nprobe, s_pad, qb_local)
+        key = ("ivf_scan", k, k_local, kp, nprobe, s_pad, qb_local, v_pad)
         fn = self._fns.get(key)
         if fn is not None:
             return fn
@@ -601,22 +635,24 @@ class ShardedANNIndex:
             mesh=mesh,
             in_specs=(
                 P("data", None),
-                codes_spec,                # codes stack (4D slab-major for
+                codes_spec,                # codes stack (4D chunk-major for
                                            # the kernel, flat otherwise)
-                rn_spec,                   # slab-space row norms
-                P("shard", None),          # slab-space -> local row ids
+                rn_spec,                   # row norms
+                P("shard", None),          # -> local row ids (chunk space
+                                           # for the kernel, slab space else)
                 P("shard"),                # int8 scales
                 P("shard"),                # host-computed query scales
                 P("shard"),                # sq/sc ratios
-                P("data", "shard", None),          # step_cluster
-                P("data", "shard", None, None),    # step query tiles
+                P("data", "shard", None),          # step_cluster/chunk
+                P("data", "shard", None),          # step_visit (+sentinel)
+                P("data", "shard", None, None),    # visit query tiles
                 P("data", "shard", None, None),    # (query, probe) -> slot
             ),
             out_specs=(P("data", None), P("data", None), P("data", None)),
             check_vma=False,
         )
         def body(q, codes_s, rn_s, rowid_s, scale_s, qscale_s, ratio_s,
-                 stepc_s, qidx_s, slot_s):
+                 stepc_s, stepv_s, qidx_s, slot_s):
             from deepreadmapper_tpu.ops import ivf_kernel as ik
 
             s = scale_s[0]
@@ -629,10 +665,11 @@ class ShardedANNIndex:
                  jnp.zeros((1, q.shape[1]), jnp.int8)]
             )
             if use_kern:
-                qsteps = q8[qidx_s[0, 0]]  # [s_pad, QTK, D]
-                vals, args, vals2, args2 = ik.ivf_slab_scan_int8(
-                    stepc_s[0, 0], qsteps, codes_s[0], rn_s[0], 2.0 * rat,
-                    cap, interpret=ik.INTERPRET,
+                qsteps = q8[qidx_s[0, 0]]  # [v_pad, QTK, D]
+                vals, args, vals2, args2 = ik.ivf_chunk_scan_int8(
+                    stepc_s[0, 0], stepv_s[0, 0], qsteps, codes_s[0],
+                    rn_s[0], 2.0 * rat, ik.CHK, qsteps.shape[0],
+                    interpret=ik.INTERPRET,
                 )
                 d_cand, slots = ik.merge_windowed(
                     vals, args, vals2, args2, slot_s[0, 0], nprobe, k_local
@@ -658,9 +695,9 @@ class ShardedANNIndex:
             return merge(d_loc, rows)
 
         fn = jax.jit(
-            lambda q, dev, qscale, ratio, stepc, qidx, slot: body(
+            lambda q, dev, qscale, ratio, stepc, stepv, qidx, slot: body(
                 q, dev[3], dev[4][0], dev[4][1], dev[4][4], qscale, ratio,
-                stepc, qidx, slot,
+                stepc, stepv, qidx, slot,
             )
         )
         self._fns[key] = fn
@@ -709,15 +746,16 @@ class ShardedANNIndex:
         return fn
 
     def _ivfpq_scan_fn(self, k: int, k_local: int, kp: int, nprobe: int,
-                       s_pad: int, qb_local: int):
+                       s_pad: int, qb_local: int, v_pad: int = 0):
         """IVFPQ per-shard probed-slab scan: the IVFINT8 body with PQ slab
         reconstruction (scan_probed_slabs_pq) and per-shard rotation."""
-        key = ("ivfpq_scan", k, k_local, kp, nprobe, s_pad, qb_local)
+        key = ("ivfpq_scan", k, k_local, kp, nprobe, s_pad, qb_local, v_pad)
         fn = self._fns.get(key)
         if fn is not None:
             return fn
         mesh = self.mesh
         cap = self.subs[0].cap
+        m_pq = self.subs[0].codes_cm.shape[1]
         merge = self._merge_fn(k)
         use_kern = self._ivf_kernel_ok()
         codes_spec = (
@@ -732,22 +770,24 @@ class ShardedANNIndex:
             in_specs=(
                 P("data", None),
                 codes_spec,                # packed codes stack
-                rn_spec,                   # slab-space recon norms
-                P("shard", None),          # slab-space -> local row ids
+                rn_spec,                   # recon norms
+                P("shard", None),          # -> local row ids (chunk space
+                                           # for the kernel, slab space else)
                 P("shard"),                # codebook scales
                 P("shard"),                # host-computed query scales
                 P("shard"),                # sq/sc ratios
                 P("shard", None, None, None),      # int8 centroid tables
                 P("shard", None, None),            # OPQ rotations
-                P("data", "shard", None),          # step_cluster
-                P("data", "shard", None, None),    # step query tiles
+                P("data", "shard", None),          # step_cluster/chunk
+                P("data", "shard", None),          # step_visit (+sentinel)
+                P("data", "shard", None, None),    # visit query tiles
                 P("data", "shard", None, None),    # (query, probe) -> slot
             ),
             out_specs=(P("data", None), P("data", None), P("data", None)),
             check_vma=False,
         )
         def body(q, codes_s, rn_s, rowid_s, scale_s, qscale_s, ratio_s,
-                 cent_bf_s, rot_s, stepc_s, qidx_s, slot_s):
+                 cent_bf_s, rot_s, stepc_s, stepv_s, qidx_s, slot_s):
             from deepreadmapper_tpu.ops import ivf_kernel as ik
 
             sc = scale_s[0]
@@ -761,10 +801,10 @@ class ShardedANNIndex:
             if use_kern:
                 qsteps = q8[qidx_s[0, 0]]
                 cb = cent_bf_s[0]
-                vals, args, vals2, args2 = ik.ivf_slab_scan_pq(
-                    stepc_s[0, 0], qsteps, codes_s[0], rn_s[0],
-                    cb.reshape(-1, cb.shape[-1]), 2.0 * rat, cap,
-                    cb.shape[0], interpret=ik.INTERPRET,
+                vals, args, vals2, args2 = ik.ivf_chunk_scan_pq(
+                    stepc_s[0, 0], stepv_s[0, 0], qsteps, codes_s[0],
+                    rn_s[0], cb.reshape(-1, cb.shape[-1]), 2.0 * rat,
+                    ik.CHK, m_pq, qsteps.shape[0], interpret=ik.INTERPRET,
                 )
                 d_cand, slots = ik.merge_windowed(
                     vals, args, vals2, args2, slot_s[0, 0], nprobe, k_local
@@ -786,9 +826,9 @@ class ShardedANNIndex:
             return merge(d_loc, rows)
 
         fn = jax.jit(
-            lambda q, dev, qscale, ratio, stepc, qidx, slot: body(
+            lambda q, dev, qscale, ratio, stepc, stepv, qidx, slot: body(
                 q, dev[3], dev[4][0], dev[4][1], dev[4][4], qscale, ratio,
-                dev[4][5], dev[4][6], stepc, qidx, slot,
+                dev[4][5], dev[4][6], stepc, stepv, qidx, slot,
             )
         )
         self._fns[key] = fn
@@ -877,51 +917,99 @@ class ShardedANNIndex:
             probe = self._fetch_probe_local(probe_fn(qj, dev, qscale, ratio))
             qb_local = width // n_data
             # host plan inversion per (data position, local shard); pad
-            # every plan to one step count so all devices run one program
+            # every plan to one step count so all devices run one program.
+            # Kernel path: fill-aware CHUNKED plans (step_chunk +
+            # step_visit + per-visit query tiles); extension steps past a
+            # shard's own plan CONTINUE its final visit over the shard's
+            # dump chunk — +inf scores fold as no-ops, so the re-written
+            # final state is unchanged.
             qtile = ik.QTK if use_kern else _IVF_QTILE
-            plans = [
-                [
-                    self.subs[li]._build_plan(
-                        # dummy probes (nprobe > this shard's real cluster
-                        # count) clip to the last real cluster; the plan's
-                        # duplicate-slab redirect then sends them to the
-                        # empty slab, so they scan nothing
-                        np.minimum(
-                            probe[db * qb_local:(db + 1) * qb_local, :, li],
-                            ccounts[li] - 1,
-                        ),
-                        qtile,
-                    )
-                    for li in range(s_loc)
+
+            def _clip(db, li):
+                # dummy probes (nprobe > this shard's real cluster count)
+                # clip to the last real cluster; the plan's duplicate-slab
+                # redirect then sends them to the empty slab
+                return np.minimum(
+                    probe[db * qb_local:(db + 1) * qb_local, :, li],
+                    ccounts[li] - 1,
+                )
+
+            if use_kern:
+                plans = [
+                    [
+                        self.subs[li]._build_plan_chunked(_clip(db, li),
+                                                          qtile)
+                        for li in range(s_loc)
+                    ]
+                    for db in range(n_data)
                 ]
-                for db in range(n_data)
-            ]
-            s_pad = self._global_max(
-                max(p[0].shape[0] for row in plans for p in row)
-            )
-            stepc = np.zeros((n_data, s_loc, s_pad), np.int32)
-            qidx = np.full(
-                (n_data, s_loc, s_pad, qtile), qb_local, np.int32
-            )
-            slot = np.zeros(
-                (n_data, s_loc, qb_local, nprobe), np.int32
-            )
-            for db in range(n_data):
-                for li in range(s_loc):
-                    sc, qi, so = plans[db][li]
-                    stepc[db, li, : sc.shape[0]] = sc
-                    qidx[db, li, : qi.shape[0]] = qi
-                    slot[db, li] = so
+                s_pad = self._global_max(
+                    max(p[0].shape[0] for row in plans for p in row)
+                )
+                v_pad = self._global_max(
+                    max(p[2].shape[0] for row in plans for p in row)
+                )
+                stepc = np.zeros((n_data, s_loc, s_pad), np.int32)
+                stepv = np.full((n_data, s_loc, s_pad + 1), -1, np.int32)
+                qidx = np.full(
+                    (n_data, s_loc, v_pad, qtile), qb_local, np.int32
+                )
+                slot = np.zeros(
+                    (n_data, s_loc, qb_local, nprobe), np.int32
+                )
+                for db in range(n_data):
+                    for li in range(s_loc):
+                        sc, sv, qi, so = plans[db][li]
+                        ln = sc.shape[0]
+                        dumpc = int(
+                            self.subs[li]._chunk_meta()[1][
+                                self.subs[li].n_slabs
+                            ]
+                        )
+                        stepc[db, li, :ln] = sc
+                        stepc[db, li, ln:] = dumpc
+                        stepv[db, li, :ln] = sv[:-1]
+                        stepv[db, li, ln:s_pad] = sv[ln - 1]
+                        qidx[db, li, : qi.shape[0]] = qi
+                        slot[db, li] = so
+            else:
+                plans = [
+                    [
+                        self.subs[li]._build_plan(_clip(db, li), qtile)
+                        for li in range(s_loc)
+                    ]
+                    for db in range(n_data)
+                ]
+                s_pad = self._global_max(
+                    max(p[0].shape[0] for row in plans for p in row)
+                )
+                v_pad = 0
+                stepc = np.zeros((n_data, s_loc, s_pad), np.int32)
+                stepv = np.zeros((n_data, s_loc, 1), np.int32)  # unused
+                qidx = np.full(
+                    (n_data, s_loc, s_pad, qtile), qb_local, np.int32
+                )
+                slot = np.zeros(
+                    (n_data, s_loc, qb_local, nprobe), np.int32
+                )
+                for db in range(n_data):
+                    for li in range(s_loc):
+                        sc, qi, so = plans[db][li]
+                        stepc[db, li, : sc.shape[0]] = sc
+                        qidx[db, li, : qi.shape[0]] = qi
+                        slot[db, li] = so
             scan_fn = (
                 self._ivfpq_scan_fn if pq_kind else self._ivf_scan_fn
             )
-            fn = scan_fn(k_merge, k_local, kp, nprobe, s_pad, qb_local)
+            fn = scan_fn(k_merge, k_local, kp, nprobe, s_pad, qb_local,
+                         v_pad)
             # dispatch only — results fetch after the loop so batch i+1's
             # probe overlaps batch i's scan (the probe fetch itself must
             # block: the plan depends on it)
             pending.append((s, e, fn(
                 qj, dev, qscale, ratio,
                 self._put(stepc, "data", "shard", None),
+                self._put(stepv, "data", "shard", None),
                 self._put(qidx, "data", "shard", None, None),
                 self._put(slot, "data", "shard", None, None),
             )))

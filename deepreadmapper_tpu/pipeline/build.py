@@ -19,6 +19,38 @@ from deepreadmapper_tpu.io.results import load_embeddings_npy
 from deepreadmapper_tpu.models.encoder import Vectorizer
 
 
+def _resolve_weights(weights: str | None, vectorizer: Vectorizer | None):
+    """Resolve the (weights=, vectorizer=) pair for a build — shared by
+    build_index and build_index_distributed so the two paths cannot drift.
+
+    Both are allowed ONLY when they agree (harnesses pre-load the tuned
+    encoder once to avoid per-build re-jits); a mismatched pair would embed
+    windows with one encoder while recording another for query time — the
+    exact footgun weights= exists to prevent.  Agreement is EXACT
+    (array_equal on host copies fetched once): near-identical fine-tunes
+    are still different encoders."""
+    if weights is None:
+        return vectorizer or Vectorizer()
+    import jax
+
+    from deepreadmapper_tpu.models.encoder import load_params
+
+    tuned = load_params(weights)
+    if vectorizer is None:
+        return Vectorizer(tuned)
+    lv = jax.tree_util.tree_leaves(jax.device_get(vectorizer.params))
+    lw = jax.tree_util.tree_leaves(jax.device_get(tuned))
+    if len(lv) != len(lw) or not all(
+        np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(lv, lw)
+    ):
+        raise ValueError(
+            "vectorizer= params do not match weights= — pass one, "
+            "or load the vectorizer from the same npz"
+        )
+    return vectorizer
+
+
 def embed_fasta_windows(
     records: list[np.ndarray],
     ref_len: int,
@@ -242,13 +274,7 @@ def build_index_distributed(
     from deepreadmapper_tpu.parallel.distributed import build_own_shards
 
     cfg = build_cfg or BuildConfig()
-    if weights is not None and vectorizer is not None:
-        raise ValueError("pass either weights= or vectorizer=, not both")
-    if weights is not None:
-        from deepreadmapper_tpu.models.encoder import load_params
-
-        vectorizer = Vectorizer(load_params(weights))
-    vectorizer = vectorizer or Vectorizer()
+    vectorizer = _resolve_weights(weights, vectorizer)
     codes_scale = None
     transform = None
     if index_type in ("INT8FLAT", "IVFINT8"):
@@ -486,32 +512,7 @@ def build_index(
     encoder that embedded the index — a mismatch silently destroys
     accuracy (fine-tuning moves the whole embedding space)."""
     cfg = build_cfg or BuildConfig(stride=stride)
-    if weights is not None:
-        import jax
-
-        from deepreadmapper_tpu.models.encoder import load_params
-
-        tuned = load_params(weights)
-        if vectorizer is not None:
-            # both allowed ONLY when they agree (harnesses pre-load the
-            # tuned encoder once to avoid per-build re-jits); a mismatched
-            # pair would embed windows with one encoder while recording
-            # another for query time — the exact footgun weights= exists
-            # to prevent
-            lv = jax.tree_util.tree_leaves(vectorizer.params)
-            lw = jax.tree_util.tree_leaves(tuned)
-            if len(lv) != len(lw) or not all(
-                a.shape == np.asarray(b).shape
-                and np.allclose(np.asarray(a), np.asarray(b))
-                for a, b in zip(lv, lw)
-            ):
-                raise ValueError(
-                    "vectorizer= params do not match weights= — pass one, "
-                    "or load the vectorizer from the same npz"
-                )
-        else:
-            vectorizer = Vectorizer(tuned)
-    vectorizer = vectorizer or Vectorizer()
+    vectorizer = _resolve_weights(weights, vectorizer)
     if cfg.opq and index_type not in ("PQFLAT", "IVFPQ"):
         print(
             f"[BUILD INDEX] WARNING: --opq only applies to PQFLAT/IVFPQ; "

@@ -87,7 +87,12 @@ def chain_votes(
     summation ORDER (reduceat segments vs dict-value iteration), which can
     move a weighted mean sitting exactly on .5 by one base — a parity test
     drives both over randomized + adversarial-tie grids and bounds the
-    start gap at 1."""
+    start gap at 1.  The same rounding can in principle flip a support
+    comparison that ties EXACTLY in one summation order but not the other,
+    letting a different cluster win a merged bin — so dmin/coverage (which
+    ride the winning cluster) are also subject to the divergence, not just
+    the ±1 start drift; no observed grid hits it, but callers comparing
+    against the oracle should treat those fields as tie-divergent too."""
     tol_ = max(tol, 1)
     ids = np.asarray(cand_ids, np.int64).ravel()
     dmat = np.asarray(cand_d, np.float64)

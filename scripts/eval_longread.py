@@ -83,9 +83,8 @@ def main():
             if have != want:
                 raise SystemExit(f"--keep-dir marker mismatch: {have} != "
                                  f"{want}; use a fresh dir")
-            cached = os.path.exists(prefix + "/config.txt") or os.path.exists(
-                os.path.join(prefix, "config.txt"))
-        t_build = 0.0
+            cached = os.path.exists(os.path.join(prefix, "config.txt"))
+        t_build = None  # null in the output doc when the index was cached
         if not cached:
             with open(ref, "w") as f:
                 f.write("> sim\n")
@@ -218,7 +217,9 @@ def main():
             print(json.dumps(row), flush=True)
 
     doc = {"n_bp": args.n_bp, "n_reads": args.n_reads,
-           "index_type": args.index_type, "t_build_s": round(t_build, 1),
+           "index_type": args.index_type,
+           "t_build_s": None if t_build is None else round(t_build, 1),
+           "cached_index": t_build is None,
            "rows": rows}
     with open(args.out, "w") as f:
         json.dump(doc, f, indent=2)
