@@ -208,9 +208,31 @@ class HNSWPQIndex:
             self._dev = (neigh0, levels, entry, storage)
         return self._dev
 
-    def search(self, queries: np.ndarray, k: int, ef: int = 128):
+    def search(self, queries: np.ndarray, k: int, ef: int = 128,
+               stats: dict | None = None):
+        """stats, when a dict is passed, is filled with SEARCH-EFFORT
+        counters (the hnswm distance-call profiling idea,
+        /root/reference/src/hnswm/hnsw.cpp:18-39, recast for the
+        fixed-shape TPU beam): the SPMD beam search does DETERMINISTIC
+        work per query — `ef` expansion iterations of 2M neighbor slots
+        each plus the greedy level descent — so the counters are computed
+        from the graph shape rather than device-side instrumentation
+        (which would serialize the beam)."""
         neigh0, levels, entry, storage = self._device()
         ef = max(ef, k)
+        if stats is not None:
+            g = self.graph
+            upper = sum(lg.shape[0] for lg in g.level_gids)
+            stats["queries"] = stats.get("queries", 0) + len(queries)
+            stats["beam_expansions_per_query"] = ef
+            stats["neighbor_slots_scored_per_query"] = ef * 2 * g.m
+            stats["descent_levels"] = g.max_level
+            stats["graph_degree"] = 2 * g.m
+            stats["upper_level_nodes"] = upper
+            stats["ntotal"] = self.ntotal
+            stats["coverage"] = round(
+                ef * 2 * g.m / max(self.ntotal, 1), 6
+            )
         q = jnp.asarray(queries, jnp.float32)
         if self.storage_mode == "pq":
             qdata = pq_ops.adc_tables(q, self.codebook.centroids)

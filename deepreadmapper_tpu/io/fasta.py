@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from deepreadmapper_tpu.io.fileio import read_bytes
+from deepreadmapper_tpu.io.fileio import read_bytes, read_bytes_arr
 
 _ACGTN = b"ACGTN"
 
@@ -53,8 +53,13 @@ def _clean(arr: np.ndarray) -> np.ndarray:
 
 
 def parse_fasta_records(path: str) -> list[np.ndarray]:
-    """Cleaned per-record byte arrays (uint8, uppercase ACGTN only)."""
-    data = np.frombuffer(read_bytes(path), dtype=np.uint8)
+    """Cleaned per-record byte arrays (uint8, uppercase ACGTN only).
+
+    The raw file rides a read-only memmap (read_bytes_arr) so parsing a
+    3 Gbp reference peaks at ~1x genome host RAM (the cleaned copies),
+    not 2x — the reference's mmap reader recast
+    (src/utils/parse_inputs.cpp:117-162)."""
+    data = read_bytes_arr(path)
     # Line starts: offset 0 plus every byte after a newline.
     nl = np.flatnonzero(data == ord("\n"))
     line_starts = np.concatenate(([0], nl + 1))
@@ -131,7 +136,7 @@ def translate_window_ids(
 def extract_fasta_sequence(path: str) -> np.ndarray:
     """Whole-file clean stream after skipping only the first line (the
     reference's dynamic-mode genome loader, parse_inputs.cpp:174-220)."""
-    data = np.frombuffer(read_bytes(path), dtype=np.uint8)
+    data = read_bytes_arr(path)
     nl = np.flatnonzero(data == ord("\n"))
     start = nl[0] + 1 if nl.size else data.size
     return _clean(data[start:])

@@ -23,6 +23,24 @@ def read_bytes(path: str) -> bytes:
     return data
 
 
+def read_bytes_arr(path: str):
+    """File contents as a uint8 array; plain files come back as a
+    READ-ONLY np.memmap so a 3 Gbp genome is paged, not slurped — the
+    reference's mmap readers (src/utils/parse_inputs.cpp:117-162) recast
+    for numpy.  Gzipped files decompress to a regular array (no random
+    access into a DEFLATE stream).  Callers treat the result as
+    immutable and must copy slices they keep."""
+    import numpy as np
+
+    with open(path, "rb") as f:
+        magic = f.read(2)
+    if magic == b"\x1f\x8b":
+        return np.frombuffer(read_bytes(path), dtype=np.uint8)
+    if os.path.getsize(path) == 0:
+        return np.empty(0, dtype=np.uint8)
+    return np.memmap(path, dtype=np.uint8, mode="r")
+
+
 def true_ext(path: str) -> str:
     """File extension for dispatch, looking through a trailing .gz."""
     if path.endswith(".gz"):

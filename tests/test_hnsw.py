@@ -136,3 +136,23 @@ def test_hnsw_search_finds_self(small_data):
     hit = (ids[:, 0] == probe).mean()
     assert hit > 0.95, f"self-hit rate {hit:.2f}"
     assert np.allclose(d[ids[:, 0] == probe, 0], 0.0, atol=1e-4)
+
+
+def test_hnsw_effort_counters(small_data):
+    """The beam search fills SEARCH-EFFORT counters (the hnswm
+    distance-call profiling parity row): deterministic fixed-shape work
+    per query, computed from graph shape."""
+    x = small_data[:600]
+    idx = HNSWFlatIndex.build(x)
+    stats = {}
+    ids, _ = idx.search(x[:32], 5, ef=48, stats=stats)
+    assert stats["queries"] == 32
+    assert stats["beam_expansions_per_query"] == 48
+    assert stats["graph_degree"] == 2 * idx.graph.m
+    assert (stats["neighbor_slots_scored_per_query"]
+            == 48 * 2 * idx.graph.m)
+    assert stats["ntotal"] == 600
+    assert 0 < stats["coverage"] <= max(1.0, 48 * 2 * idx.graph.m / 600)
+    # search results are unaffected by stats collection
+    ids2, _ = idx.search(x[:32], 5, ef=48)
+    np.testing.assert_array_equal(ids, ids2)
