@@ -45,6 +45,12 @@ def _add_pipeline(sub):
                         "truncates every read to ~121 bases); emits "
                         "chained read-START placements + support-based "
                         "distances")
+    p.add_argument("--lr-max-chunks", type=int, default=128,
+                   help="--long-reads: max chunks (votes) per read; the "
+                        "stride widens past half-window beyond "
+                        "~(N/2)*ref_len read length — fewer chunks = "
+                        "proportionally faster, voting needs a majority "
+                        "not a density")
     p.add_argument("--qual", action="store_true",
                    help="emit real base qualities in the SAM QUAL column "
                         "(reversed with SEQ on real-CIGAR reverse lines; "
@@ -370,6 +376,7 @@ def main(argv=None) -> int:
             cigar=args.cigar,
             mapq=args.mapq,
             long_reads=args.long_reads,
+            lr_max_chunks=args.lr_max_chunks,
             qual=args.qual,
             sort=args.sort,
             bam=args.bam,

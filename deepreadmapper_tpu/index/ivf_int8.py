@@ -676,13 +676,11 @@ class IVFInt8Index:
                 qidx = plan[o:o + v_pad * ik.QTK].reshape(v_pad, ik.QTK)
                 slot_of = plan[o + v_pad * ik.QTK:].reshape(q, nprobe)
                 qsteps = q8_pad[qidx]  # [v_pad, QTK, D] int8 gather
-                vals, args, vals2, args2 = scan(
+                packed = scan(
                     step_chunk, step_visit, qsteps, codes3, rn2, ratio,
                     *extras
                 )
-                d, i = ik.merge_windowed(
-                    vals, args, vals2, args2, slot_of, nprobe, k
-                )
+                d, i = ik.merge_packed(packed, slot_of, nprobe, k)
                 return jnp.concatenate(
                     [jax.lax.bitcast_convert_type(d, jnp.int32), i], axis=1
                 )
@@ -747,13 +745,11 @@ class IVFInt8Index:
                     [q8, jnp.zeros((1, q8.shape[1]), jnp.int8)]
                 )
                 qsteps = q8_pad[qidx]
-                vals, args, vals2, args2 = scan(
+                packed = scan(
                     step_chunk, step_visit, qsteps, codes3, rn2, ratio,
                     *extras
                 )
-                d, i = ik.merge_windowed(
-                    vals, args, vals2, args2, slot_of, nprobe, k
-                )
+                d, i = ik.merge_packed(packed, slot_of, nprobe, k)
                 return jnp.concatenate(
                     [jax.lax.bitcast_convert_type(d, jnp.int32), i], axis=1
                 )

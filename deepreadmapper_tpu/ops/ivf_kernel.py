@@ -83,8 +83,8 @@ def merge_windowed(vals, args, vals2, args2, slot_of, nprobe: int, k: int,
                    exact: bool = False):
     """Slot-gather + top-k over the kernel's best+second-best outputs.
 
-    One definition for all four call sites (single-chip and sharded, int8
-    and PQ) so the merge semantics cannot drift: each (query, probe) pair
+    One definition for all call sites (single-chip and sharded, int8 and
+    PQ) so the merge semantics cannot drift: each (query, probe) pair
     contributes 2*KP candidate columns; fp32 top_k lowers to a full sort,
     so wide merges take approx_max_k (the windowed scan is already
     approximate) unless exact."""
@@ -97,6 +97,27 @@ def merge_windowed(vals, args, vals2, args2, slot_of, nprobe: int, k: int,
         args.reshape(-1, KP)[slot_of].reshape(q, nprobe * KP),
         args2.reshape(-1, KP)[slot_of].reshape(q, nprobe * KP),
     ], axis=1)
+    if exact or nprobe * KP < 1024:
+        neg, sel = jax.lax.top_k(-cat_d, k)
+    else:
+        neg, sel = jax.lax.approx_max_k(-cat_d, k, recall_target=0.99)
+    return -neg, jnp.take_along_axis(cat_i, sel, axis=1)
+
+
+def merge_packed(packed, slot_of, nprobe: int, k: int, exact: bool = False):
+    """merge_windowed over the kernels' PACKED [V, QTK, 4*KP] output: ONE
+    slot gather of the packed rows (measured ~20% cheaper than four sliced
+    gathers — the gather, not the top-k, is half the merge cost at genome
+    scale), then lane-slice into distances/ids."""
+    q = slot_of.shape[0]
+    g = packed.reshape(-1, 4 * KP)[slot_of]  # [q, nprobe, 4KP]
+    cat_d = jnp.concatenate(
+        [g[:, :, :KP], g[:, :, 2 * KP:3 * KP]], axis=2
+    ).reshape(q, nprobe * 2 * KP)
+    cat_i = jax.lax.bitcast_convert_type(
+        jnp.concatenate([g[:, :, KP:2 * KP], g[:, :, 3 * KP:]], axis=2),
+        jnp.int32,
+    ).reshape(q, nprobe * 2 * KP)
     if exact or nprobe * KP < 1024:
         neg, sel = jax.lax.top_k(-cat_d, k)
     else:
@@ -320,13 +341,6 @@ def _chunk_flags(visit_ref, s):
     return vis, first, last
 
 
-def _scratch_reset(bv, ba, bv2, ba2):
-    bv[...] = jnp.full(bv.shape, _BIG, jnp.float32)
-    ba[...] = jnp.zeros(ba.shape, jnp.int32)
-    bv2[...] = jnp.full(bv2.shape, _BIG, jnp.float32)
-    ba2[...] = jnp.zeros(ba2.shape, jnp.int32)
-
-
 def _fold_scores(s, base, state, chk: int):
     """Fold a [QTK, chk] score tile's KP-wide lane windows into the running
     (best, arg, second, arg2) state; candidates are chunk-space row ids."""
@@ -338,21 +352,75 @@ def _fold_scores(s, base, state, chk: int):
     return state
 
 
+def _pack_state(state):
+    """(vals, args f32-bitcast, vals2, args2) -> one [QTK, 4*KP] tile.
+
+    ONE packed output stream instead of four: the four separate
+    dynamically-indexed output buffers were measured as the kernel's
+    dominant per-step cost (7.0 us/step vs 2.2 us packed — the r5 step-
+    anatomy microbench); Mosaic handles a single store-on-last packed
+    block at DMA-floor speed."""
+    cur, arg, cur2, arg2 = state
+    return jnp.concatenate([
+        cur, jax.lax.bitcast_convert_type(arg, jnp.float32),
+        cur2, jax.lax.bitcast_convert_type(arg2, jnp.float32),
+    ], axis=1)
+
+
+def _unpack_state(p):
+    return (
+        p[:, :KP],
+        jax.lax.bitcast_convert_type(p[:, KP:2 * KP], jnp.int32),
+        p[:, 2 * KP:3 * KP],
+        jax.lax.bitcast_convert_type(p[:, 3 * KP:], jnp.int32),
+    )
+
+
+def _fresh_state():
+    big = jnp.full((QTK, KP), _BIG, jnp.float32)
+    zero = jnp.zeros((QTK, KP), jnp.int32)
+    return (big, zero, big, zero)
+
+
+def _combine_top2(prev, cur):
+    """Merge two (best, second) window states, EXACTLY reproducing the
+    sequential _fold_strided over [prev's columns..., cur's columns...]:
+    strict-< updates mean ties keep the EARLIER candidate, so every
+    comparison against prev uses <=.  O(KP) VPU work per step — the chunk
+    ladder itself runs once, from fresh state, outside the pl.when
+    predication (predicated sides both execute on the VPU)."""
+    pv, pa, pv2, pa2 = prev
+    cv, ca, cv2, ca2 = cur
+    upd = cv < pv
+    nv = jnp.where(upd, cv, pv)
+    na = jnp.where(upd, ca, pa)
+    # boolean algebra, not where-over-bools: Mosaic rejects i1 selects
+    # ("unsupported target bitwidth for truncation")
+    pfirst = jnp.logical_or(
+        jnp.logical_and(upd, pv <= cv2),
+        jnp.logical_and(jnp.logical_not(upd), pv2 <= cv),
+    )
+    nv2 = jnp.where(upd,
+                    jnp.where(pfirst, pv, cv2),
+                    jnp.where(pfirst, pv2, cv))
+    na2 = jnp.where(upd,
+                    jnp.where(pfirst, pa, ca2),
+                    jnp.where(pfirst, pa2, ca))
+    return nv, na, nv2, na2
+
+
 def _int8_chunk_kernel(chunk_ref, visit_ref, rat_ref, q_ref, codes_ref,
-                       rn_ref, vals_ref, args_ref, vals2_ref, args2_ref,
-                       bv, ba, bv2, ba2, *, chk: int, int8dot: bool):
+                       rn_ref, out_ref, acc, *, chk: int, int8dot: bool):
     """One chunk step.  q_ref (1, QTK, D) int8 at visit_ref[s]; codes_ref
-    (1, chk, D) int8 + rn_ref (1, 1, chk) fp32 at chunk_ref[s]; outputs
-    (1, QTK, KP) at visit_ref[s], stored only on the visit's last chunk
-    (every visit stores exactly once, overwriting the whole block, so stale
-    buffer contents can never leak).  int8dot routes the score matmul
-    through the MXU's native s8xs8->s32 path — no per-byte bf16 convert."""
+    (1, chk, D) int8 + rn_ref (1, 1, chk) fp32 at chunk_ref[s]; out_ref
+    (1, QTK, 4*KP) packed (vals|args|vals2|args2) at visit_ref[s], stored
+    only on the visit's last chunk (every visit stores exactly once,
+    overwriting the whole block, so stale buffer contents can never leak).
+    acc: packed VMEM scratch carrying the fold state across a visit's
+    chunks.  int8dot routes the score matmul through the MXU's native
+    s8xs8->s32 path — no per-byte bf16 convert."""
     s = pl.program_id(0)
     _vis, first, last = _chunk_flags(visit_ref, s)
-
-    @pl.when(first)
-    def _():
-        _scratch_reset(bv, ba, bv2, ba2)
 
     if int8dot:
         dot = jax.lax.dot_general(
@@ -368,18 +436,19 @@ def _int8_chunk_kernel(chunk_ref, visit_ref, rat_ref, q_ref, codes_ref,
             preferred_element_type=jnp.float32,
         )
     scores = rn_ref[0, 0] - rat_ref[0, 0] * dot  # [QTK, chk]
-    state = _fold_scores(
-        scores, chunk_ref[s] * chk, (bv[...], ba[...], bv2[...], ba2[...]),
-        chk,
-    )
-    bv[...], ba[...], bv2[...], ba2[...] = state
+    cur = _fold_scores(scores, chunk_ref[s] * chk, _fresh_state(), chk)
+
+    @pl.when(first)
+    def _():
+        acc[...] = _pack_state(cur)
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        acc[...] = _pack_state(_combine_top2(_unpack_state(acc[...]), cur))
 
     @pl.when(last)
     def _():
-        vals_ref[0] = bv[...]
-        args_ref[0] = ba[...]
-        vals2_ref[0] = bv2[...]
-        args2_ref[0] = ba2[...]
+        out_ref[0] = acc[...]
 
 
 @functools.partial(
@@ -392,10 +461,11 @@ def ivf_chunk_scan_int8(step_chunk, step_visit, qsteps, codesC, rnC, ratio2,
     id per step, consecutive per visit, trailing -1 sentinel); qsteps
     [n_visits, QTK, D] int8 per-visit query tiles; codesC [n_chunks, chk, D]
     int8 (trailing dump chunk all-zero); rnC [n_chunks, chk] fp32 (+inf on
-    empty/padding rows) -> (vals, args, vals2, args2) [n_visits, QTK, KP]:
-    best and second-best per strided window over each visit's WHOLE slab,
-    args in chunk-space row ids."""
-    outs = pl.pallas_call(
+    empty/padding rows) -> packed [n_visits, QTK, 4*KP] fp32
+    (vals | args bitcast | vals2 | args2 bitcast): best and second-best per
+    strided window over each visit's WHOLE slab, args in chunk-space row
+    ids.  Unpack with merge_packed / unpack_scan."""
+    out, = pl.pallas_call(
         functools.partial(_int8_chunk_kernel, chk=chk, int8dot=int8dot),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -413,22 +483,16 @@ def ivf_chunk_scan_int8(step_chunk, step_visit, qsteps, codesC, rnC, ratio2,
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((1, QTK, KP),
+                pl.BlockSpec((1, QTK, 4 * KP),
                              lambda s, cref, vref: (vref[s], 0, 0),
                              memory_space=pltpu.VMEM)
-            ] * 4,
+            ],
             scratch_shapes=[
-                pltpu.VMEM((QTK, KP), jnp.float32),
-                pltpu.VMEM((QTK, KP), jnp.int32),
-                pltpu.VMEM((QTK, KP), jnp.float32),
-                pltpu.VMEM((QTK, KP), jnp.int32),
+                pltpu.VMEM((QTK, 4 * KP), jnp.float32),
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((n_visits, QTK, KP), jnp.float32),
-            jax.ShapeDtypeStruct((n_visits, QTK, KP), jnp.int32),
-            jax.ShapeDtypeStruct((n_visits, QTK, KP), jnp.float32),
-            jax.ShapeDtypeStruct((n_visits, QTK, KP), jnp.int32),
+            jax.ShapeDtypeStruct((n_visits, QTK, 4 * KP), jnp.float32),
         ],
         interpret=interpret,
     )(
@@ -439,24 +503,32 @@ def ivf_chunk_scan_int8(step_chunk, step_visit, qsteps, codesC, rnC, ratio2,
         codesC,
         rnC.reshape(rnC.shape[0], 1, rnC.shape[-1]) if rnC.ndim == 2 else rnC,
     )
-    return outs
+    return out
+
+
+def unpack_scan(packed):
+    """Packed [V, QTK, 4*KP] -> (vals, args, vals2, args2), each
+    [V, QTK, KP] (args int32 via same-width bitcast) — XLA-level slicing,
+    fuses into the downstream slot gather."""
+    return (
+        packed[:, :, :KP],
+        jax.lax.bitcast_convert_type(packed[:, :, KP:2 * KP], jnp.int32),
+        packed[:, :, 2 * KP:3 * KP],
+        jax.lax.bitcast_convert_type(packed[:, :, 3 * KP:], jnp.int32),
+    )
 
 
 def _pq_chunk_kernel(chunk_ref, visit_ref, rat_ref, q_ref, packed_ref,
-                     rn_ref, cent_ref, vals_ref, args_ref, vals2_ref,
-                     args2_ref, bv, ba, bv2, ba2, recon_ref, *, chk: int,
+                     rn_ref, cent_ref, out_ref, acc, recon_ref, *, chk: int,
                      m: int):
     """IVFPQ chunk step: reconstruct the chunk from byte-packed codes
     in-kernel (per-subspace one-hot contractions into the transposed
     [D, chk] recon scratch — the ops/scan_kernel.py trick), score, fold.
     packed_ref (1, mp, chk) int32 at chunk_ref[s]; cent_ref [m*ksub, dsub]
-    bf16 int8-valued tables."""
+    bf16 int8-valued tables.  Output/scratch as _int8_chunk_kernel (one
+    packed store-on-last stream)."""
     s = pl.program_id(0)
     _vis, first, last = _chunk_flags(visit_ref, s)
-
-    @pl.when(first)
-    def _():
-        _scratch_reset(bv, ba, bv2, ba2)
 
     ksub = cent_ref.shape[0] // m
     dsub = cent_ref.shape[1]
@@ -482,18 +554,19 @@ def _pq_chunk_kernel(chunk_ref, visit_ref, rat_ref, q_ref, packed_ref,
         preferred_element_type=jnp.float32,
     )  # [QTK, chk] exact
     scores = rn_ref[0, 0] - rat_ref[0, 0] * dot
-    state = _fold_scores(
-        scores, chunk_ref[s] * chk, (bv[...], ba[...], bv2[...], ba2[...]),
-        chk,
-    )
-    bv[...], ba[...], bv2[...], ba2[...] = state
+    cur = _fold_scores(scores, chunk_ref[s] * chk, _fresh_state(), chk)
+
+    @pl.when(first)
+    def _():
+        acc[...] = _pack_state(cur)
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        acc[...] = _pack_state(_combine_top2(_unpack_state(acc[...]), cur))
 
     @pl.when(last)
     def _():
-        vals_ref[0] = bv[...]
-        args_ref[0] = ba[...]
-        vals2_ref[0] = bv2[...]
-        args2_ref[0] = ba2[...]
+        out_ref[0] = acc[...]
 
 
 @functools.partial(
@@ -506,7 +579,7 @@ def ivf_chunk_scan_pq(step_chunk, step_visit, qsteps, packedC, rnC, cent2d,
     3D; trailing dump chunk), cent2d [m*ksub, dsub] bf16; rest as
     ivf_chunk_scan_int8."""
     d = qsteps.shape[-1]
-    outs = pl.pallas_call(
+    out, = pl.pallas_call(
         functools.partial(_pq_chunk_kernel, chk=chk, m=m),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -527,23 +600,17 @@ def ivf_chunk_scan_pq(step_chunk, step_visit, qsteps, packedC, rnC, cent2d,
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((1, QTK, KP),
+                pl.BlockSpec((1, QTK, 4 * KP),
                              lambda s, cref, vref: (vref[s], 0, 0),
                              memory_space=pltpu.VMEM)
-            ] * 4,
+            ],
             scratch_shapes=[
-                pltpu.VMEM((QTK, KP), jnp.float32),
-                pltpu.VMEM((QTK, KP), jnp.int32),
-                pltpu.VMEM((QTK, KP), jnp.float32),
-                pltpu.VMEM((QTK, KP), jnp.int32),
+                pltpu.VMEM((QTK, 4 * KP), jnp.float32),
                 pltpu.VMEM((d, chk), jnp.bfloat16),
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((n_visits, QTK, KP), jnp.float32),
-            jax.ShapeDtypeStruct((n_visits, QTK, KP), jnp.int32),
-            jax.ShapeDtypeStruct((n_visits, QTK, KP), jnp.float32),
-            jax.ShapeDtypeStruct((n_visits, QTK, KP), jnp.int32),
+            jax.ShapeDtypeStruct((n_visits, QTK, 4 * KP), jnp.float32),
         ],
         interpret=interpret,
     )(
@@ -555,7 +622,7 @@ def ivf_chunk_scan_pq(step_chunk, step_visit, qsteps, packedC, rnC, cent2d,
         rnC.reshape(rnC.shape[0], 1, rnC.shape[-1]) if rnC.ndim == 2 else rnC,
         cent2d,
     )
-    return outs
+    return out
 
 
 CCHUNK = 7680  # PQ recon/score tile width (lanes): bounds the in-kernel

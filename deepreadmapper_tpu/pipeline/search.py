@@ -220,6 +220,7 @@ def run_pipeline(
     cigar: bool = False,
     mapq: bool = False,
     long_reads: bool = False,
+    lr_max_chunks: int = 128,
     qual: bool = False,
     sort: bool = False,
     bam: bool = False,
@@ -508,7 +509,7 @@ def run_pipeline(
             final_ids, final_d, lr_mapq, lr_supp = lr_mod.map_long_reads(
                 clean, vectorizer, engine, ref_len, k, ef, stride=stride,
                 ids_to_base=ids_to_base, base_to_dense=base_to_dense,
-                timings=lr_timings,
+                timings=lr_timings, max_chunks=lr_max_chunks,
             )
             t_search = time.time() - t1
             if lr_supp:

@@ -60,6 +60,9 @@ def main():
                          "runs (marker-checked against --n-bp/--seed/"
                          "--ref-len/--index-type)")
     ap.add_argument("--skip-chimera", action="store_true")
+    ap.add_argument("--max-chunks", type=int, default=128,
+                    help="votes per read cap (pipeline --lr-max-chunks); "
+                         "A/B the 20 kb search-bound cells")
     args = ap.parse_args()
 
     genome = make_genome(args.n_bp, seed=args.seed)
@@ -151,6 +154,7 @@ def main():
                 t0 = time.time()
                 res = run_pipeline(prefix, fq, ref, k=4, output_dir=out,
                                    long_reads=True, mapq=True,
+                                   lr_max_chunks=args.max_chunks,
                                    vectorizer=vec, preloaded=preloaded)
                 dt = time.time() - t0
                 ids = np.load(os.path.join(out, "indices.npy"))
@@ -202,8 +206,8 @@ def main():
                     f.write(f"@{name}\n{seq}\n+\n{'I' * len(seq)}\n")
             out = os.path.join(tmp, "out_chim")
             run_pipeline(prefix, fq, ref, k=4, output_dir=out,
-                         long_reads=True, vectorizer=vec,
-                         preloaded=preloaded)
+                         long_reads=True, lr_max_chunks=args.max_chunks,
+                         vectorizer=vec, preloaded=preloaded)
             with_supp = set()
             for line in open(os.path.join(out, "results.sam")):
                 if line.startswith("@"):
