@@ -44,9 +44,10 @@ def parse_engine_spec(spec: str):
     if "+OPQ" in s:
         kw["opq"] = True
         s = s.replace("+OPQ", "")
-    if s.startswith("PQFLAT") and s != "PQFLAT":
-        kw["m_pq"] = int(s[len("PQFLAT"):])
-        s = "PQFLAT"
+    for base in ("PQFLAT", "IVFPQ"):
+        if s.startswith(base) and s != base and s[len(base):].isdigit():
+            kw["m_pq"] = int(s[len(base):])
+            s = base
     return s, kw
 
 
