@@ -45,6 +45,13 @@ def _add_pipeline(sub):
                         "truncates every read to ~121 bases); emits "
                         "chained read-START placements + support-based "
                         "distances")
+    p.add_argument("--mapq-calibrated", action="store_true",
+                   help="map the margin MAPQ through the empirically "
+                        "fitted monotone calibration table "
+                        "(scripts/eval_mapq_calibration.py) so "
+                        "10^(-MAPQ/10) tracks observed mis-mapping "
+                        "probability; the raw margin heuristic is "
+                        "10-30x optimistic mid-range")
     p.add_argument("--lr-max-chunks", type=int, default=128,
                    help="--long-reads: max chunks (votes) per read; the "
                         "stride widens past half-window beyond "
@@ -340,6 +347,7 @@ def main(argv=None) -> int:
                 dense_rerank=args.dense_rerank,
                 write_sam=not args.no_sam,
                 mapq=args.mapq,
+                mapq_calibrated=args.mapq_calibrated,
                 qual=args.qual,
                 max_isize=args.max_isize,
                 min_isize=args.min_isize,
@@ -375,6 +383,7 @@ def main(argv=None) -> int:
             write_sam=not args.no_sam,
             cigar=args.cigar,
             mapq=args.mapq,
+            mapq_calibrated=args.mapq_calibrated,
             long_reads=args.long_reads,
             lr_max_chunks=args.lr_max_chunks,
             qual=args.qual,

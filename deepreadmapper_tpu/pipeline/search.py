@@ -132,6 +132,43 @@ def _primary_alignment_cigars(
     return cigars, pos_off, tags
 
 
+# Empirical MAPQ recalibration: raw margin-quality bin -> observed
+# mis-mapping rate, measured by scripts/eval_mapq_calibration.py on the
+# hard synthetic (tandem arrays 5% + dispersed 1%-divergent repeat
+# families 8%, read err 1%, INT8FLAT, 2 Mbp, seeds 0 fit / 1 validate).
+# The margin heuristic is systematically optimistic mid-range (observed
+# error 10-30x the 10^(-q/10) prediction at raw 20-40); this monotone
+# (PAVA-pooled) table maps raw bins to -10*log10(observed error), so the
+# REPORTED MAPQ means what SAM consumers assume.  Raw 60 ("no competitor
+# in the candidate list") keeps a residual error floor from search
+# misses, so even calibrated MAPQ caps well below 60 on hard genomes —
+# an honest ceiling, vs the reference's hardcoded 60 (utils.cpp:373).
+# Keys: raw bin lower edges; values: calibrated MAPQ for the bin.
+_MAPQ_CAL_BINS = np.array([0, 1, 10, 20, 30, 40, 50, 60], np.int32)
+_MAPQ_CAL_VALS = np.array([0, 3, 5, 12, 19, 19, 24, 24], np.int32)
+
+
+def calibrate_mapq(q_raw: np.ndarray) -> np.ndarray:
+    """Map raw margin MAPQ through the empirically fitted monotone table
+    (see _MAPQ_CAL_BINS).  Within-bin interpolation keeps the ordering of
+    raw values (ties in the table still rank by raw margin)."""
+    q = np.asarray(q_raw, np.float64)
+    idx = np.clip(
+        np.searchsorted(_MAPQ_CAL_BINS, q, side="right") - 1, 0,
+        len(_MAPQ_CAL_BINS) - 1,
+    )
+    lo_b = _MAPQ_CAL_BINS[idx].astype(np.float64)
+    hi_b = np.concatenate([_MAPQ_CAL_BINS[1:], [61]])[idx].astype(np.float64)
+    lo_v = _MAPQ_CAL_VALS[idx].astype(np.float64)
+    hi_v = np.concatenate([_MAPQ_CAL_VALS[1:], [_MAPQ_CAL_VALS[-1] + 1]])[
+        idx
+    ].astype(np.float64)
+    frac = np.where(hi_b > lo_b, (q - lo_b) / (hi_b - lo_b), 0.0)
+    return np.clip(np.rint(lo_v + frac * (hi_v - lo_v)), 0, 60).astype(
+        np.int32
+    )
+
+
 def compute_mapq(
     ids: np.ndarray,
     vals: np.ndarray,
@@ -219,6 +256,7 @@ def run_pipeline(
     write_sam: bool = True,
     cigar: bool = False,
     mapq: bool = False,
+    mapq_calibrated: bool = False,
     long_reads: bool = False,
     lr_max_chunks: int = 128,
     qual: bool = False,
@@ -662,6 +700,8 @@ def run_pipeline(
                 if mapq:
                     mq = compute_mapq(final_ids, final_d, ref_len,
                                       dense_off=dense_off)
+                    if mapq_calibrated:
+                        mq = calibrate_mapq(mq)
                 sam_io.write_sam(
                     query_seqs,
                     query_ids,
@@ -771,6 +811,7 @@ def run_pipeline_paired(
     dense_rerank: bool = False,
     write_sam: bool = True,
     mapq: bool = False,
+    mapq_calibrated: bool = False,
     qual: bool = False,
     max_isize: int = 1000,
     min_isize: int = 0,
@@ -1027,6 +1068,9 @@ def run_pipeline_paired(
                           higher_is_better=hib)
         mq1 = np.where(pair["proper"], pair["mapq1"], s1).astype(np.int32)
         mq2 = np.where(pair["proper"], pair["mapq2"], s2).astype(np.int32)
+        if mapq_calibrated:
+            mq1 = calibrate_mapq(mq1)
+            mq2 = calibrate_mapq(mq2)
 
     import jax as _jax
 

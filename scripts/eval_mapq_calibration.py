@@ -132,6 +132,7 @@ def main():
 
     from deepreadmapper_tpu.pipeline.build import build_index
     from deepreadmapper_tpu.pipeline.search import (
+        calibrate_mapq,
         compute_mapq,
         run_pipeline,
         run_pipeline_paired,
@@ -167,6 +168,9 @@ def main():
         se_rows = bin_table(mq, wrong)
         for r in se_rows:
             print(json.dumps({"mode": "single", **r}), flush=True)
+        se_cal = bin_table(calibrate_mapq(mq), wrong)
+        for r in se_cal:
+            print(json.dumps({"mode": "single_cal", **r}), flush=True)
 
         # --- paired (per-end pair MAPQ from the SAM) ---
         out = os.path.join(tmp, "pe")
@@ -190,6 +194,10 @@ def main():
         pe_rows = bin_table(np.array(mq_l), np.array(wrong_l))
         for r in pe_rows:
             print(json.dumps({"mode": "paired", **r}), flush=True)
+        pe_cal = bin_table(calibrate_mapq(np.array(mq_l)),
+                           np.array(wrong_l))
+        for r in pe_cal:
+            print(json.dumps({"mode": "paired_cal", **r}), flush=True)
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     doc = {
@@ -197,6 +205,7 @@ def main():
         "err": args.err, "index_type": args.index_type, "tol": args.tol,
         "genome": "tandem arrays 5% + dispersed families 8% + unique",
         "single_end": se_rows, "paired": pe_rows,
+        "single_end_calibrated": se_cal, "paired_calibrated": pe_cal,
     }
     with open(args.out, "w") as f:
         json.dump(doc, f, indent=2)

@@ -205,3 +205,42 @@ def test_pipeline_mapq_separates_repeat_from_unique(
             mapqs[f[0]] = int(f[4])
     assert mapqs["rep"] <= 3, mapqs
     assert mapqs["uniq"] >= 40, mapqs
+
+
+def test_calibrate_mapq_monotone_and_bounded():
+    """The empirical recalibration table must be monotone in the raw
+    margin quality, bounded to [0, 60], and keep raw 0 at 0 (exact-tie
+    repeats stay MAPQ 0)."""
+    from deepreadmapper_tpu.pipeline.search import calibrate_mapq
+
+    raw = np.arange(0, 61)
+    cal = calibrate_mapq(raw)
+    assert cal.dtype == np.int32 and cal.shape == raw.shape
+    assert np.all(np.diff(cal) >= 0), "calibration must be monotone"
+    assert cal[0] == 0 and cal.min() >= 0 and cal.max() <= 60
+    # calibrated is strictly more conservative than raw above the floor
+    assert np.all(cal[10:] < raw[10:])
+
+
+def test_pipeline_mapq_calibrated_flag(repeat_genome, tmp_path):
+    """--mapq-calibrated maps the SAM MAPQ column through the table while
+    preserving the repeat-vs-unique separation."""
+    from deepreadmapper_tpu.pipeline.build import build_index
+    from deepreadmapper_tpu.pipeline.search import run_pipeline
+
+    ref, fq = repeat_genome
+    idx = str(tmp_path / "idx")
+    build_index(ref, idx, 150)
+    run_pipeline(idx, fq, ref, k=8,
+                 output_dir=str(tmp_path / "o"), mapq=True,
+                 mapq_calibrated=True)
+    mapqs = {}
+    for line in open(tmp_path / "o" / "results.sam"):
+        if line.startswith("@"):
+            continue
+        f = line.split("\t")
+        if int(f[1]) & 0x100 == 0:
+            mapqs[f[0]] = int(f[4])
+    assert mapqs["rep"] <= 3, mapqs
+    # unique read: raw ~60 -> calibrated ceiling (>= 20, < 40)
+    assert 15 <= mapqs["uniq"] < 40, mapqs
