@@ -6,31 +6,29 @@ spent ~0.5 ms PER STEP on loop machinery (gathers, dynamic slices, per-step
 approx_max_k) against ~2 µs of real matmul+DMA work — the IVF engine came
 out SLOWER than the exhaustive fused scan it prunes (BENCH r3: 0.7x).
 
-This kernel runs the same plan as a Pallas grid, GROUP steps per grid cell:
+This kernel runs the same plan as a Pallas grid (the fill-aware CHUNKED
+form below — the r3/r4 cap-padded slab kernels it replaced are in git
+history):
 
-* step -> slab DMA is driven by a SCALAR-PREFETCH index map
-  (pltpu.PrefetchScalarGridSpec): the plan's step_slab array lives in SMEM
-  and block index maps read it, so Mosaic double-buffers each step's slab
+* step -> chunk DMA is driven by a SCALAR-PREFETCH index map
+  (pltpu.PrefetchScalarGridSpec): the plan's step_chunk array lives in SMEM
+  and block index maps read it, so Mosaic double-buffers each step's chunk
   block like any dense scan — the loop overhead disappears.
-* GROUP slabs run per grid cell, each as its OWN input stream (the same
-  HBM codes array bound GROUP times with per-g index maps), so 2*GROUP
-  slab DMAs stay in flight: the one-slab-per-step formulation was measured
-  DMA-overhead-bound at ~6 us/step (~27 GB/s effective vs ~800 GB/s HBM).
 * QTILE drops 128 -> 32: the plan pads each slab's queries to a tile, and
   at genome-scale fan-out most slabs see only tens of queries — 32 lanes
   of padding waste ~25% instead of ~75%.
-* Per-step selection is a STRIDED-window top-1 over the score tile's lane
+* Per-step selection is a STRIDED-window top-2 over the score tile's lane
   axis: survivor k of KP keeps min over columns {k, KP+k, 2KP+k, ...} — an
   unrolled VPU min/select ladder, no reshape of the lane axis (Mosaic) and
-  no per-step approx_max_k.  Columns of the same window sit cap/KP apart,
+  no per-step approx_max_k.  Columns of the same window sit KP apart,
   so ADJACENT rows (shifted windows of one genome locus — the common
-  near-duplicates) always land in different windows.  cap % KP == 0 by
-  build-time rounding; w == 1 (cap == KP) makes the step exact.
-* Output layout [S, QTILE, KP] row-major makes each (query, probe) pair's
-  KP survivors one contiguous row — the engines' existing stacked-slot
-  merge (`vals.reshape(S*QTILE, KP)[slot_of]`) applies unchanged.
+  near-duplicates) always land in different windows.
+* ONE packed output stream ([V, QTK, 4*KP]: vals | vals2 | args | args2),
+  stored once per visit on its last chunk — four separate dynamically-
+  indexed output streams cost 7.0 us/step vs 2.2 us packed (the r5
+  step-anatomy microbench); merge_packed unpacks it.
 
-The IVFPQ variant reconstructs the slab from byte-packed codes in-kernel
+The IVFPQ variant reconstructs the chunk from byte-packed codes in-kernel
 (per-subspace one-hot matmuls, the ops/scan_kernel.py PQ trick) instead of
 DMA-ing int8 rows.  Distance math is identical to the XLA paths:
 rn - 2*(sq/sc)*(q8 . r8), exact int32 values in fp32.
@@ -52,8 +50,6 @@ QTK = 32     # queries per step (sublane multiple; 4x less pad waste than 128)
 KP = 128     # survivors per (query, probed slab): one per strided lane window
 _BIG = 3.4e38
 
-GROUP = 8    # max slabs per grid super-step (see _auto_group)
-
 
 INTERPRET = False  # tests flip this to run the kernel path on CPU
 
@@ -62,74 +58,67 @@ def use_kernel() -> bool:
     return INTERPRET or jax.default_backend() == "tpu"
 
 
-def _auto_group(block_bytes: int) -> int:
-    """Slabs per grid super-step.
-
-    One slab per grid step was measured DMA-overhead-bound: ~6 us/step at
-    ~27 GB/s effective vs ~800 GB/s HBM peak (VERDICT r3 #1) — the fixed
-    per-step cost (DMA issue latency + pipeline bubble) dwarfs the ~1 us of
-    matmul.  Grouping G slabs into one grid cell gives each slab its OWN
-    input stream (a separate BlockSpec whose index map reads the scalar-
-    prefetched plan at i*G+g), so Mosaic keeps 2G slab DMAs in flight and
-    the fixed cost amortizes G-fold.  G shrinks when slabs are large so the
-    double-buffered streams stay within ~6 MB of the ~16 MB VMEM."""
-    g = GROUP
-    while g > 1 and 2 * g * block_bytes > 6 * 1024 * 1024:
-        g //= 2
-    return g
-
-
-def merge_windowed(vals, args, vals2, args2, slot_of, nprobe: int, k: int,
-                   exact: bool = False):
-    """Slot-gather + top-k over the kernel's best+second-best outputs.
-
-    One definition for all call sites (single-chip and sharded, int8 and
-    PQ) so the merge semantics cannot drift: each (query, probe) pair
-    contributes 2*KP candidate columns; fp32 top_k lowers to a full sort,
-    so wide merges take approx_max_k (the windowed scan is already
-    approximate) unless exact."""
-    q = slot_of.shape[0]
-    cat_d = jnp.concatenate([
-        vals.reshape(-1, KP)[slot_of].reshape(q, nprobe * KP),
-        vals2.reshape(-1, KP)[slot_of].reshape(q, nprobe * KP),
-    ], axis=1)
-    cat_i = jnp.concatenate([
-        args.reshape(-1, KP)[slot_of].reshape(q, nprobe * KP),
-        args2.reshape(-1, KP)[slot_of].reshape(q, nprobe * KP),
-    ], axis=1)
-    if exact or nprobe * KP < 1024:
-        neg, sel = jax.lax.top_k(-cat_d, k)
-    else:
-        neg, sel = jax.lax.approx_max_k(-cat_d, k, recall_target=0.99)
-    return -neg, jnp.take_along_axis(cat_i, sel, axis=1)
-
-
 def merge_packed(packed, slot_of, nprobe: int, k: int, exact: bool = False):
-    """merge_windowed over the kernels' PACKED [V, QTK, 4*KP] output: ONE
-    slot gather of the packed rows (measured ~20% cheaper than four sliced
-    gathers — the gather, not the top-k, is half the merge cost at genome
-    scale), then lane-slice into distances/ids."""
+    """Slot-gather + top-k over the kernels' PACKED [V, QTK, 4*KP] output
+    (lane layout vals | vals2 | args | args2 — distances in the first
+    half, fp32-bitcast ids in the second).
+
+    Two-phase merge, sized by the r5 cost split (8192 q / nprobe=32 at 40M
+    rows: kernel 45 ms, merge 63 ms — the merge dominated):
+
+    1. Gather ONLY each (query, probe) slot's distance half (a 2*KP-wide
+       sub-row gather) and top-k the [q, nprobe*2*KP] matrix.  The old
+       single full-row gather materialized the id half too (2x the HBM
+       write) and then CONCATENATED strided lane slices into fresh
+       distance/id matrices (2x again) — ~4x the traffic this pass needs.
+       fp32 top_k lowers to a full sort, so wide merges take approx_max_k
+       (the windowed scan is already approximate) unless `exact`.
+    2. Resolve the k winners' ids with a [q, k]-element gather back into
+       the packed rows (column 2*KP + col of the winning slot's row) —
+       4 bytes per winner instead of a second full-width matrix.
+
+    Each (query, probe) pair contributes 2*KP candidate columns; unset
+    second-best slots carry _BIG distances, rank last, and are masked by
+    the callers' d < _BIG/2 validity check as before."""
     q = slot_of.shape[0]
-    g = packed.reshape(-1, 4 * KP)[slot_of]  # [q, nprobe, 4KP]
-    cat_d = jnp.concatenate(
-        [g[:, :, :KP], g[:, :, 2 * KP:3 * KP]], axis=2
-    ).reshape(q, nprobe * 2 * KP)
-    cat_i = jax.lax.bitcast_convert_type(
-        jnp.concatenate([g[:, :, KP:2 * KP], g[:, :, 3 * KP:]], axis=2),
-        jnp.int32,
-    ).reshape(q, nprobe * 2 * KP)
+    flat = packed.reshape(-1, 4 * KP)
+    gd = jax.lax.gather(
+        flat,
+        slot_of.reshape(-1, 1),
+        jax.lax.GatherDimensionNumbers(
+            offset_dims=(1,), collapsed_slice_dims=(0,),
+            start_index_map=(0,),
+        ),
+        slice_sizes=(1, 2 * KP),
+    )  # [q*nprobe, 2KP] — distance halves only
+    cat_d = gd.reshape(q, nprobe * 2 * KP)
     if exact or nprobe * KP < 1024:
         neg, sel = jax.lax.top_k(-cat_d, k)
     else:
         neg, sel = jax.lax.approx_max_k(-cat_d, k, recall_target=0.99)
-    return -neg, jnp.take_along_axis(cat_i, sel, axis=1)
+    pj = sel // (2 * KP)                      # winning probe rank
+    col = sel % (2 * KP)                      # lane within the dist half
+    slot_sel = jnp.take_along_axis(slot_of, pj, axis=1)   # [q, k]
+    ids = jax.lax.bitcast_convert_type(
+        flat[slot_sel, 2 * KP + col], jnp.int32
+    )
+    return -neg, ids
 
 
 def _fold_strided(blk, cand, state):
     """Fold one KP-wide lane window into the running (best, second-best)
-    state — the incremental form of _select_strided's ladder, shared by the
-    one-shot int8 path and the cap-chunked PQ path so the selection
-    semantics cannot drift."""
+    state — one VPU min/select ladder step, shared by the int8 and PQ
+    chunk kernels so the selection semantics cannot drift.
+
+    Two survivors per window because one is measurably lossy when a
+    query's whole neighborhood lands in one slab (the common case for
+    clustered genome data): 128 true neighbors thrown into 128 windows
+    collide birthday-style, keeping only ~63% — measured as 0.67 top-128
+    overlap vs the per-slab approx_max_k path.  The second slot lifts the
+    single-slab ceiling to ~86% and the merge simply sees 2*KP columns
+    per probe.  Unset second slots keep _BIG scores (the merge's callers
+    mask them); best/second are distinct columns by construction, so the
+    merge can never emit a duplicate row."""
     cur, arg, cur2, arg2 = state
     upd = blk < cur
     upd2 = jnp.logical_and(jnp.logical_not(upd), blk < cur2)
@@ -138,154 +127,6 @@ def _fold_strided(blk, cand, state):
     arg = jnp.where(upd, cand, arg)
     cur = jnp.where(upd, blk, cur)
     return cur, arg, cur2, arg2
-
-
-def _select_strided(s, slab, cap: int):
-    """[QTK, cap] scores -> (vals, args, vals2, args2), each [QTK, KP]:
-    the BEST and SECOND-BEST score per strided lane window (survivor k
-    covers columns {j*KP + k}; args are row ids in codes_cm space).
-
-    Two survivors per window because one is measurably lossy when a
-    query's whole neighborhood lands in one slab (the common case for
-    clustered genome data): 128 true neighbors thrown into 128 windows
-    collide birthday-style, keeping only ~63% — measured as 0.67 top-128
-    overlap vs the per-slab approx_max_k path.  The second slot lifts the
-    single-slab ceiling to ~86% and the merge simply sees 2*KP columns
-    per probe.  Unset second slots keep _BIG scores (the host masks them);
-    best/second are distinct columns by construction, so the merge can
-    never emit a duplicate row."""
-    base = slab * cap
-    lane = jax.lax.broadcasted_iota(jnp.int32, (s.shape[0], KP), 1)
-    cur = s[:, :KP]
-    arg = base + lane
-    cur2 = jnp.full_like(cur, _BIG)
-    arg2 = arg
-    for j in range(1, cap // KP):
-        blk = s[:, j * KP : (j + 1) * KP]
-        cand = base + j * KP + lane
-        upd = blk < cur
-        upd2 = jnp.logical_and(jnp.logical_not(upd), blk < cur2)
-        arg2 = jnp.where(upd, arg, jnp.where(upd2, cand, arg2))
-        cur2 = jnp.where(upd, cur, jnp.where(upd2, blk, cur2))
-        arg = jnp.where(upd, cand, arg)
-        cur = jnp.where(upd, blk, cur)
-    return cur, arg, cur2, arg2
-
-
-def _int8_slab_kernel(slab_ref, rat_ref, q_ref, *refs, cap: int, group: int):
-    """One SUPER-step of `group` plan steps: q_ref [group, QTK, D] int8;
-    refs = group codes blocks ([1, cap, D] int8, block g chosen by the
-    scalar-prefetched slab id at i*group+g) + group rn blocks ([1, 1, cap]
-    fp32, +inf on empty slots; the middle singleton keeps the block's
-    sublane dim equal to the array's — Mosaic's (8,128) block rule) + the
-    four outputs ([group, QTK, KP]).  rat_ref [1, 1] SMEM = 2*sq/sc."""
-    i = pl.program_id(0)
-    codes_refs = refs[:group]
-    rn_refs = refs[group:2 * group]
-    vals_ref, args_ref, vals2_ref, args2_ref = refs[2 * group:]
-    for g in range(group):
-        qbf = q_ref[g].astype(jnp.bfloat16)   # int8 values exact in bf16
-        cbf = codes_refs[g][0].astype(jnp.bfloat16)
-        dot = jax.lax.dot_general(
-            qbf, cbf,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [QTK, cap] exact
-        s = rn_refs[g][0] - rat_ref[0, 0] * dot  # [1, cap] broadcasts
-        vals, args, vals2, args2 = _select_strided(
-            s, slab_ref[i * group + g], cap
-        )
-        vals_ref[g] = vals
-        args_ref[g] = args
-        vals2_ref[g] = vals2
-        args2_ref[g] = args2
-
-
-def _pad_steps(step_slab, qsteps, dump_slab: int, group: int):
-    """Pad the step list to a multiple of `group` with dump steps (dump
-    slab's rn is +inf so its scores never reach the merge; the padded
-    output rows are sliced off)."""
-    s_steps = qsteps.shape[0]
-    s_pad = -(-s_steps // group) * group
-    if s_pad == s_steps:
-        return step_slab, qsteps, s_steps
-    step_slab = jnp.concatenate([
-        step_slab,
-        jnp.full((s_pad - s_steps,), dump_slab, step_slab.dtype),
-    ])
-    qsteps = jnp.pad(qsteps, ((0, s_pad - s_steps), (0, 0), (0, 0)))
-    return step_slab, qsteps, s_steps
-
-
-@functools.partial(jax.jit, static_argnames=("cap", "interpret", "group"))
-def ivf_slab_scan_int8(step_slab, qsteps, codes3, rn2, ratio2, cap: int,
-                       interpret: bool = False, group: int | None = None):
-    """step_slab [S] int32 (scalar prefetch), qsteps [S, QTK, D] int8
-    (queries pre-gathered per step; dump rows are zeros), codes3
-    [(n_slabs+1), cap, D] int8, rn2 [(n_slabs+1), cap] fp32, ratio2 scalar
-    -> (vals, args, vals2, args2): best and second-best per strided
-    window, [S, QTK, KP] fp32 / int32 codes_cm row ids.  `group` slabs run
-    per grid cell (default _auto_group) to amortize per-step DMA overhead.
-    """
-    d = qsteps.shape[-1]
-    if group is None:
-        group = _auto_group(cap * (d + 4))
-    step_slab, qsteps, s_real = _pad_steps(
-        step_slab, qsteps, codes3.shape[0] - 1, group
-    )
-    s_steps = qsteps.shape[0]
-    grid = (s_steps // group,)
-
-    def _slab_map(g):
-        return lambda i, sref, g=g: (sref[i * group + g], 0, 0)
-
-    outs = pl.pallas_call(
-        functools.partial(_int8_slab_kernel, cap=cap, group=group),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((group, QTK, d), lambda i, sref: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ]
-            + [
-                pl.BlockSpec((1, cap, d), _slab_map(g),
-                             memory_space=pltpu.VMEM)
-                for g in range(group)
-            ]
-            + [
-                pl.BlockSpec((1, 1, cap), _slab_map(g),
-                             memory_space=pltpu.VMEM)
-                for g in range(group)
-            ],
-            out_specs=[
-                pl.BlockSpec((group, QTK, KP), lambda i, sref: (i, 0, 0),
-                             memory_space=pltpu.VMEM)
-            ] * 4,
-        ),
-        out_shape=[
-            jax.ShapeDtypeStruct((s_steps, QTK, KP), jnp.float32),
-            jax.ShapeDtypeStruct((s_steps, QTK, KP), jnp.int32),
-            jax.ShapeDtypeStruct((s_steps, QTK, KP), jnp.float32),
-            jax.ShapeDtypeStruct((s_steps, QTK, KP), jnp.int32),
-        ],
-        interpret=interpret,
-    )(
-        step_slab,
-        jnp.asarray(ratio2, jnp.float32).reshape(1, 1),
-        qsteps,
-        *([codes3] * group),
-        *(
-            [
-                rn2.reshape(rn2.shape[0], 1, rn2.shape[-1])
-                if rn2.ndim == 2
-                else rn2
-            ]
-            * group
-        ),
-    )
-    return tuple(o[:s_real] for o in outs)
 
 
 # --------------------------------------------------------------------------
@@ -303,11 +144,11 @@ def ivf_slab_scan_int8(step_slab, qsteps, codes3, rn2, ratio2, cap: int,
 # per (visit, chunk): a "visit" is one (query-tile, slab) pair, exactly the
 # old kernel's step; its chunks are consecutive grid steps.  Selection state
 # (best + second-best per strided lane window) accumulates in VMEM scratch
-# across a visit's chunks — the same incremental _fold_strided the PQ
-# cap-chunk path already uses, so selection semantics are IDENTICAL to
-# _select_strided over the whole slab.  Outputs are VISIT-indexed (one
-# [QTK, KP] block per visit, stored only on the visit's final chunk), so
-# the merge contract (merge_windowed + slot_of) is unchanged.
+# across a visit's chunks (the incremental _fold_strided ladder), so the
+# selection equals one sequential fold over the whole slab.  Outputs are
+# VISIT-indexed (one packed [QTK, 4*KP] block per visit, stored only on
+# the visit's final chunk), so the merge contract (merge_packed +
+# slot_of) is unchanged.
 #
 # Candidate ids are GLOBAL CHUNK-SPACE row ids (chunk * CHK + offset); the
 # engine translates via its chunk-space row_id map (built with the layout).
@@ -353,25 +194,29 @@ def _fold_scores(s, base, state, chk: int):
 
 
 def _pack_state(state):
-    """(vals, args f32-bitcast, vals2, args2) -> one [QTK, 4*KP] tile.
+    """(vals, args, vals2, args2) -> one [QTK, 4*KP] tile with lane layout
+    vals | vals2 | args | args2 (args f32-bitcast).
 
     ONE packed output stream instead of four: the four separate
     dynamically-indexed output buffers were measured as the kernel's
     dominant per-step cost (7.0 us/step vs 2.2 us packed — the r5 step-
     anatomy microbench); Mosaic handles a single store-on-last packed
-    block at DMA-floor speed."""
+    block at DMA-floor speed.  Distances occupy the CONTIGUOUS first half
+    so merge_packed's selection pass can gather 2*KP-wide distance
+    sub-rows without touching the id half."""
     cur, arg, cur2, arg2 = state
     return jnp.concatenate([
-        cur, jax.lax.bitcast_convert_type(arg, jnp.float32),
-        cur2, jax.lax.bitcast_convert_type(arg2, jnp.float32),
+        cur, cur2,
+        jax.lax.bitcast_convert_type(arg, jnp.float32),
+        jax.lax.bitcast_convert_type(arg2, jnp.float32),
     ], axis=1)
 
 
 def _unpack_state(p):
     return (
         p[:, :KP],
-        jax.lax.bitcast_convert_type(p[:, KP:2 * KP], jnp.int32),
-        p[:, 2 * KP:3 * KP],
+        jax.lax.bitcast_convert_type(p[:, 2 * KP:3 * KP], jnp.int32),
+        p[:, KP:2 * KP],
         jax.lax.bitcast_convert_type(p[:, 3 * KP:], jnp.int32),
     )
 
@@ -462,7 +307,7 @@ def ivf_chunk_scan_int8(step_chunk, step_visit, qsteps, codesC, rnC, ratio2,
     [n_visits, QTK, D] int8 per-visit query tiles; codesC [n_chunks, chk, D]
     int8 (trailing dump chunk all-zero); rnC [n_chunks, chk] fp32 (+inf on
     empty/padding rows) -> packed [n_visits, QTK, 4*KP] fp32
-    (vals | args bitcast | vals2 | args2 bitcast): best and second-best per
+    (vals | vals2 | args bitcast | args2 bitcast): best and second-best per
     strided window over each visit's WHOLE slab, args in chunk-space row
     ids.  Unpack with merge_packed / unpack_scan."""
     out, = pl.pallas_call(
@@ -507,13 +352,13 @@ def ivf_chunk_scan_int8(step_chunk, step_visit, qsteps, codesC, rnC, ratio2,
 
 
 def unpack_scan(packed):
-    """Packed [V, QTK, 4*KP] -> (vals, args, vals2, args2), each
-    [V, QTK, KP] (args int32 via same-width bitcast) — XLA-level slicing,
-    fuses into the downstream slot gather."""
+    """Packed [V, QTK, 4*KP] (vals | vals2 | args | args2 lane layout) ->
+    (vals, args, vals2, args2), each [V, QTK, KP] (args int32 via
+    same-width bitcast) — XLA-level slicing for tests/diagnostics."""
     return (
         packed[:, :, :KP],
-        jax.lax.bitcast_convert_type(packed[:, :, KP:2 * KP], jnp.int32),
-        packed[:, :, 2 * KP:3 * KP],
+        jax.lax.bitcast_convert_type(packed[:, :, 2 * KP:3 * KP], jnp.int32),
+        packed[:, :, KP:2 * KP],
         jax.lax.bitcast_convert_type(packed[:, :, 3 * KP:], jnp.int32),
     )
 
@@ -625,150 +470,3 @@ def ivf_chunk_scan_pq(step_chunk, step_visit, qsteps, packedC, rnC, cent2d,
     return out
 
 
-CCHUNK = 7680  # PQ recon/score tile width (lanes): bounds the in-kernel
-# [ksub, CCHUNK] one-hot (3.9 MB bf16) and [D, CCHUNK] recon scratch so
-# caps far beyond VMEM (76k+ at the 500M-row tier) still compile
-
-
-def _pq_slab_kernel(slab_ref, rat_ref, q_ref, *refs, cap: int, m: int,
-                    group: int):
-    """IVFPQ super-step: refs = group packed blocks ([1, mp, cap] int32
-    byte-packed codes, block g chosen by the scalar-prefetched slab id at
-    i*group+g) + group rn blocks + cent_ref [m*ksub, dsub] bf16 int8-valued
-    tables + the four outputs + recon_ref scratch [D, CCHUNK] bf16 (reused
-    sequentially across group and cap-chunks; transposed: the one-hot is
-    [ksub, chunk], contraction lands candidates on lanes with zero
-    in-kernel transposes — ops/scan_kernel.py trick).
-
-    The cap axis is processed in CCHUNK-wide column chunks with the running
-    best/second-best folded incrementally (_fold_strided): at the 500M-row
-    tier cap reaches 76k+ and the one-shot [ksub, cap] one-hot (39 MB bf16)
-    cannot exist in VMEM.  Chunk widths stay KP multiples (cap and CCHUNK
-    both are), so the strided-window structure is unchanged and the fold
-    order equals _select_strided's — bit-identical selection."""
-    i = pl.program_id(0)
-    packed_refs = refs[:group]
-    rn_refs = refs[group:2 * group]
-    cent_ref = refs[2 * group]
-    vals_ref, args_ref, vals2_ref, args2_ref, recon_ref = refs[2 * group + 1:]
-    ksub = cent_ref.shape[0] // m
-    dsub = cent_ref.shape[1]
-    for g in range(group):
-        qbf = q_ref[g].astype(jnp.bfloat16)
-        base = slab_ref[i * group + g] * cap
-        lane = jax.lax.broadcasted_iota(jnp.int32, (QTK, KP), 1)
-        state = None
-        for c0 in range(0, cap, CCHUNK):
-            w = min(CCHUNK, cap - c0)
-            for j in range(m):
-                byte = jnp.bitwise_and(
-                    jax.lax.shift_right_logical(
-                        packed_refs[g][0, j // 4 : j // 4 + 1, c0:c0 + w],
-                        8 * (j % 4),
-                    ),
-                    255,
-                )  # [1, w] int32
-                oh_t = (
-                    jax.lax.broadcasted_iota(jnp.int32, (ksub, w), 0) == byte
-                ).astype(jnp.bfloat16)  # [ksub, w]
-                part = jax.lax.dot_general(
-                    cent_ref[j * ksub : (j + 1) * ksub, :], oh_t,
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # [dsub, w] exact int8-valued
-                recon_ref[j * dsub : (j + 1) * dsub, :w] = part.astype(
-                    jnp.bfloat16
-                )
-            dot = jax.lax.dot_general(
-                qbf, recon_ref[:, :w],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [QTK, w] exact
-            s = rn_refs[g][0, :, c0:c0 + w] - rat_ref[0, 0] * dot
-            for j2 in range(w // KP):
-                blk = s[:, j2 * KP : (j2 + 1) * KP]
-                cand = base + c0 + j2 * KP + lane
-                if state is None:
-                    state = (blk, cand, jnp.full_like(blk, _BIG), cand)
-                else:
-                    state = _fold_strided(blk, cand, state)
-        vals_ref[g], args_ref[g], vals2_ref[g], args2_ref[g] = state
-
-
-@functools.partial(
-    jax.jit, static_argnames=("cap", "m", "interpret", "group")
-)
-def ivf_slab_scan_pq(step_slab, qsteps, packed3, rn2, cent2d, ratio2,
-                     cap: int, m: int, interpret: bool = False,
-                     group: int | None = None):
-    """packed3 [(n_slabs+1), mp, cap] int32 byte-packed PQ codes (slab-major
-    3D so the block index map picks whole slabs), cent2d [m*ksub, dsub] bf16;
-    rest as ivf_slab_scan_int8."""
-    d = qsteps.shape[-1]
-    mp = packed3.shape[1]
-    if group is None:
-        group = _auto_group(cap * (mp * 4 + 4))
-    step_slab, qsteps, s_real = _pad_steps(
-        step_slab, qsteps, packed3.shape[0] - 1, group
-    )
-    s_steps = qsteps.shape[0]
-    grid = (s_steps // group,)
-
-    def _slab_map(g):
-        return lambda i, sref, g=g: (sref[i * group + g], 0, 0)
-
-    outs = pl.pallas_call(
-        functools.partial(_pq_slab_kernel, cap=cap, m=m, group=group),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((group, QTK, d), lambda i, sref: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ]
-            + [
-                pl.BlockSpec((1, mp, cap), _slab_map(g),
-                             memory_space=pltpu.VMEM)
-                for g in range(group)
-            ]
-            + [
-                pl.BlockSpec((1, 1, cap), _slab_map(g),
-                             memory_space=pltpu.VMEM)
-                for g in range(group)
-            ]
-            + [
-                pl.BlockSpec(cent2d.shape, lambda i, sref: (0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=[
-                pl.BlockSpec((group, QTK, KP), lambda i, sref: (i, 0, 0),
-                             memory_space=pltpu.VMEM)
-            ] * 4,
-            scratch_shapes=[
-                pltpu.VMEM((d, min(cap, CCHUNK)), jnp.bfloat16)
-            ],
-        ),
-        out_shape=[
-            jax.ShapeDtypeStruct((s_steps, QTK, KP), jnp.float32),
-            jax.ShapeDtypeStruct((s_steps, QTK, KP), jnp.int32),
-            jax.ShapeDtypeStruct((s_steps, QTK, KP), jnp.float32),
-            jax.ShapeDtypeStruct((s_steps, QTK, KP), jnp.int32),
-        ],
-        interpret=interpret,
-    )(
-        step_slab,
-        jnp.asarray(ratio2, jnp.float32).reshape(1, 1),
-        qsteps,
-        *([packed3] * group),
-        *(
-            [
-                rn2.reshape(rn2.shape[0], 1, rn2.shape[-1])
-                if rn2.ndim == 2
-                else rn2
-            ]
-            * group
-        ),
-        cent2d,
-    )
-    return tuple(o[:s_real] for o in outs)

@@ -198,26 +198,26 @@ def test_kernel_path_matches_oracle(clustered, monkeypatch):
     np.testing.assert_allclose(dd[:, 0], od[:, 0], rtol=1e-4, atol=1e-4)
 
 
-def test_kernel_cap_chunking_matches_oracle(clustered, monkeypatch):
-    """The in-kernel cap-chunked fold (CCHUNK < cap — the 500M-row-tier
-    regime where the one-shot [ksub, cap] one-hot would not fit VMEM) must
-    produce the SAME selection as the one-shot path: force a multi-chunk
-    cap on the small fixture by shrinking CCHUNK and compare against an
-    unchunked run of the identical index."""
+def test_kernel_multi_chunk_visits_match_oracle(clustered, monkeypatch):
+    """The cross-chunk accumulator (VMEM scratch ping-pong + _combine_top2
+    — the genome-scale regime where a slab's fill spans several CHK-row
+    chunks) must produce the SAME selection as single-chunk visits: force
+    multi-chunk slabs on the small fixture by shrinking CHK and compare
+    against the default-layout run of the identical build."""
     from deepreadmapper_tpu.config import BuildConfig
     from deepreadmapper_tpu.ops import ivf_kernel as ik
 
     x = clustered
     q = x[:24] + np.float32(0.01)
     monkeypatch.setattr(ik, "INTERPRET", True)
-    idx = IVFPQIndex.build(x, BuildConfig(nlist=8))  # cap >> KP
+    idx = IVFPQIndex.build(x, BuildConfig(nlist=8))  # fill >> KP per slab
     assert idx._use_kernel() and idx.cap > 3 * ik.KP
     ii, dd = idx.search(q, 10, ef=idx.nlist)
 
-    monkeypatch.setattr(ik, "CCHUNK", 2 * ik.KP)  # force >=2 chunks
-    ik.ivf_slab_scan_pq.clear_cache()  # CCHUNK is read at trace time
-    idx2 = IVFPQIndex.build(x, BuildConfig(nlist=8))  # same layout
+    monkeypatch.setattr(ik, "CHK", 2 * ik.KP)  # force >=2 chunks per slab
+    idx2 = IVFPQIndex.build(x, BuildConfig(nlist=8))  # same slab layout
     assert idx2.cap == idx.cap
+    assert idx2._chunk_meta()[0][: idx2.n_slabs].max() >= 2
     i2, d2 = idx2.search(q, 10, ef=idx2.nlist)
     np.testing.assert_array_equal(ii, i2)
     np.testing.assert_allclose(dd, d2, rtol=1e-6, atol=1e-6)
