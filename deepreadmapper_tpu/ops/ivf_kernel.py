@@ -63,46 +63,34 @@ def merge_packed(packed, slot_of, nprobe: int, k: int, exact: bool = False):
     (lane layout vals | vals2 | args | args2 — distances in the first
     half, fp32-bitcast ids in the second).
 
-    Two-phase merge, sized by the r5 cost split (8192 q / nprobe=32 at 40M
-    rows: kernel 45 ms, merge 63 ms — the merge dominated):
+    ONE full-row slot gather, then slice VIEWS of the contiguous halves
+    feed the top-k and the id resolve — the r4 interleaved layout needed
+    two strided-slice CONCATS here (fresh [q, nprobe*2KP] distance AND id
+    matrices, ~1 GB of extra HBM traffic at 8192 q / nprobe=32).
 
-    1. Gather ONLY each (query, probe) slot's distance half (a 2*KP-wide
-       sub-row gather) and top-k the [q, nprobe*2*KP] matrix.  The old
-       single full-row gather materialized the id half too (2x the HBM
-       write) and then CONCATENATED strided lane slices into fresh
-       distance/id matrices (2x again) — ~4x the traffic this pass needs.
-       fp32 top_k lowers to a full sort, so wide merges take approx_max_k
-       (the windowed scan is already approximate) unless `exact`.
-    2. Resolve the k winners' ids with a [q, k]-element gather back into
-       the packed rows (column 2*KP + col of the winning slot's row) —
-       4 bytes per winner instead of a second full-width matrix.
+    Measured r5 A/B on the 40M-scale shapes (8192 q, nprobe 32, V 8192)
+    before settling on this form: a distance-half-only gather + per-winner
+    elementwise id resolve is SLOWER on this TPU (97 ms vs 86) — XLA's
+    elementwise gather costs ~25 ms for [q, k] elements, and lax.gather
+    with partial slice_sizes hits a ~440 ms pathological lowering.  The
+    single row gather + take_along_axis is the fastest lowering available;
+    fp32 top_k lowers to a full sort, so wide merges take approx_max_k
+    (the windowed scan is already approximate) unless `exact`.
 
     Each (query, probe) pair contributes 2*KP candidate columns; unset
     second-best slots carry _BIG distances, rank last, and are masked by
     the callers' d < _BIG/2 validity check as before."""
     q = slot_of.shape[0]
-    flat = packed.reshape(-1, 4 * KP)
-    gd = jax.lax.gather(
-        flat,
-        slot_of.reshape(-1, 1),
-        jax.lax.GatherDimensionNumbers(
-            offset_dims=(1,), collapsed_slice_dims=(0,),
-            start_index_map=(0,),
-        ),
-        slice_sizes=(1, 2 * KP),
-    )  # [q*nprobe, 2KP] — distance halves only
-    cat_d = gd.reshape(q, nprobe * 2 * KP)
+    g = packed.reshape(-1, 4 * KP)[slot_of]   # [q, nprobe, 4KP]
+    cat_d = g[:, :, :2 * KP].reshape(q, nprobe * 2 * KP)
+    cat_i = jax.lax.bitcast_convert_type(
+        g[:, :, 2 * KP:], jnp.int32
+    ).reshape(q, nprobe * 2 * KP)
     if exact or nprobe * KP < 1024:
         neg, sel = jax.lax.top_k(-cat_d, k)
     else:
         neg, sel = jax.lax.approx_max_k(-cat_d, k, recall_target=0.99)
-    pj = sel // (2 * KP)                      # winning probe rank
-    col = sel % (2 * KP)                      # lane within the dist half
-    slot_sel = jnp.take_along_axis(slot_of, pj, axis=1)   # [q, k]
-    ids = jax.lax.bitcast_convert_type(
-        flat[slot_sel, 2 * KP + col], jnp.int32
-    )
-    return -neg, ids
+    return -neg, jnp.take_along_axis(cat_i, sel, axis=1)
 
 
 def _fold_strided(blk, cand, state):
