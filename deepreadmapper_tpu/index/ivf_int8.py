@@ -640,6 +640,13 @@ class IVFInt8Index:
 
     _INT8DOT = True  # chunked kernel: native s8xs8->s32 MXU path
 
+    # fold-mode threshold: the per-query accumulator's cost is ~one fold per
+    # VISIT (≈ n_slabs once most slabs are probed), independent of Q, while
+    # the packed-output merge (slot gather + wide approx_max_k) scales with
+    # Q — fold wins where the merge bill is large (measured crossover
+    # region ~2-4k queries at 40M rows; see BASELINE r5)
+    _FOLD_MIN_Q = 4096
+
     def _kernel_scan(self, step_chunk, step_visit, qsteps, c, rn, ratio,
                      *extras):
         """Engine-specific Pallas chunk scan (IVFPQ overrides with the PQ
@@ -652,6 +659,23 @@ class IVFInt8Index:
             ik.CHK, qsteps.shape[0], interpret=ik.INTERPRET,
             int8dot=self._INT8DOT,
         )
+
+    def _kernel_scan_fold(self, step_chunk, step_visit, qidx, qsteps, nq,
+                          c, rn, ratio, *extras):
+        """Fold-mode chunk scan (ops/ivf_kernel fold kernels): per-query
+        VMEM accumulator instead of the per-visit packed output + slot
+        gather + wide approx_max_k (IVFPQ overrides with the PQ variant)."""
+        from deepreadmapper_tpu.ops import ivf_kernel as ik
+
+        return ik.ivf_chunk_scan_int8_fold(
+            step_chunk, step_visit, qidx, qsteps, c, rn, 2.0 * ratio,
+            ik.CHK, nq, interpret=ik.INTERPRET, int8dot=self._INT8DOT,
+        )
+
+    def _use_fold(self, q: int, k: int) -> bool:
+        from deepreadmapper_tpu.ops import ivf_kernel as ik
+
+        return q >= self._FOLD_MIN_Q and k <= ik.FS * ik.KP
 
     def _kernel_fn(self, k: int, nprobe: int, s_pad: int, v_pad: int):
         """Jitted Pallas chunk-scan + slot merge (ops/ivf_kernel.py): the
@@ -666,6 +690,8 @@ class IVFInt8Index:
             from deepreadmapper_tpu.ops import ivf_kernel as ik
 
             scan = self._kernel_scan
+            scan_fold = self._kernel_scan_fold
+            use_fold = self._use_fold
 
             @jax.jit
             def run(plan, q8_pad, codes3, rn2, ratio, *extras):
@@ -676,11 +702,18 @@ class IVFInt8Index:
                 qidx = plan[o:o + v_pad * ik.QTK].reshape(v_pad, ik.QTK)
                 slot_of = plan[o + v_pad * ik.QTK:].reshape(q, nprobe)
                 qsteps = q8_pad[qidx]  # [v_pad, QTK, D] int8 gather
-                packed = scan(
-                    step_chunk, step_visit, qsteps, codes3, rn2, ratio,
-                    *extras
-                )
-                d, i = ik.merge_packed(packed, slot_of, nprobe, k)
+                if use_fold(q, k):
+                    facc = scan_fold(
+                        step_chunk, step_visit, qidx, qsteps, q, codes3,
+                        rn2, ratio, *extras
+                    )
+                    d, i = ik.merge_fold(facc, q, k)
+                else:
+                    packed = scan(
+                        step_chunk, step_visit, qsteps, codes3, rn2, ratio,
+                        *extras
+                    )
+                    d, i = ik.merge_packed(packed, slot_of, nprobe, k)
                 return jnp.concatenate(
                     [jax.lax.bitcast_convert_type(d, jnp.int32), i], axis=1
                 )

@@ -412,6 +412,18 @@ class IVFPQIndex(IVFInt8Index):
             interpret=ik.INTERPRET,
         )
 
+    def _kernel_scan_fold(self, step_chunk, step_visit, qidx, qsteps, nq,
+                          c, rn, ratio, cent_bf):
+        """Fold-mode IVFPQ chunk scan: in-kernel PQ reconstruction with the
+        per-query fold accumulator (ops/ivf_kernel.ivf_chunk_scan_pq_fold)."""
+        from deepreadmapper_tpu.ops import ivf_kernel as ik
+
+        return ik.ivf_chunk_scan_pq_fold(
+            step_chunk, step_visit, qidx, qsteps, c, rn,
+            cent_bf.reshape(-1, cent_bf.shape[-1]), 2.0 * ratio,
+            ik.CHK, self.codes_cm.shape[1], nq, interpret=ik.INTERPRET,
+        )
+
     # ------------------------------------------------------------ search
 
     def _scan_fn(self, k: int, kp: int, nprobe: int):

@@ -351,6 +351,201 @@ def unpack_scan(packed):
     )
 
 
+# --------------------------------------------------------------------------
+# Fold-mode scan (round-5): per-QUERY accumulator instead of per-visit output.
+#
+# The packed-output contract above still pays a [V, QTK, 4*KP] HBM stream
+# (512 MB at 8192 q / nprobe 32) that the merge must then slot-GATHER back
+# into query order (~35 ms at 14 GB/s — XLA's row gather) and reduce with a
+# width-8192 approx_max_k (~50 ms): at 40M rows the merge costs MORE than
+# the scan kernel it follows (63 ms vs 45).  Fold mode deletes both: the
+# kernel keeps ONE top-FS-per-strided-window accumulator PER QUERY in a
+# VMEM-resident output block (constant index map -> never written back until
+# the grid ends; this v5e compiles 128 MB VMEM scratch, measured r5), and on
+# each visit's last chunk folds the visit state into its queries' rows via
+# the prefetched qidx map.  The merge collapses to one exact top-k over
+# FS*KP = 512 columns.
+#
+# Recall contract: the global candidate pool per query changes from
+# (top-2/window per probe, globally approx-top-k'd) to top-FS/window across
+# ALL probes.  A true top-k member is lost only when >= FS better candidates
+# share its window (id % KP); shifted windows of one locus spread across
+# consecutive windows by construction, so collisions need >= FS distinct
+# repeat loci aligned mod KP — rare at FS=4 (measured: tie-aware recall@128
+# unchanged at the 40M bench point, see BASELINE r5).
+# --------------------------------------------------------------------------
+
+FS = 4  # fold-mode slots per strided window (sorted ascending per window)
+
+
+def fold_rows(q: int) -> int:
+    """Accumulator rows: q queries + 1 dump row, padded to a sublane
+    multiple."""
+    return -(-(q + 1) // 8) * 8
+
+
+def _insert_sorted(sv, si, cv, ci):
+    """Insert one candidate column set (cv, ci) into FS sorted-ascending
+    slot lists; the overall max falls out.  Strict-< keeps earlier-seen
+    candidates on ties, matching _fold_strided's semantics."""
+    nv, ni = [], []
+    for j in range(len(sv)):
+        take = cv < sv[j]
+        nv.append(jnp.where(take, cv, sv[j]))
+        ni.append(jnp.where(take, ci, si[j]))
+        cv = jnp.where(take, sv[j], cv)
+        ci = jnp.where(take, si[j], ci)
+    return nv, ni
+
+
+def _fold_into_rows(facc_ref, qrow_ref, tmp, state, fs: int):
+    """Visit-end: fold the visit's (best, second)/window state into its
+    queries' accumulator rows.  Row traffic is batched through the tmp
+    scratch tile so the insert ladder runs once, full-width: 2*QTK dynamic
+    single-row copies + ~10*fs vector ops instead of QTK thin ladders.
+    Rows of one visit are distinct queries (plan: dup slabs -> dump), so
+    the gather/scatter cannot alias; padding rows all point at the dump
+    row, where last-write-wins is harmless."""
+    v1, a1, v2, a2 = state
+    for r in range(QTK):
+        tmp[r:r + 1, :] = facc_ref[pl.ds(qrow_ref[0, r], 1), :]
+    sv = [tmp[:, j * KP:(j + 1) * KP] for j in range(fs)]
+    si = [
+        jax.lax.bitcast_convert_type(
+            tmp[:, (fs + j) * KP:(fs + j + 1) * KP], jnp.int32
+        )
+        for j in range(fs)
+    ]
+    sv, si = _insert_sorted(sv, si, v1, a1)
+    sv, si = _insert_sorted(sv, si, v2, a2)
+    tmp[...] = jnp.concatenate(
+        sv + [jax.lax.bitcast_convert_type(x, jnp.float32) for x in si],
+        axis=1,
+    )
+    for r in range(QTK):
+        facc_ref[pl.ds(qrow_ref[0, r], 1), :] = tmp[r:r + 1, :]
+
+
+def merge_fold(facc, q: int, k: int, fs: int = FS):
+    """Fold accumulator [rows, 2*fs*KP] (vals | ids bitcast) -> (d, ids)
+    top-k per query: one exact top_k over fs*KP columns (512-wide fp32
+    full sort ~3 ms at 8192 q — the gather and the wide approx_max_k are
+    gone).  Unfilled slots carry _BIG and rank last; callers keep the
+    d < _BIG/2 validity mask."""
+    vals = facc[:q, :fs * KP]
+    ids = jax.lax.bitcast_convert_type(facc[:q, fs * KP:], jnp.int32)
+    neg, sel = jax.lax.top_k(-vals, k)
+    return -neg, jnp.take_along_axis(ids, sel, axis=1)
+
+
+def _int8_chunk_fold_kernel(chunk_ref, visit_ref, rat_ref, qrow_ref, q_ref,
+                            codes_ref, rn_ref, facc_ref, acc, tmp, *,
+                            chk: int, int8dot: bool, fs: int):
+    """Fold-mode int8 chunk step: identical scan/fold to _int8_chunk_kernel,
+    but visit results land in the per-query accumulator (facc_ref, VMEM-
+    resident via its constant index map) instead of a per-visit output."""
+    s = pl.program_id(0)
+    _vis, first, last = _chunk_flags(visit_ref, s)
+
+    @pl.when(s == 0)
+    def _():
+        # vals -> _BIG (rank last, caller's d < _BIG/2 mask), ids -> 0
+        # (0.0f bitcasts to int32 0 — a safe rmap index, unlike _BIG's)
+        facc_ref[...] = jnp.full(facc_ref.shape, _BIG, jnp.float32)
+        facc_ref[:, fs * KP:] = jnp.zeros(
+            (facc_ref.shape[0], fs * KP), jnp.float32
+        )
+
+    if int8dot:
+        dot = jax.lax.dot_general(
+            q_ref[0], codes_ref[0],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+    else:
+        dot = jax.lax.dot_general(
+            q_ref[0].astype(jnp.bfloat16),
+            codes_ref[0].astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    scores = rn_ref[0, 0] - rat_ref[0, 0] * dot
+    cur = _fold_scores(scores, chunk_ref[s] * chk, _fresh_state(), chk)
+
+    @pl.when(first)
+    def _():
+        acc[...] = _pack_state(cur)
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        acc[...] = _pack_state(_combine_top2(_unpack_state(acc[...]), cur))
+
+    @pl.when(last)
+    def _():
+        _fold_into_rows(facc_ref, qrow_ref, tmp, _unpack_state(acc[...]), fs)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("chk", "nq", "interpret", "int8dot", "fs"),
+)
+def ivf_chunk_scan_int8_fold(step_chunk, step_visit, qidx, qsteps, codesC,
+                             rnC, ratio2, chk: int, nq: int,
+                             interpret: bool = False, int8dot: bool = True,
+                             fs: int = FS):
+    """Fold-mode scan: as ivf_chunk_scan_int8 plus qidx [n_visit_rows, QTK]
+    int32 (query index per visit row; dump row = nq) -> fold accumulator
+    [fold_rows(nq), 2*fs*KP] fp32 (vals | ids bitcast, chunk-space row
+    ids).  Reduce with merge_fold."""
+    rows = fold_rows(nq)
+    out, = pl.pallas_call(
+        functools.partial(
+            _int8_chunk_fold_kernel, chk=chk, int8dot=int8dot, fs=fs
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(step_chunk.shape[0],),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, QTK),
+                             lambda s, cref, vref: (vref[s], 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, QTK, qsteps.shape[-1]),
+                             lambda s, cref, vref: (vref[s], 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, chk, codesC.shape[-1]),
+                             lambda s, cref, vref: (cref[s], 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, chk),
+                             lambda s, cref, vref: (cref[s], 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((rows, 2 * fs * KP),
+                             lambda s, cref, vref: (0, 0),
+                             memory_space=pltpu.VMEM)
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((QTK, 4 * KP), jnp.float32),
+                pltpu.VMEM((QTK, 2 * fs * KP), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, 2 * fs * KP), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        step_chunk,
+        step_visit,
+        jnp.asarray(ratio2, jnp.float32).reshape(1, 1),
+        qidx,
+        qsteps,
+        codesC,
+        rnC.reshape(rnC.shape[0], 1, rnC.shape[-1]) if rnC.ndim == 2 else rnC,
+    )
+    return out
+
+
 def _pq_chunk_kernel(chunk_ref, visit_ref, rat_ref, q_ref, packed_ref,
                      rn_ref, cent_ref, out_ref, acc, recon_ref, *, chk: int,
                      m: int):
@@ -450,6 +645,123 @@ def ivf_chunk_scan_pq(step_chunk, step_visit, qsteps, packedC, rnC, cent2d,
         step_chunk,
         step_visit,
         jnp.asarray(ratio2, jnp.float32).reshape(1, 1),
+        qsteps,
+        packedC,
+        rnC.reshape(rnC.shape[0], 1, rnC.shape[-1]) if rnC.ndim == 2 else rnC,
+        cent2d,
+    )
+    return out
+
+
+def _pq_chunk_fold_kernel(chunk_ref, visit_ref, rat_ref, qrow_ref, q_ref,
+                          packed_ref, rn_ref, cent_ref, facc_ref, acc,
+                          recon_ref, tmp, *, chk: int, m: int, fs: int):
+    """Fold-mode IVFPQ chunk step: _pq_chunk_kernel's in-kernel
+    reconstruction + scan, visit results folded into the per-query
+    accumulator (see _int8_chunk_fold_kernel)."""
+    s = pl.program_id(0)
+    _vis, first, last = _chunk_flags(visit_ref, s)
+
+    @pl.when(s == 0)
+    def _():
+        facc_ref[...] = jnp.full(facc_ref.shape, _BIG, jnp.float32)
+        facc_ref[:, fs * KP:] = jnp.zeros(
+            (facc_ref.shape[0], fs * KP), jnp.float32
+        )
+
+    ksub = cent_ref.shape[0] // m
+    dsub = cent_ref.shape[1]
+    for j in range(m):
+        byte = jnp.bitwise_and(
+            jax.lax.shift_right_logical(
+                packed_ref[0, j // 4:j // 4 + 1, :], 8 * (j % 4)
+            ),
+            255,
+        )
+        oh_t = (
+            jax.lax.broadcasted_iota(jnp.int32, (ksub, chk), 0) == byte
+        ).astype(jnp.bfloat16)
+        part = jax.lax.dot_general(
+            cent_ref[j * ksub:(j + 1) * ksub, :], oh_t,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        recon_ref[j * dsub:(j + 1) * dsub, :] = part.astype(jnp.bfloat16)
+    dot = jax.lax.dot_general(
+        q_ref[0].astype(jnp.bfloat16), recon_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    scores = rn_ref[0, 0] - rat_ref[0, 0] * dot
+    cur = _fold_scores(scores, chunk_ref[s] * chk, _fresh_state(), chk)
+
+    @pl.when(first)
+    def _():
+        acc[...] = _pack_state(cur)
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        acc[...] = _pack_state(_combine_top2(_unpack_state(acc[...]), cur))
+
+    @pl.when(last)
+    def _():
+        _fold_into_rows(facc_ref, qrow_ref, tmp, _unpack_state(acc[...]), fs)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("chk", "m", "nq", "interpret", "fs")
+)
+def ivf_chunk_scan_pq_fold(step_chunk, step_visit, qidx, qsteps, packedC,
+                           rnC, cent2d, ratio2, chk: int, m: int, nq: int,
+                           interpret: bool = False, fs: int = FS):
+    """Fold-mode IVFPQ scan: as ivf_chunk_scan_pq plus the qidx visit-row
+    map -> fold accumulator [fold_rows(nq), 2*fs*KP]; reduce with
+    merge_fold."""
+    d = qsteps.shape[-1]
+    rows = fold_rows(nq)
+    out, = pl.pallas_call(
+        functools.partial(_pq_chunk_fold_kernel, chk=chk, m=m, fs=fs),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(step_chunk.shape[0],),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, QTK),
+                             lambda s, cref, vref: (vref[s], 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, QTK, d),
+                             lambda s, cref, vref: (vref[s], 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, packedC.shape[1], chk),
+                             lambda s, cref, vref: (cref[s], 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, chk),
+                             lambda s, cref, vref: (cref[s], 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(cent2d.shape,
+                             lambda s, cref, vref: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((rows, 2 * fs * KP),
+                             lambda s, cref, vref: (0, 0),
+                             memory_space=pltpu.VMEM)
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((QTK, 4 * KP), jnp.float32),
+                pltpu.VMEM((d, chk), jnp.bfloat16),
+                pltpu.VMEM((QTK, 2 * fs * KP), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, 2 * fs * KP), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        step_chunk,
+        step_visit,
+        jnp.asarray(ratio2, jnp.float32).reshape(1, 1),
+        qidx,
         qsteps,
         packedC,
         rnC.reshape(rnC.shape[0], 1, rnC.shape[-1]) if rnC.ndim == 2 else rnC,

@@ -41,6 +41,11 @@ from deepreadmapper_tpu.index.registry import _REGISTRY
 from deepreadmapper_tpu.ops import pq as pq_ops
 from deepreadmapper_tpu.ops import scan_kernel as sk
 
+# fold-mode threshold for the sharded IVF scan bodies (per-shard query
+# count): below this the packed-output merge is cheaper (see
+# IVFInt8Index._FOLD_MIN_Q); module-level so tests can patch it
+IVF_FOLD_MIN_Q = 4096
+
 # per-shard scan chunks: bound the [Q_local, chunk] score tensors
 _INT8_CHUNK = 262144
 _Q_SUPER_PER_DATA = 8192  # queries per data-axis position per device call
@@ -664,7 +669,18 @@ class ShardedANNIndex:
                 [q8f.astype(jnp.int8),
                  jnp.zeros((1, q.shape[1]), jnp.int8)]
             )
-            if use_kern:
+            if use_kern and qb_local >= IVF_FOLD_MIN_Q \
+                    and k_local <= ik.FS * ik.KP:
+                # fold-mode scan: per-query accumulator in the kernel, no
+                # slot gather / wide approx_max_k (ops/ivf_kernel fold path)
+                qsteps = q8[qidx_s[0, 0]]
+                facc = ik.ivf_chunk_scan_int8_fold(
+                    stepc_s[0, 0], stepv_s[0, 0], qidx_s[0, 0], qsteps,
+                    codes_s[0], rn_s[0], 2.0 * rat, ik.CHK, qb_local,
+                    interpret=ik.INTERPRET,
+                )
+                d_cand, slots = ik.merge_fold(facc, qb_local, k_local)
+            elif use_kern:
                 qsteps = q8[qidx_s[0, 0]]  # [v_pad, QTK, D]
                 packed = ik.ivf_chunk_scan_int8(
                     stepc_s[0, 0], stepv_s[0, 0], qsteps, codes_s[0],
@@ -798,7 +814,18 @@ class ShardedANNIndex:
                 [q8f.astype(jnp.int8),
                  jnp.zeros((1, q.shape[1]), jnp.int8)]
             )
-            if use_kern:
+            if use_kern and qb_local >= IVF_FOLD_MIN_Q \
+                    and k_local <= ik.FS * ik.KP:
+                qsteps = q8[qidx_s[0, 0]]
+                cb = cent_bf_s[0]
+                facc = ik.ivf_chunk_scan_pq_fold(
+                    stepc_s[0, 0], stepv_s[0, 0], qidx_s[0, 0], qsteps,
+                    codes_s[0], rn_s[0], cb.reshape(-1, cb.shape[-1]),
+                    2.0 * rat, ik.CHK, m_pq, qb_local,
+                    interpret=ik.INTERPRET,
+                )
+                d_cand, slots = ik.merge_fold(facc, qb_local, k_local)
+            elif use_kern:
                 qsteps = q8[qidx_s[0, 0]]
                 cb = cent_bf_s[0]
                 packed = ik.ivf_chunk_scan_pq(

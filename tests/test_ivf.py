@@ -232,6 +232,47 @@ def test_kernel_windowed_selection_large_cap(clustered, monkeypatch):
     assert recall >= 0.85, recall
 
 
+def test_fold_path_matches_packed_merge(clustered, monkeypatch):
+    """Fold-mode scan (per-query VMEM accumulator, ops/ivf_kernel fold
+    kernels) vs the packed-output + slot-gather + approx merge: same plan,
+    same windowed per-slab selection — the only difference is the global
+    reduction (top-FS per strided window vs global top-k over all probes),
+    so candidate sets must agree to high overlap and the top-1 hit must be
+    identical.  Exercises init sentinels (ids 0, vals _BIG), the sorted
+    insert ladder, and the dump-row plumbing."""
+    from deepreadmapper_tpu.index.ivf_pq import IVFPQIndex
+    from deepreadmapper_tpu.ops import ivf_kernel as ik
+
+    monkeypatch.setattr(ik, "INTERPRET", True)
+    x = clustered
+    q = x[:48] + np.float32(0.01)
+    for cls in (IVFInt8Index, IVFPQIndex):
+        idx = cls.build(x)
+        assert idx._use_kernel()
+        monkeypatch.setattr(cls, "_FUSED_MAX_PAIRS", 0)   # force host plan
+        nprobe = max(4, idx.nlist // 4)
+        i_pk, d_pk = idx.search(q, 10, ef=nprobe)          # packed merge
+        monkeypatch.setattr(cls, "_FOLD_MIN_Q", 1)
+        idx._fns.clear()                                   # drop cached fns
+        i_fd, d_fd = idx.search(q, 10, ef=nprobe)
+        assert (i_fd[:, 0] == i_pk[:, 0]).all()
+        np.testing.assert_allclose(d_fd[:, 0], d_pk[:, 0], rtol=0, atol=0)
+        overlap = np.mean(
+            [len(set(i_pk[r]) & set(i_fd[r])) / 10 for r in range(len(q))]
+        )
+        assert overlap >= 0.95, (cls.__name__, overlap)
+        # full probe: fold path must still reproduce the exhaustive oracle
+        i_full, _ = idx.search(q, 10, ef=idx.nlist)
+        oi, _ = Int8FlatIndex.build(x).search(q, 10) \
+            if cls is IVFInt8Index else (None, None)
+        if oi is not None:
+            recall = np.mean(
+                [len(set(oi[r]) & set(i_full[r])) / 10
+                 for r in range(len(q))]
+            )
+            assert recall >= 0.99, recall
+
+
 def test_fused_device_plan_matches_host_plan(clustered, monkeypatch):
     """The fused small-batch path (probe + device_plan + kernel in ONE
     program) must return exactly what the host-plan kernel path returns:
