@@ -398,17 +398,21 @@ def _insert_sorted(sv, si, cv, ci):
     return nv, ni
 
 
-def _fold_into_rows(facc_ref, qrow_ref, tmp, state, fs: int):
+def _fold_into_rows(facc_ref, qrow_ref, off, tmp, state, fs: int):
     """Visit-end: fold the visit's (best, second)/window state into its
     queries' accumulator rows.  Row traffic is batched through the tmp
     scratch tile so the insert ladder runs once, full-width: 2*QTK dynamic
     single-row copies + ~10*fs vector ops instead of QTK thin ladders.
     Rows of one visit are distinct queries (plan: dup slabs -> dump), so
     the gather/scatter cannot alias; padding rows all point at the dump
-    row, where last-write-wins is harmless."""
+    row, where last-write-wins is harmless.
+
+    qrow_ref is an 8-row SMEM block (Mosaic rejects 1-row blocks: the
+    second-minor block dim must be 8-divisible or equal the array dim);
+    `off` = visit % 8 selects the visit's row within it."""
     v1, a1, v2, a2 = state
     for r in range(QTK):
-        tmp[r:r + 1, :] = facc_ref[pl.ds(qrow_ref[0, r], 1), :]
+        tmp[r:r + 1, :] = facc_ref[pl.ds(qrow_ref[off, r], 1), :]
     sv = [tmp[:, j * KP:(j + 1) * KP] for j in range(fs)]
     si = [
         jax.lax.bitcast_convert_type(
@@ -423,7 +427,7 @@ def _fold_into_rows(facc_ref, qrow_ref, tmp, state, fs: int):
         axis=1,
     )
     for r in range(QTK):
-        facc_ref[pl.ds(qrow_ref[0, r], 1), :] = tmp[r:r + 1, :]
+        facc_ref[pl.ds(qrow_ref[off, r], 1), :] = tmp[r:r + 1, :]
 
 
 def merge_fold(facc, q: int, k: int, fs: int = FS):
@@ -445,7 +449,7 @@ def _int8_chunk_fold_kernel(chunk_ref, visit_ref, rat_ref, qrow_ref, q_ref,
     but visit results land in the per-query accumulator (facc_ref, VMEM-
     resident via its constant index map) instead of a per-visit output."""
     s = pl.program_id(0)
-    _vis, first, last = _chunk_flags(visit_ref, s)
+    vis, first, last = _chunk_flags(visit_ref, s)
 
     @pl.when(s == 0)
     def _():
@@ -482,7 +486,9 @@ def _int8_chunk_fold_kernel(chunk_ref, visit_ref, rat_ref, qrow_ref, q_ref,
 
     @pl.when(last)
     def _():
-        _fold_into_rows(facc_ref, qrow_ref, tmp, _unpack_state(acc[...]), fs)
+        _fold_into_rows(
+            facc_ref, qrow_ref, vis % 8, tmp, _unpack_state(acc[...]), fs
+        )
 
 
 @functools.partial(
@@ -507,8 +513,8 @@ def ivf_chunk_scan_int8_fold(step_chunk, step_visit, qidx, qsteps, codesC,
             grid=(step_chunk.shape[0],),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, QTK),
-                             lambda s, cref, vref: (vref[s], 0),
+                pl.BlockSpec((8, QTK),
+                             lambda s, cref, vref: (vref[s] // 8, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, QTK, qsteps.shape[-1]),
                              lambda s, cref, vref: (vref[s], 0, 0),
@@ -533,6 +539,13 @@ def ivf_chunk_scan_int8_fold(step_chunk, step_visit, qidx, qsteps, codesC,
         out_shape=[
             jax.ShapeDtypeStruct((rows, 2 * fs * KP), jnp.float32),
         ],
+        # the per-query accumulator block alone can exceed the default 16 MB
+        # scoped-vmem cap (8192 q * 2*FS*KP * 4 B = 32 MB); this v5e runs
+        # 128 MB VMEM scratch fine (probed r5), so raise the cap for the
+        # fold kernels only
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(
         step_chunk,
@@ -660,7 +673,7 @@ def _pq_chunk_fold_kernel(chunk_ref, visit_ref, rat_ref, qrow_ref, q_ref,
     reconstruction + scan, visit results folded into the per-query
     accumulator (see _int8_chunk_fold_kernel)."""
     s = pl.program_id(0)
-    _vis, first, last = _chunk_flags(visit_ref, s)
+    vis, first, last = _chunk_flags(visit_ref, s)
 
     @pl.when(s == 0)
     def _():
@@ -705,7 +718,9 @@ def _pq_chunk_fold_kernel(chunk_ref, visit_ref, rat_ref, qrow_ref, q_ref,
 
     @pl.when(last)
     def _():
-        _fold_into_rows(facc_ref, qrow_ref, tmp, _unpack_state(acc[...]), fs)
+        _fold_into_rows(
+            facc_ref, qrow_ref, vis % 8, tmp, _unpack_state(acc[...]), fs
+        )
 
 
 @functools.partial(
@@ -726,8 +741,8 @@ def ivf_chunk_scan_pq_fold(step_chunk, step_visit, qidx, qsteps, packedC,
             grid=(step_chunk.shape[0],),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, QTK),
-                             lambda s, cref, vref: (vref[s], 0),
+                pl.BlockSpec((8, QTK),
+                             lambda s, cref, vref: (vref[s] // 8, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, QTK, d),
                              lambda s, cref, vref: (vref[s], 0, 0),
@@ -756,6 +771,13 @@ def ivf_chunk_scan_pq_fold(step_chunk, step_visit, qidx, qsteps, packedC,
         out_shape=[
             jax.ShapeDtypeStruct((rows, 2 * fs * KP), jnp.float32),
         ],
+        # the per-query accumulator block alone can exceed the default 16 MB
+        # scoped-vmem cap (8192 q * 2*FS*KP * 4 B = 32 MB); this v5e runs
+        # 128 MB VMEM scratch fine (probed r5), so raise the cap for the
+        # fold kernels only
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(
         step_chunk,

@@ -55,9 +55,7 @@ def main():
           f"slabs={ivf.n_slabs} cap={ivf.cap}", flush=True)
 
     vec = Vectorizer()
-    mat, lengths, _ = parse_fastq_bytes(
-        open(os.path.join(args.dir, "reads.fastq"), "rb").read()
-    )
+    mat, lengths, _ = parse_fastq_bytes(os.path.join(args.dir, "reads.fastq"))
     emb = np.asarray(vec.vectorize_wrapped_bytes(mat, lengths))
     q = emb.shape[0]
     k = args.k
